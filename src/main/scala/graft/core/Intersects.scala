@@ -1,0 +1,231 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Fast Intersects + Distance, mirroring the reference's native fast
+  * paths (geom/alg_intersects.go: full type dispatch, R-tree on the
+  * smaller side for line-vs-line; geom/alg_distance.go:13-101: index the
+  * larger side, best-first search with bound pruning).
+  */
+object Intersects {
+
+  private final case class Flat(
+      pts: Array[Double],          // xy pairs
+      segs: Array[Double],         // x1,y1,x2,y2 quads (lines + rings)
+      polys: Array[GPoly],
+      lineStarts: Array[Double])   // representative xy per lineal part (for containment tests)
+
+  private def flatten(g: Geom): Flat = {
+    val pts = new mutable.ArrayBuilder.ofDouble
+    val segs = new mutable.ArrayBuilder.ofDouble
+    val reps = new mutable.ArrayBuilder.ofDouble
+    val polys = mutable.ArrayBuffer.empty[GPoly]
+    def seqSegs(s: Seqn): Unit = {
+      var i = 0
+      while (i < s.n - 1) {
+        segs += s.x(i) += s.y(i) += s.x(i + 1) += s.y(i + 1)
+        i += 1
+      }
+      if (s.n == 1) { pts += s.x(0) += s.y(0) }
+      if (s.n > 0) { reps += s.x(0) += s.y(0) }
+    }
+    def walk(g: Geom): Unit = g match {
+      case p: GPoint => if (!p.isEmpty) { pts += p.x += p.y }
+      case GLine(s) => seqSegs(s)
+      case gp @ GPoly(rs, _) =>
+        if (rs.nonEmpty) { polys += gp; rs.foreach(seqSegs) }
+      case GMPoint(ps, _) => ps.foreach(walk)
+      case GMLine(ls, _) => ls.foreach(s => seqSegs(s))
+      case GMPoly(ps, ct) => ps.foreach(rs => walk(GPoly(rs, ct)))
+      case GColl(gs, _) => gs.foreach(walk)
+    }
+    walk(g)
+    Flat(pts.result(), segs.result(), polys.toArray, reps.result())
+  }
+
+  def intersects(a: Geom, b: Geom): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    if (!a.envelope.intersects(b.envelope)) return false
+    val fa = flatten(a)
+    val fb = flatten(b)
+
+    // point of A on B / inside B's areal parts (and vice versa)
+    if (anyPointTouches(fa.pts, fb)) return true
+    if (anyPointTouches(fb.pts, fa)) return true
+
+    // segment-segment intersection: index the smaller side
+    // (reference: geom/alg_intersects.go:188-205)
+    if (fa.segs.nonEmpty && fb.segs.nonEmpty) {
+      val (small, large) =
+        if (fa.segs.length <= fb.segs.length) (fa.segs, fb.segs) else (fb.segs, fa.segs)
+      val nSmall = small.length / 4
+      if (nSmall > 8) {
+        val envs = new Array[Env](nSmall)
+        var i = 0
+        while (i < nSmall) {
+          val o = i * 4
+          envs(i) = Env(math.min(small(o), small(o + 2)), math.min(small(o + 1), small(o + 3)),
+            math.max(small(o), small(o + 2)), math.max(small(o + 1), small(o + 3)))
+          i += 1
+        }
+        val tree = RTree.bulkLoad(envs)
+        var j = 0
+        while (j < large.length) {
+          val e = Env(math.min(large(j), large(j + 2)), math.min(large(j + 1), large(j + 3)),
+            math.max(large(j), large(j + 2)), math.max(large(j + 1), large(j + 3)))
+          var hit = false
+          tree.rangeSearch(e) { i =>
+            val o = i * 4
+            if (Alg.segmentsIntersect(small(o), small(o + 1), small(o + 2), small(o + 3),
+              large(j), large(j + 1), large(j + 2), large(j + 3))) { hit = true; false }
+            else true
+          }
+          if (hit) return true
+          j += 4
+        }
+      } else {
+        var i = 0
+        while (i < small.length) {
+          var j = 0
+          while (j < large.length) {
+            if (Alg.segmentsIntersect(small(i), small(i + 1), small(i + 2), small(i + 3),
+              large(j), large(j + 1), large(j + 2), large(j + 3))) return true
+            j += 4
+          }
+          i += 4
+        }
+      }
+    }
+
+    // containment without boundary contact: representative vertex of each
+    // lineal/areal part of A inside B's areal parts, and vice versa
+    if (fb.polys.nonEmpty) {
+      var i = 0
+      while (i < fa.lineStarts.length) {
+        if (locInPolys(fb.polys, fa.lineStarts(i), fa.lineStarts(i + 1)) >= 0) return true
+        i += 2
+      }
+    }
+    if (fa.polys.nonEmpty) {
+      var i = 0
+      while (i < fb.lineStarts.length) {
+        if (locInPolys(fa.polys, fb.lineStarts(i), fb.lineStarts(i + 1)) >= 0) return true
+        i += 2
+      }
+    }
+    false
+  }
+
+  private def locInPolys(polys: Array[GPoly], x: Double, y: Double): Int = {
+    var best = -1
+    var i = 0
+    while (i < polys.length && best != 1) {
+      val l = Alg.pointInPolygon(polys(i), x, y)
+      if (l > best) best = l
+      i += 1
+    }
+    best
+  }
+
+  private def anyPointTouches(pts: Array[Double], other: Flat): Boolean = {
+    var i = 0
+    while (i < pts.length) {
+      val x = pts(i); val y = pts(i + 1)
+      if (locInPolys(other.polys, x, y) >= 0) return true
+      var j = 0
+      while (j < other.segs.length) {
+        if (Alg.onSegment(other.segs(j), other.segs(j + 1), other.segs(j + 2), other.segs(j + 3), x, y))
+          return true
+        j += 4
+      }
+      var k = 0
+      while (k < other.pts.length) {
+        if (other.pts(k) == x && other.pts(k + 1) == y) return true
+        k += 2
+      }
+      i += 2
+    }
+    false
+  }
+
+  // ------------------------------------------------------------ distance
+
+  /** Min Euclidean distance between geometries; None if either empty
+    * (reference: geom/alg_distance.go:13-101).
+    */
+  def distance(a: Geom, b: Geom): Option[Double] = {
+    if (a.isEmpty || b.isEmpty) return None
+    if (intersects(a, b)) return Some(0.0)
+    val fa = flatten(a)
+    val fb = flatten(b)
+    // items: points and segments; index the larger side
+    val na = fa.pts.length / 2 + fa.segs.length / 4
+    val nb = fb.pts.length / 2 + fb.segs.length / 4
+    val (probe, build) = if (na <= nb) (fa, fb) else (fb, fa)
+
+    val nPts = build.pts.length / 2
+    val nSegs = build.segs.length / 4
+    val envs = new Array[Env](nPts + nSegs)
+    var i = 0
+    while (i < nPts) { envs(i) = Env.ofPt(build.pts(2 * i), build.pts(2 * i + 1)); i += 1 }
+    i = 0
+    while (i < nSegs) {
+      val o = i * 4
+      envs(nPts + i) = Env(
+        math.min(build.segs(o), build.segs(o + 2)), math.min(build.segs(o + 1), build.segs(o + 3)),
+        math.max(build.segs(o), build.segs(o + 2)), math.max(build.segs(o + 1), build.segs(o + 3)))
+      i += 1
+    }
+    val tree = RTree.bulkLoad(envs)
+    var best = Double.PositiveInfinity
+
+    def itemDist(rid: Int, px: Double, py: Double, isSeg: Boolean,
+                 qx2: Double, qy2: Double): Double = {
+      if (rid < nPts) {
+        val bx = build.pts(2 * rid); val by = build.pts(2 * rid + 1)
+        if (isSeg) Alg.distPointSeg(bx, by, px, py, qx2, qy2)
+        else Alg.distPointPoint(px, py, bx, by)
+      } else {
+        val o = (rid - nPts) * 4
+        if (isSeg)
+          Alg.distSegSeg(px, py, qx2, qy2,
+            build.segs(o), build.segs(o + 1), build.segs(o + 2), build.segs(o + 3))
+        else
+          Alg.distPointSeg(px, py,
+            build.segs(o), build.segs(o + 1), build.segs(o + 2), build.segs(o + 3))
+      }
+    }
+
+    // probe points
+    i = 0
+    while (i < probe.pts.length) {
+      val px = probe.pts(i); val py = probe.pts(i + 1)
+      tree.prioritySearch(Env.ofPt(px, py)) { (rid, d2) =>
+        if (math.sqrt(d2) >= best) false
+        else {
+          val d = itemDist(rid, px, py, isSeg = false, 0, 0)
+          if (d < best) best = d
+          true
+        }
+      }
+      i += 2
+    }
+    // probe segments
+    i = 0
+    while (i < probe.segs.length) {
+      val x1 = probe.segs(i); val y1 = probe.segs(i + 1)
+      val x2 = probe.segs(i + 2); val y2 = probe.segs(i + 3)
+      val e = Env(math.min(x1, x2), math.min(y1, y2), math.max(x1, x2), math.max(y1, y2))
+      tree.prioritySearch(e) { (rid, d2) =>
+        if (math.sqrt(d2) >= best) false
+        else {
+          val d = itemDist(rid, x1, y1, isSeg = true, x2, y2)
+          if (d < best) best = d
+          true
+        }
+      }
+      i += 4
+    }
+    Some(best)
+  }
+}

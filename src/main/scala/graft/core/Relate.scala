@@ -1,0 +1,542 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** DE-9IM relate engine.
+  *
+  * Semantics follow the reference (geom/alg_relate.go:25-232,
+  * geom/de9im.go:18-121): a 3×3 matrix of dimensions of intersections
+  * between Interior/Boundary/Exterior of two geometries, serialized
+  * row-major as 9 chars over {F,0,1,2}, and named predicates defined as
+  * pattern matches over that matrix.
+  *
+  * The computation strategy is original: boundaries are noded against
+  * each other, and each resulting piece's midpoint is classified
+  * against the other geometry (inside / on-boundary / outside); for
+  * pieces lying ON the other boundary, local interior sides are
+  * compared. The line boundary uses the mod-2 rule
+  * (reference: geom/type_multi_line_string.go:221-258).
+  *
+  * Supported inputs are homogeneous-dimension geometries (puntal,
+  * lineal, areal, incl. Multi* and homogeneous collections); mixed
+  * GeometryCollections throw (same practical scope as relate usage in
+  * the reference's test corpus for non-GC inputs).
+  */
+object Relate {
+
+  // ------------------------------------------------------------ matrix
+
+  /** matrix char positions: II IB IE BI BB BE EI EB EE */
+  final val II = 0; final val IB = 1; final val IE = 2
+  final val BI = 3; final val BB = 4; final val BE = 5
+  final val EI = 6; final val EB = 7; final val EE = 8
+
+  def transpose(m: String): String = {
+    val c = m.toCharArray
+    new String(Array(c(II), c(BI), c(EI), c(IB), c(BB), c(EB), c(IE), c(BE), c(EE)))
+  }
+
+  /** DE-9IM pattern match with T, F, star, 0, 1, 2 wildcards
+    * (reference: geom/de9im.go:83-121).
+    */
+  def matches(matrix: String, pattern: String): Boolean = {
+    require(matrix.length == 9 && pattern.length == 9, "de9im strings must be 9 chars")
+    var i = 0
+    while (i < 9) {
+      val m = matrix.charAt(i)
+      pattern.charAt(i) match {
+        case '*' =>
+        case 'T' => if (m == 'F') return false
+        case 'F' => if (m != 'F') return false
+        case d   => if (m != d) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  // ---------------------------------------------------------- decompose
+
+  /** Homogeneous decomposition of a geometry. */
+  private final case class Parts(
+      pts: Array[Double],       // xy pairs of non-empty points
+      lines: Array[Seqn],       // non-empty linestrings
+      polys: Array[GPoly],      // non-empty polygons
+      dim: Int) {               // -1 empty, 0 puntal, 1 lineal, 2 areal
+    def isEmpty: Boolean = dim == -1
+  }
+
+  private def decompose(g: Geom): Parts = {
+    val pts = new mutable.ArrayBuilder.ofDouble
+    val lines = mutable.ArrayBuffer.empty[Seqn]
+    val polys = mutable.ArrayBuffer.empty[GPoly]
+    def walk(g: Geom): Unit = g match {
+      case p: GPoint => if (!p.isEmpty) { pts += p.x; pts += p.y }
+      case GLine(s) => if (!s.isEmpty) lines += s
+      case GPoly(rs, ct) => if (rs.nonEmpty) polys += GPoly(rs, ct)
+      case GMPoint(ps, _) => ps.foreach(walk)
+      case GMLine(ls, ct) => ls.foreach(s => walk(GLine(s)))
+      case GMPoly(ps, ct) => ps.foreach(rs => walk(GPoly(rs, ct)))
+      case GColl(gs, _) => gs.foreach(walk)
+    }
+    walk(g)
+    val p = pts.result()
+    val dims = mutable.Set.empty[Int]
+    if (p.nonEmpty) dims += 0
+    if (lines.nonEmpty) dims += 1
+    if (polys.nonEmpty) dims += 2
+    if (dims.size > 1)
+      throw new UnsupportedOperationException(
+        "relate over mixed-dimension GeometryCollection is not supported")
+    Parts(p, lines.toArray, polys.toArray, if (dims.isEmpty) -1 else dims.head)
+  }
+
+  /** Odd-degree endpoints of the lineal component (mod-2 rule). */
+  private def lineBoundary(lines: Array[Seqn]): mutable.HashSet[(Double, Double)] = {
+    val counts = mutable.HashMap.empty[(Double, Double), Int]
+    for (s <- lines if s.n >= 2) {
+      val a = (s.x(0), s.y(0))
+      val b = (s.x(s.n - 1), s.y(s.n - 1))
+      if (a != b) { // closed lines have empty boundary
+        counts(a) = counts.getOrElse(a, 0) + 1
+        counts(b) = counts.getOrElse(b, 0) + 1
+      }
+    }
+    val out = mutable.HashSet.empty[(Double, Double)]
+    for ((k, v) <- counts if v % 2 == 1) out += k
+    out
+  }
+
+  // ------------------------------------------------------------ pieces
+
+  /** A noded sub-segment of a boundary/line. */
+  private final case class Piece(
+      x1: Double, y1: Double, x2: Double, y2: Double,
+      interiorLeft: Boolean) { // for ring pieces: polygon interior left of 1->2?
+    def mx: Double = (x1 + x2) / 2
+    def my: Double = (y1 + y2) / 2
+  }
+
+  private final case class Seg(x1: Double, y1: Double, x2: Double, y2: Double)
+
+  private def lineSegs(lines: Array[Seqn]): Array[Seg] = {
+    val out = mutable.ArrayBuffer.empty[Seg]
+    for (s <- lines) {
+      var i = 0
+      while (i < s.n - 1) {
+        if (s.x(i) != s.x(i + 1) || s.y(i) != s.y(i + 1))
+          out += Seg(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1))
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  private def ringSegsWithSide(polys: Array[GPoly]): Array[(Seg, Boolean)] = {
+    val out = mutable.ArrayBuffer.empty[(Seg, Boolean)]
+    for (p <- polys; k <- p.rings.indices) {
+      val r = p.rings(k)
+      val ccw = Alg.signedRingArea(r) > 0
+      val interiorLeft = (k == 0) == ccw
+      var i = 0
+      while (i < r.n - 1) {
+        if (r.x(i) != r.x(i + 1) || r.y(i) != r.y(i + 1))
+          out += ((Seg(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1)), interiorLeft))
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Node source segments against cutter segments; returns pieces and
+    * accumulates contact points (where source touches a cutter).
+    */
+  private def nodePieces(src: Array[(Seg, Boolean)], cutters: Array[Seg],
+                         contacts: mutable.HashSet[(Double, Double)]): Array[Piece] = {
+    val out = mutable.ArrayBuffer.empty[Piece]
+    // simple envelope grid prefilter via RTree when cutter count is large
+    val tree =
+      if (cutters.length > 16)
+        RTree.bulkLoad(cutters.map(s => Env(
+          math.min(s.x1, s.x2), math.min(s.y1, s.y2),
+          math.max(s.x1, s.x2), math.max(s.y1, s.y2))))
+      else null
+    for ((a, interiorLeft) <- src) {
+      val ts = mutable.ArrayBuffer[Double](0.0, 1.0)
+      val ax = a.x2 - a.x1; val ay = a.y2 - a.y1
+      val alen2 = ax * ax + ay * ay
+      def tOf(px: Double, py: Double): Double =
+        ((px - a.x1) * ax + (py - a.y1) * ay) / alen2
+      def handleCutter(b: Seg): Unit = {
+        if (Alg.segmentsIntersect(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1, b.x2, b.y2)) {
+          val collinear =
+            Alg.orient(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1) == 0 &&
+              Alg.orient(a.x1, a.y1, a.x2, a.y2, b.x2, b.y2) == 0
+          if (collinear) {
+            val t1 = tOf(b.x1, b.y1); val t2 = tOf(b.x2, b.y2)
+            for (t <- Seq(t1, t2) if t > 0 && t < 1) ts += t
+            for ((t, px, py) <- Seq((t1, b.x1, b.y1), (t2, b.x2, b.y2)))
+              if (t >= 0 && t <= 1) contacts += ((px, py))
+          } else if (Alg.segmentsCross(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1, b.x2, b.y2)) {
+            val (px, py) = Alg.crossingPoint(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1, b.x2, b.y2)
+            val t = tOf(px, py)
+            if (t > 0 && t < 1) ts += t
+            contacts += ((px, py))
+          } else {
+            // endpoint touch: one of the four endpoints lies on the other seg
+            if (Alg.onSegment(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1)) {
+              val t = tOf(b.x1, b.y1); if (t > 0 && t < 1) ts += t
+              contacts += ((b.x1, b.y1))
+            }
+            if (Alg.onSegment(a.x1, a.y1, a.x2, a.y2, b.x2, b.y2)) {
+              val t = tOf(b.x2, b.y2); if (t > 0 && t < 1) ts += t
+              contacts += ((b.x2, b.y2))
+            }
+            if (Alg.onSegment(b.x1, b.y1, b.x2, b.y2, a.x1, a.y1)) contacts += ((a.x1, a.y1))
+            if (Alg.onSegment(b.x1, b.y1, b.x2, b.y2, a.x2, a.y2)) contacts += ((a.x2, a.y2))
+          }
+        }
+      }
+      if (tree != null) {
+        val e = Env(math.min(a.x1, a.x2), math.min(a.y1, a.y2),
+          math.max(a.x1, a.x2), math.max(a.y1, a.y2))
+        tree.rangeSearch(e) { i => handleCutter(cutters(i)); true }
+      } else {
+        var i = 0
+        while (i < cutters.length) { handleCutter(cutters(i)); i += 1 }
+      }
+      val sorted = ts.distinct.sorted
+      var i = 0
+      while (i < sorted.length - 1) {
+        val t1 = sorted(i); val t2 = sorted(i + 1)
+        val x1 = a.x1 + t1 * ax; val y1 = a.y1 + t1 * ay
+        val x2 = a.x1 + t2 * ax; val y2 = a.y1 + t2 * ay
+        if (x1 != x2 || y1 != y2) out += Piece(x1, y1, x2, y2, interiorLeft)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  private def onAnySeg(segs: Array[Seg], px: Double, py: Double): Boolean = {
+    var i = 0
+    while (i < segs.length) {
+      val s = segs(i)
+      if (Alg.onSegment(s.x1, s.y1, s.x2, s.y2, px, py)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Interior side of areal geometry at a boundary point (mx,my) wrt
+    * direction (dx,dy): +1 left, -1 right, 0 not found / ambiguous.
+    */
+  private def interiorSideAt(ringSegs: Array[(Seg, Boolean)],
+                             mx: Double, my: Double, dx: Double, dy: Double): Int = {
+    var i = 0
+    while (i < ringSegs.length) {
+      val (s, interiorLeft) = ringSegs(i)
+      if (Alg.onSegment(s.x1, s.y1, s.x2, s.y2, mx, my)) {
+        val sx = s.x2 - s.x1; val sy = s.y2 - s.y1
+        val cross = sx * dy - sy * dx
+        if (cross == 0) { // collinear with piece
+          val aligned = sx * dx + sy * dy > 0
+          val left = if (aligned) interiorLeft else !interiorLeft
+          return if (left) 1 else -1
+        }
+      }
+      i += 1
+    }
+    0
+  }
+
+  // --------------------------------------------------------- relate API
+
+  def relate(a: Geom, b: Geom): String = {
+    val pa = decompose(a)
+    val pb = decompose(b)
+    if (pa.isEmpty || pb.isEmpty) return relateEmpty(pa, pb)
+    if (pa.dim > pb.dim) return transpose(relateParts(pb, pa))
+    relateParts(pa, pb)
+  }
+
+  /** Empty-input fast path (reference: geom/alg_relate.go:33-63). */
+  private def relateEmpty(pa: Parts, pb: Parts): String = {
+    val m = Array.fill(9)('F')
+    m(EE) = '2'
+    if (!pa.isEmpty) {
+      m(IE) = interiorDimChar(pa)
+      m(BE) = boundaryDimChar(pa)
+    }
+    if (!pb.isEmpty) {
+      m(EI) = interiorDimChar(pb)
+      m(EB) = boundaryDimChar(pb)
+    }
+    new String(m)
+  }
+
+  private def interiorDimChar(p: Parts): Char = p.dim match {
+    case 0 => '0'; case 1 => '1'; case 2 => '2'; case _ => 'F'
+  }
+
+  private def boundaryDimChar(p: Parts): Char = p.dim match {
+    case 1 => if (lineBoundary(p.lines).nonEmpty) '0' else 'F'
+    case 2 => '1'
+    case _ => 'F'
+  }
+
+  private def relateParts(pa: Parts, pb: Parts): String = (pa.dim, pb.dim) match {
+    case (0, 0) => relatePP(pa, pb)
+    case (0, 1) => relatePL(pa, pb)
+    case (0, 2) => relatePA(pa, pb)
+    case (1, 1) => relateLL(pa, pb)
+    case (1, 2) => relateLA(pa, pb)
+    case (2, 2) => relateAA(pa, pb)
+    case other => throw new IllegalStateException(s"unexpected dim pair $other")
+  }
+
+  private def ptSet(p: Parts): mutable.HashSet[(Double, Double)] = {
+    val s = mutable.HashSet.empty[(Double, Double)]
+    var i = 0
+    while (i < p.pts.length) { s += ((p.pts(i), p.pts(i + 1))); i += 2 }
+    s
+  }
+
+  private def relatePP(pa: Parts, pb: Parts): String = {
+    val sa = ptSet(pa); val sb = ptSet(pb)
+    val m = Array.fill(9)('F')
+    m(EE) = '2'
+    if (sa.exists(sb.contains)) m(II) = '0'
+    if (sa.exists(p => !sb.contains(p))) m(IE) = '0'
+    if (sb.exists(p => !sa.contains(p))) m(EI) = '0'
+    new String(m)
+  }
+
+  private def relatePL(pa: Parts, pb: Parts): String = {
+    val sa = ptSet(pa)
+    val segsB = lineSegs(pb.lines)
+    val bndB = lineBoundary(pb.lines)
+    val m = Array.fill(9)('F')
+    m(EE) = '2'
+    m(EI) = '1' // a finite point set can't cover a 1-D interior
+    var anyOff = false
+    for (p <- sa) {
+      if (bndB.contains(p)) m(IB) = '0'
+      else if (onAnySeg(segsB, p._1, p._2)) m(II) = '0'
+      else anyOff = true
+    }
+    if (anyOff) m(IE) = '0'
+    if (bndB.exists(p => !sa.contains(p))) m(EB) = '0'
+    new String(m)
+  }
+
+  private def relatePA(pa: Parts, pb: Parts): String = {
+    val sa = ptSet(pa)
+    val m = Array.fill(9)('F')
+    m(EE) = '2'; m(EI) = '2'; m(EB) = '1'
+    var anyOff = false
+    for (p <- sa) {
+      var loc = -1
+      var i = 0
+      while (i < pb.polys.length && loc != 1) {
+        val l = Alg.pointInPolygon(pb.polys(i), p._1, p._2)
+        if (l > loc) loc = l
+        i += 1
+      }
+      if (loc == 1) m(II) = '0'
+      else if (loc == 0) m(IB) = '0'
+      else anyOff = true
+    }
+    if (anyOff) m(IE) = '0'
+    new String(m)
+  }
+
+  private def relateLL(pa: Parts, pb: Parts): String = {
+    val segsA = lineSegs(pa.lines)
+    val segsB = lineSegs(pb.lines)
+    val bndA = lineBoundary(pa.lines)
+    val bndB = lineBoundary(pb.lines)
+    val contacts = mutable.HashSet.empty[(Double, Double)]
+    val piecesA = nodePieces(segsA.map((_, false)), segsB, contacts)
+    val piecesB = nodePieces(segsB.map((_, false)), segsA, contacts)
+    val m = Array.fill(9)('F')
+    m(EE) = '2'
+
+    var aOn = false; var aOff = false
+    for (p <- piecesA) {
+      if (onAnySeg(segsB, p.mx, p.my)) aOn = true else aOff = true
+    }
+    var bOn = false; var bOff = false
+    for (p <- piecesB) {
+      if (onAnySeg(segsA, p.mx, p.my)) bOn = true else bOff = true
+    }
+    if (aOn) m(II) = '1'
+    if (aOff) m(IE) = '1'
+    if (bOff) m(EI) = '1'
+    // contact points: classify into I/B of each side
+    for (c <- contacts) {
+      val aB = bndA.contains(c); val bB = bndB.contains(c)
+      if (!aB && !bB) { if (m(II) == 'F') m(II) = '0' }
+      else if (!aB && bB) { if (m(IB) == 'F') m(IB) = '0' }
+      else if (aB && !bB) { if (m(BI) == 'F') m(BI) = '0' }
+      else m(BB) = '0'
+    }
+    if (bndA.exists(p => !onAnySeg(segsB, p._1, p._2))) m(BE) = '0'
+    if (bndB.exists(p => !onAnySeg(segsA, p._1, p._2))) m(EB) = '0'
+    new String(m)
+  }
+
+  private def relateLA(pa: Parts, pb: Parts): String = {
+    val segsA = lineSegs(pa.lines)
+    val bndA = lineBoundary(pa.lines)
+    val ringsB = ringSegsWithSide(pb.polys)
+    val ringSegsB = ringsB.map(_._1)
+    val contacts = mutable.HashSet.empty[(Double, Double)]
+    val piecesA = nodePieces(segsA.map((_, false)), ringSegsB, contacts)
+    val piecesB = nodePieces(ringsB, segsA, contacts)
+    val m = Array.fill(9)('F')
+    m(EE) = '2'; m(EI) = '2'
+
+    def locB(x: Double, y: Double): Int = {
+      var best = -1
+      var i = 0
+      while (i < pb.polys.length && best != 1) {
+        val l = Alg.pointInPolygon(pb.polys(i), x, y)
+        if (l > best) best = l
+        i += 1
+      }
+      best
+    }
+
+    var anyOnBoundary = false
+    for (p <- piecesA) {
+      locB(p.mx, p.my) match {
+        case 1  => m(II) = '1'
+        case 0  => m(IB) = '1'; anyOnBoundary = true
+        case -1 => m(IE) = '1'
+      }
+    }
+    // isolated interior-of-A touches with B's boundary
+    for (c <- contacts if !bndA.contains(c)) {
+      if (m(IB) == 'F') m(IB) = '0'
+    }
+    for (p <- bndA) {
+      locB(p._1, p._2) match {
+        case 1  => m(BI) = '0'
+        case 0  => m(BB) = '0'
+        case -1 => m(BE) = '0'
+      }
+    }
+    // does A cover any/all of B's boundary?
+    var ringOff = false
+    for (p <- piecesB) {
+      if (!onAnySeg(segsA, p.mx, p.my)) ringOff = true
+    }
+    if (ringOff) m(EB) = '1'
+    new String(m)
+  }
+
+  private def relateAA(pa: Parts, pb: Parts): String = {
+    val ringsA = ringSegsWithSide(pa.polys)
+    val ringsB = ringSegsWithSide(pb.polys)
+    val segsA = ringsA.map(_._1)
+    val segsB = ringsB.map(_._1)
+    val contacts = mutable.HashSet.empty[(Double, Double)]
+    val piecesA = nodePieces(ringsA, segsB, contacts)
+    val piecesB = nodePieces(ringsB, segsA, contacts)
+
+    def locIn(polys: Array[GPoly], x: Double, y: Double): Int = {
+      var best = -1
+      var i = 0
+      while (i < polys.length && best != 1) {
+        val l = Alg.pointInPolygon(polys(i), x, y)
+        if (l > best) best = l
+        i += 1
+      }
+      best
+    }
+
+    var aIn = false; var aOn = false; var aOut = false
+    var onSameSide = false; var onOppSide = false
+    for (p <- piecesA) {
+      locIn(pb.polys, p.mx, p.my) match {
+        case 1 => aIn = true
+        case -1 => aOut = true
+        case 0 =>
+          aOn = true
+          val dx = p.x2 - p.x1; val dy = p.y2 - p.y1
+          val sideA = if (p.interiorLeft) 1 else -1
+          val sideB = interiorSideAt(ringsB, p.mx, p.my, dx, dy)
+          if (sideB != 0) {
+            if (sideA == sideB) onSameSide = true else onOppSide = true
+          }
+      }
+    }
+    var bIn = false; var bOut = false
+    for (p <- piecesB) {
+      locIn(pa.polys, p.mx, p.my) match {
+        case 1 => bIn = true
+        case -1 => bOut = true
+        case 0 =>
+      }
+    }
+
+    val m = Array.fill(9)('F')
+    m(EE) = '2'
+    // interiors
+    if (aIn || bIn || onSameSide) m(II) = '2'
+    if (aOut || onOppSide || bIn) m(IE) = '2'
+    if (bOut || onOppSide || aIn) m(EI) = '2'
+    // A boundary vs B
+    if (aIn) m(BI) = '1'
+    if (aOn) m(BB) = '1' else if (contacts.nonEmpty) m(BB) = '0'
+    if (aOut) m(BE) = '1'
+    // B boundary vs A
+    if (bIn) m(IB) = '1'
+    if (bOut) m(EB) = '1'
+    new String(m)
+  }
+
+  // ------------------------------------------------- named predicates
+
+  /** (reference: geom/alg_relate.go:102-232) */
+  def equalsTopo(a: Geom, b: Geom): Boolean = {
+    if (a.isEmpty && b.isEmpty) return true
+    if (a.isEmpty != b.isEmpty) return false
+    matches(relate(a, b), "T*F**FFF*")
+  }
+  def disjoint(a: Geom, b: Geom): Boolean = matches(relate(a, b), "FF*FF****")
+  def intersects(a: Geom, b: Geom): Boolean = Intersects.intersects(a, b)
+  def touches(a: Geom, b: Geom): Boolean = {
+    val m = relate(a, b)
+    matches(m, "FT*******") || matches(m, "F**T*****") || matches(m, "F***T****")
+  }
+  def contains(a: Geom, b: Geom): Boolean = matches(relate(a, b), "T*****FF*")
+  def within(a: Geom, b: Geom): Boolean = matches(relate(a, b), "T*F**F***")
+  def covers(a: Geom, b: Geom): Boolean = {
+    val m = relate(a, b)
+    matches(m, "T*****FF*") || matches(m, "*T****FF*") ||
+      matches(m, "***T**FF*") || matches(m, "****T*FF*")
+  }
+  def coveredBy(a: Geom, b: Geom): Boolean = {
+    val m = relate(a, b)
+    matches(m, "T*F**F***") || matches(m, "*TF**F***") ||
+      matches(m, "**FT*F***") || matches(m, "**F*TF***")
+  }
+  def crosses(a: Geom, b: Geom): Boolean = {
+    val da = a.dimension; val db = b.dimension
+    val m = relate(a, b)
+    if (da < db) matches(m, "T*T******")
+    else if (da > db) matches(m, "T*****T**")
+    else if (da == 1 && db == 1) matches(m, "0********")
+    else false
+  }
+  def overlaps(a: Geom, b: Geom): Boolean = {
+    val da = a.dimension; val db = b.dimension
+    val m = relate(a, b)
+    if (da == 0 && db == 0) matches(m, "T*T***T**")
+    else if (da == 2 && db == 2) matches(m, "T*T***T**")
+    else if (da == 1 && db == 1) matches(m, "1*T***T**")
+    else false
+  }
+}

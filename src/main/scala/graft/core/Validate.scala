@@ -1,0 +1,265 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Validation rules (reference: geom/type_line_string.go:31-57,
+  * geom/type_polygon.go:42-166, geom/type_multi_polygon.go:49-176,
+  * geom/errors.go:84-94, geom/graph.go:29-60). Returns None when valid,
+  * otherwise a reason string in the spirit of the reference's violation
+  * constants.
+  */
+object Validate {
+
+  def reason(g: Geom): Option[String] = {
+    val bad = checkFinite(g)
+    if (bad.isDefined) return bad
+    g match {
+      case _: GPoint => None
+      case GLine(s) => lineReason(s)
+      case GPoly(rs, ct) => if (rs.isEmpty) None else polyReason(rs)
+      case GMPoint(_, _) => None
+      case GMLine(ls, _) => ls.flatMap(s => lineReason(s)).headOption
+      case GMPoly(ps, ct) => multiPolyReason(ps, ct)
+      case GColl(gs, _) => gs.flatMap(reason).headOption
+    }
+  }
+
+  def isValid(g: Geom): Boolean = reason(g).isEmpty
+
+  private def checkFinite(g: Geom): Option[String] = {
+    var bad = false
+    Geom.transformSeq(g, s => {
+      var i = 0
+      while (i < s.floats.length && !bad) {
+        val v = s.floats(i)
+        if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) bad = true
+        i += 1
+      }
+      s
+    })
+    if (bad) Some("coordinates must not contain NaN or Inf") else None
+  }
+
+  /** LineString must have at least 2 distinct points
+    * (reference: geom/type_line_string.go:31-57).
+    */
+  private def lineReason(s: Seqn): Option[String] = {
+    if (s.isEmpty) return None
+    var distinct = false
+    var i = 1
+    while (i < s.n && !distinct) {
+      if (s.x(i) != s.x(0) || s.y(i) != s.y(0)) distinct = true
+      i += 1
+    }
+    if (!distinct) Some("non-empty LineString must contain at least 2 distinct points")
+    else None
+  }
+
+  private def ringReason(r: Seqn): Option[String] = {
+    lineReason(r).foreach(rr => return Some(rr))
+    if (r.n < 4) return Some("ring must have at least 4 points")
+    if (r.x(0) != r.x(r.n - 1) || r.y(0) != r.y(r.n - 1))
+      return Some("ring must be closed")
+    if (!ringIsSimple(r)) return Some("ring must not self-intersect")
+    None
+  }
+
+  /** Ring simplicity: only adjacent segments may touch, and only at the
+    * shared endpoint; first/last segments close the ring
+    * (reference: geom/type_polygon.go:152-166 validateRing).
+    */
+  private def ringIsSimple(r: Seqn): Boolean = {
+    val n = r.n - 1 // number of segments
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val adjacent = j == i + 1 || (i == 0 && j == n - 1)
+        val hit = Alg.segmentsIntersect(
+          r.x(i), r.y(i), r.x(i + 1), r.y(i + 1),
+          r.x(j), r.y(j), r.x(j + 1), r.y(j + 1))
+        if (hit) {
+          if (!adjacent) return false
+          // adjacent: must touch exactly at the shared endpoint
+          val (sx, sy) = if (j == i + 1) (r.x(j), r.y(j)) else (r.x(0), r.y(0))
+          // a shared point is fine; any overlap (collinear spike) is not
+          val collinear =
+            Alg.orient(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1), r.x(j), r.y(j)) == 0 &&
+              Alg.orient(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1), r.x(j + 1), r.y(j + 1)) == 0
+          if (collinear) {
+            // spikes fold back: the non-shared endpoint of one segment
+            // must not lie on the other segment
+            val backJ = Alg.onSegment(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1),
+              r.x(if (j == i + 1) j + 1 else j), r.y(if (j == i + 1) j + 1 else j))
+            val backI = Alg.onSegment(r.x(j), r.y(j), r.x(j + 1), r.y(j + 1),
+              r.x(if (j == i + 1) i else i + 1), r.y(if (j == i + 1) i else i + 1))
+            if (backJ || backI) return false
+          }
+          val _ = (sx, sy)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Polygon rules (reference: geom/type_polygon.go:42-150): rings
+    * valid/closed/simple; ring pairs intersect in at most one point;
+    * holes inside shell; interior connected (ring-touch graph acyclic,
+    * geom/graph.go:29-60).
+    */
+  private def polyReason(rings: Array[Seqn]): Option[String] = {
+    for (r <- rings) ringReason(r).foreach(x => return Some(x))
+    val shell = rings(0)
+    val shellPoly = GPoly(Array(shell), CT.XY)
+    // ring-pair constraints + touch graph
+    val touchEdges = mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < rings.length) {
+      var j = i + 1
+      while (j < rings.length) {
+        ringPairTouch(rings(i), rings(j)) match {
+          case RingPair.Crosses => return Some("polygon rings must not intersect at more than one point")
+          case RingPair.TouchAt(_) => touchEdges += ((i, j))
+          case RingPair.NoTouch =>
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // holes inside shell
+    i = 1
+    while (i < rings.length) {
+      val h = rings(i)
+      var inside = false
+      var k = 0
+      while (k < h.n - 1 && !inside) {
+        val loc = Alg.pointInPolygon(shellPoly, h.x(k), h.y(k))
+        if (loc == 1) inside = true
+        else if (loc == -1) return Some("polygon interior ring must be inside exterior ring")
+        k += 1
+      }
+      // all points on shell boundary would also be a multi-touch, caught above
+      i += 1
+    }
+    // connectivity: touch graph over rings must be acyclic
+    if (hasCycle(rings.length, touchEdges.toSeq)) Some("polygon interior must be connected")
+    else None
+  }
+
+  private object RingPair extends Enumeration {
+    sealed trait Result
+    case object NoTouch extends Result
+    case object Crosses extends Result
+    final case class TouchAt(pt: (Double, Double)) extends Result
+  }
+
+  /** Classify the intersection of two rings: no contact, a single touch
+    * point, or anything larger (crossing / multi-touch / overlap).
+    */
+  private def ringPairTouch(a: Seqn, b: Seqn): RingPair.Result = {
+    if (!a.envelope.intersects(b.envelope)) return RingPair.NoTouch
+    var touch: Option[(Double, Double)] = None
+    var i = 0
+    while (i < a.n - 1) {
+      var j = 0
+      while (j < b.n - 1) {
+        if (Alg.segmentsIntersect(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1),
+          b.x(j), b.y(j), b.x(j + 1), b.y(j + 1))) {
+          if (Alg.segmentsCross(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1),
+            b.x(j), b.y(j), b.x(j + 1), b.y(j + 1))) return RingPair.Crosses
+          // collinear overlap of positive length?
+          val col =
+            Alg.orient(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1), b.x(j), b.y(j)) == 0 &&
+              Alg.orient(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1), b.x(j + 1), b.y(j + 1)) == 0
+          if (col) {
+            // overlap length > 0 iff the segment intervals overlap in more
+            // than a point
+            val pts = mutable.ArrayBuffer.empty[(Double, Double)]
+            if (Alg.onSegment(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1), b.x(j), b.y(j)))
+              pts += ((b.x(j), b.y(j)))
+            if (Alg.onSegment(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1), b.x(j + 1), b.y(j + 1)))
+              pts += ((b.x(j + 1), b.y(j + 1)))
+            if (Alg.onSegment(b.x(j), b.y(j), b.x(j + 1), b.y(j + 1), a.x(i), a.y(i)))
+              pts += ((a.x(i), a.y(i)))
+            if (Alg.onSegment(b.x(j), b.y(j), b.x(j + 1), b.y(j + 1), a.x(i + 1), a.y(i + 1)))
+              pts += ((a.x(i + 1), a.y(i + 1)))
+            if (pts.distinct.length > 1) return RingPair.Crosses
+            pts.headOption.foreach { p =>
+              touch match {
+                case Some(t) if t != p => return RingPair.Crosses
+                case _ => touch = Some(p)
+              }
+            }
+          } else {
+            // endpoint touch: find the touch point
+            val cand = mutable.ArrayBuffer.empty[(Double, Double)]
+            if (Alg.onSegment(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1), b.x(j), b.y(j)))
+              cand += ((b.x(j), b.y(j)))
+            if (Alg.onSegment(a.x(i), a.y(i), a.x(i + 1), a.y(i + 1), b.x(j + 1), b.y(j + 1)))
+              cand += ((b.x(j + 1), b.y(j + 1)))
+            if (Alg.onSegment(b.x(j), b.y(j), b.x(j + 1), b.y(j + 1), a.x(i), a.y(i)))
+              cand += ((a.x(i), a.y(i)))
+            if (Alg.onSegment(b.x(j), b.y(j), b.x(j + 1), b.y(j + 1), a.x(i + 1), a.y(i + 1)))
+              cand += ((a.x(i + 1), a.y(i + 1)))
+            for (p <- cand.distinct) {
+              touch match {
+                case Some(t) if t != p => return RingPair.Crosses
+                case _ => touch = Some(p)
+              }
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    touch match {
+      case Some(p) => RingPair.TouchAt(p)
+      case None => RingPair.NoTouch
+    }
+  }
+
+  private def hasCycle(n: Int, edges: Seq[(Int, Int)]): Boolean = {
+    val parent = Array.range(0, n)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    for ((a, b) <- edges) {
+      val ra = find(a); val rb = find(b)
+      if (ra == rb) return true
+      parent(ra) = rb
+    }
+    false
+  }
+
+  /** MultiPolygon: children valid; child interiors disjoint; boundaries
+    * may only touch at points (reference: geom/type_multi_polygon.go:49-176).
+    */
+  private def multiPolyReason(ps: Array[Array[Seqn]], ct: Int): Option[String] = {
+    for (rs <- ps if rs.nonEmpty) polyReason(rs).foreach(r => return Some(r))
+    val polys = ps.filter(_.nonEmpty).map(rs => GPoly(rs, ct))
+    var i = 0
+    while (i < polys.length) {
+      var j = i + 1
+      while (j < polys.length) {
+        if (polys(i).envelope.intersects(polys(j).envelope)) {
+          val m = try Relate.relate(polys(i), polys(j)) catch { case _: Throwable => null }
+          if (m != null) {
+            // interiors must be disjoint and boundaries must not share 1-D parts
+            if (m.charAt(Relate.II) != 'F')
+              return Some("multipolygon child interiors must not intersect")
+            if (m.charAt(Relate.BB) == '1')
+              return Some("multipolygon children must not share boundary segments")
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    None
+  }
+}
