@@ -266,6 +266,41 @@ object Geom {
     case _ => None
   }
 
+  /** Boundary under the mod-2 rule (reference: geom/type_geometry.go:418-446;
+    * per-type: type_point.go:106 empty GC, type_line_string.go:222
+    * endpoints as MultiPoint, type_polygon.go:260 rings with the
+    * holeless-polygon LineString special case,
+    * type_multi_line_string.go:221 odd-degree endpoints).
+    */
+  def boundary(g: Geom): Geom = g match {
+    case _: GPoint | _: GMPoint => GColl(Array.empty, CT.XY)
+    case GLine(s) =>
+      if (s.isEmpty || (s.x(0) == s.x(s.n - 1) && s.y(0) == s.y(s.n - 1)))
+        GMPoint(Array.empty, CT.XY)
+      else GMPoint(Array(
+        GPoint(Array(s.x(0), s.y(0)), CT.XY),
+        GPoint(Array(s.x(s.n - 1), s.y(s.n - 1)), CT.XY)), CT.XY)
+    case GPoly(rings, _) =>
+      if (rings.isEmpty) GLine(Seqn.empty2D)
+      else if (rings.length == 1) GLine(rings(0).forceCT(CT.XY))
+      else GMLine(rings.map(_.forceCT(CT.XY)), CT.XY)
+    case GMLine(ls, _) =>
+      // mod-2 rule: endpoints appearing an odd number of times
+      val counts = scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Int]
+      for (s <- ls if s.n >= 2) {
+        val a = (s.x(0), s.y(0)); val b = (s.x(s.n - 1), s.y(s.n - 1))
+        if (a != b) {
+          counts(a) = counts.getOrElse(a, 0) + 1
+          counts(b) = counts.getOrElse(b, 0) + 1
+        }
+      }
+      GMPoint(counts.iterator.collect { case ((x, y), c) if c % 2 == 1 =>
+        GPoint(Array(x, y), CT.XY) }.toArray, CT.XY)
+    case GMPoly(ps, _) =>
+      GMLine(ps.flatten.map(_.forceCT(CT.XY)), CT.XY)
+    case GColl(gs, _) => GColl(gs.map(boundary), CT.XY)
+  }
+
   /** Strip Z/M, force 2D (reference: geom/type_geometry.go:632-658). */
   def force2D(g: Geom): Geom = forceCT(g, CT.XY)
 

@@ -1,0 +1,390 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core._
+import graft.tiling.Cell
+
+/** Catalyst expressions for the ST function surface.
+  *
+  * Geometry columns are BinaryType holding WKB — the reference's own
+  * DB-interchange representation (reference: geom/type_geometry.go:303-337
+  * stores WKB through database/sql). Expressions are CodegenFallback
+  * for now: each op is a single JVM call on byte arrays, so the
+  * codegen boundary cost is one virtual call per row.
+  *
+  * Op dispatch is keyed by a stable string so that expression equality
+  * and canonicalization work (two `GeomUnaryOp("st_area", c)` are
+  * equal) — functions never appear in constructor args.
+  */
+object GeomOps {
+
+  private def wkb(g: Geom): Array[Byte] = Wkb.write(g)
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** name -> (output type, impl). Input is the decoded geometry. */
+  val unary: Map[String, (DataType, Geom => Any)] = Map(
+    "st_area" -> (DoubleType, g => Measure.area(g)),
+    "st_length" -> (DoubleType, g => Measure.length(g)),
+    "st_dimension" -> (IntegerType, g => g.dimension),
+    "st_coorddim" -> (IntegerType, g => CT.dim(g.ct)),
+    "st_numgeometries" -> (IntegerType, g => Geom.numGeometries(g)),
+    "st_numpoints" -> (IntegerType, g => g.numPoints),
+    "st_isempty" -> (BooleanType, g => g.isEmpty),
+    "st_isvalid" -> (BooleanType, g => Validate.isValid(g)),
+    "st_isvalidreason" -> (StringType, g => utf8(Validate.reason(g).getOrElse("Valid Geometry"))),
+    "st_geometrytype" -> (StringType, g => utf8(g.typeName)),
+    "st_astext" -> (StringType, g => utf8(Wkt.write(g))),
+    "st_asgeojson" -> (StringType, g => utf8(GeoJson.write(g))),
+    "st_xmin" -> (DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.xmin }),
+    "st_ymin" -> (DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.ymin }),
+    "st_xmax" -> (DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.xmax }),
+    "st_ymax" -> (DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.ymax }),
+    "st_x" -> (DoubleType, { case p: GPoint if !p.isEmpty => p.x; case _ => null }),
+    "st_y" -> (DoubleType, { case p: GPoint if !p.isEmpty => p.y; case _ => null }),
+    "st_envelope" -> (BinaryType, g => wkb(g.envelope.toGeom)),
+    "st_boundary" -> (BinaryType, g => wkb(Geom.boundary(g))),
+    "st_centroid" -> (BinaryType, g => wkb(Measure.centroid(g) match {
+      case Some((x, y)) => GPoint.xy(x, y)
+      case None => GPoint.empty
+    })),
+    "st_convexhull" -> (BinaryType, g => wkb(Algos.convexHull(g))),
+    "st_reverse" -> (BinaryType, g => wkb(Geom.reverse(g))),
+    "st_force2d" -> (BinaryType, g => wkb(Geom.force2D(g))),
+    "st_flipcoordinates" -> (BinaryType, g => wkb(Geom.flip(g))),
+    "st_forcepolygoncw" -> (BinaryType, g => wkb(Algos.forceOrientation(g, shellCW = true))),
+    "st_forcepolygonccw" -> (BinaryType, g => wkb(Algos.forceOrientation(g, shellCW = false))),
+    "st_ispolygoncw" -> (BooleanType, {
+      case GPoly(rs, _) if rs.nonEmpty => !Algos.isRingCCW(rs(0))
+      case GMPoly(ps, _) if ps.nonEmpty => ps.forall(rs => rs.isEmpty || !Algos.isRingCCW(rs(0)))
+      case _ => true
+    }),
+    "st_ispolygonccw" -> (BooleanType, {
+      case GPoly(rs, _) if rs.nonEmpty => Algos.isRingCCW(rs(0))
+      case GMPoly(ps, _) if ps.nonEmpty => ps.forall(rs => rs.isEmpty || Algos.isRingCCW(rs(0)))
+      case _ => true
+    }),
+    "st_startpoint" -> (BinaryType, {
+      case GLine(s) if !s.isEmpty => wkb(GPoint(Array(s.x(0), s.y(0)), CT.XY))
+      case _ => null
+    }),
+    "st_endpoint" -> (BinaryType, {
+      case GLine(s) if !s.isEmpty => wkb(GPoint(Array(s.x(s.n - 1), s.y(s.n - 1)), CT.XY))
+      case _ => null
+    }),
+    "st_isclosed" -> (BooleanType, {
+      case l: GLine => l.isClosed
+      case GMLine(ls, _) => ls.forall(s => s.isEmpty ||
+        (s.x(0) == s.x(s.n - 1) && s.y(0) == s.y(s.n - 1)))
+      case _ => null
+    }),
+    "st_dumparray" -> (ArrayType(BinaryType), g =>
+      new GenericArrayData(Geom.dump(g).map(p => wkb(p): Any))),
+    "st_pointonsurface" -> (BinaryType, g => wkb(PointOnSurface.compute(g))),
+    "st_numinteriorrings" -> (IntegerType, {
+      case GPoly(rs, _) => math.max(0, rs.length - 1)
+      case _ => null
+    }),
+    "st_exteriorring" -> (BinaryType, {
+      case GPoly(rs, _) if rs.nonEmpty => wkb(GLine(rs(0)))
+      case _ => null
+    })
+  )
+
+  val binary: Map[String, (DataType, (Geom, Geom) => Any)] = Map(
+    "st_intersects" -> (BooleanType, (a: Geom, b: Geom) => Intersects.intersects(a, b)),
+    "st_disjoint" -> (BooleanType, (a: Geom, b: Geom) => !Intersects.intersects(a, b)),
+    "st_contains" -> (BooleanType, (a: Geom, b: Geom) => Relate.contains(a, b)),
+    "st_within" -> (BooleanType, (a: Geom, b: Geom) => Relate.within(a, b)),
+    "st_covers" -> (BooleanType, (a: Geom, b: Geom) => Relate.covers(a, b)),
+    "st_coveredby" -> (BooleanType, (a: Geom, b: Geom) => Relate.coveredBy(a, b)),
+    "st_crosses" -> (BooleanType, (a: Geom, b: Geom) => Relate.crosses(a, b)),
+    "st_overlaps" -> (BooleanType, (a: Geom, b: Geom) => Relate.overlaps(a, b)),
+    "st_touches" -> (BooleanType, (a: Geom, b: Geom) => Relate.touches(a, b)),
+    "st_equals" -> (BooleanType, (a: Geom, b: Geom) => Relate.equalsTopo(a, b)),
+    "st_relate" -> (StringType, (a: Geom, b: Geom) => utf8(Relate.relate(a, b))),
+    "st_distance" -> (DoubleType, (a: Geom, b: Geom) => Intersects.distance(a, b).orNull),
+    "st_intersection" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.Overlay.intersection(a, b)))
+  )
+}
+
+/** Unary geometry expression dispatched on a stable op name. */
+case class GeomUnaryOp(op: String, child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val impl = GeomOps.unary(op)
+  override def dataType: DataType = impl._1
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = op
+  override def nullSafeEval(v: Any): Any =
+    impl._2(Wkb.read(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Binary geometry expression dispatched on a stable op name. */
+case class GeomBinaryOp(op: String, left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  @transient private lazy val impl = GeomOps.binary(op)
+  override def dataType: DataType = impl._1
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = op
+  override def nullSafeEval(a: Any, b: Any): Any =
+    impl._2(Wkb.read(a.asInstanceOf[Array[Byte]]), Wkb.read(b.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** WKT parse: strict throws on malformed input; lenient returns null
+  * (the NoValidate-style escape hatch for trillion-row ingests —
+  * reference: geom/no_validate.go:15).
+  */
+case class StGeomFromWKT(child: Expression, strict: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (strict) "st_geomfromwkt" else "st_trygeomfromwkt"
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (strict) Wkb.write(Wkt.parse(s))
+    else try Wkb.write(Wkt.parse(s)) catch { case _: Wkt.ParseException => null }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class StGeomFromGeoJson(child: Expression, strict: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_geomfromgeojson"
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (strict) Wkb.write(GeoJson.parse(s))
+    else try Wkb.write(GeoJson.parse(s)) catch { case _: GeoJson.ParseException => null }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** WKB parse/normalize: validates structure, re-encodes canonical
+  * little-endian ISO WKB. Lenient mode nulls out malformed blobs.
+  */
+case class StGeomFromWKB(child: Expression, strict: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_geomfromwkb"
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (strict) Wkb.write(Wkb.read(b))
+    else try Wkb.write(Wkb.read(b)) catch { case _: Wkb.ParseException => null }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Point constructor from x/y doubles (reference: geom/ctor_from_coords.go:9). */
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_point"
+  override def nullSafeEval(x: Any, y: Any): Any =
+    Wkb.write(GPoint.xy(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Axis box polygon constructor (like PostGIS ST_MakeEnvelope). */
+case class StMakeEnvelope(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.length == 4, "st_makeEnvelope(xmin,ymin,xmax,ymax)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_makeenvelope"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val Seq(x0, y0, x1, y1) = vs.map(_.asInstanceOf[Double])
+    Wkb.write(Env(x0, y0, x1, y1).toGeom)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** Unary geometry op with one numeric parameter. */
+case class GeomParamOp(op: String, left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = op match {
+    case "st_geometryn" | "st_pointn" | "st_interiorringn" => BinaryType
+    case _ => BinaryType
+  }
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = op
+  override def nullSafeEval(gv: Any, pv: Any): Any = {
+    val g = Wkb.read(gv.asInstanceOf[Array[Byte]])
+    op match {
+      case "st_simplify" => Wkb.write(Algos.simplify(g, pv.asInstanceOf[Double]))
+      case "st_densify" => Wkb.write(Algos.densify(g, pv.asInstanceOf[Double]))
+      case "st_snaptogrid" => Wkb.write(Geom.snapToGrid(g, pv.asInstanceOf[Int]))
+      case "st_geometryn" =>
+        Geom.geometryN(g, pv.asInstanceOf[Int]).map(Wkb.write).orNull
+      case "st_pointn" => g match {
+        case GLine(s) =>
+          val n = pv.asInstanceOf[Int]
+          if (n >= 0 && n < s.n) Wkb.write(GPoint(Array(s.x(n), s.y(n)), CT.XY)) else null
+        case _ => null
+      }
+      case "st_interiorringn" => g match {
+        case GPoly(rs, _) =>
+          val n = pv.asInstanceOf[Int]
+          if (n >= 0 && n < rs.length - 1) Wkb.write(GLine(rs(n + 1))) else null
+        case _ => null
+      }
+      case "st_lineinterpolatepoint" => g match {
+        case GLine(s) =>
+          Algos.interpolatePoint(s, pv.asInstanceOf[Double])
+            .map { case (x, y) => Wkb.write(GPoint.xy(x, y)) }.orNull
+        case _ => null
+      }
+      case other => throw new IllegalArgumentException(s"unknown geom param op $other")
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_clipByBox(geom, xmin, ymin, xmax, ymax) — Sutherland–Hodgman /
+  * Liang–Barsky clip, the tile-assignment kernel.
+  */
+case class StClipByBox(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.length == 5, "st_clipByBox(geom,xmin,ymin,xmax,ymax)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_clipbybox"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val g = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
+    val box = Env(vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double])
+    Wkb.write(Algos.clipToBox(g, box))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** st_relateMatch(matrix, pattern) — pure string matcher
+  * (reference: geom/de9im.go:83-121).
+  */
+case class StRelateMatch(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_relatematch"
+  override def nullSafeEval(m: Any, p: Any): Any =
+    Relate.matches(m.asInstanceOf[UTF8String].toString, p.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_exactEquals(a, b, tolerance) (reference: geom/alg_exact_equals.go:98). */
+case class StExactEquals(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.length == 3, "st_exactEquals(a,b,tol)")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_exactequals"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val a = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
+    val b = Wkb.read(vs(1).asInstanceOf[Array[Byte]])
+    val tol = vs(2).asInstanceOf[Double]
+    ExactEquals.equalsWithTolerance(a, b, tol)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+// ------------------------------------------------------------- tiling
+
+/** st_cellOf(lon, lat, level) -> LongType Z-order cell id. */
+case class StCellOf(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.length == 3, "st_cellOf(lon,lat,level)")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_cellof"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    Cell.cellOf(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** st_cellCover(geom, level) -> Array[Long] of intersecting cells. */
+case class StCellCover(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_cellcover"
+  override def nullSafeEval(gv: Any, lv: Any): Any = {
+    val g = Wkb.read(gv.asInstanceOf[Array[Byte]])
+    new GenericArrayData(Cell.coverGeom(g, lv.asInstanceOf[Int]).map(l => l: Any))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_cellRing(cell, k) -> Array[Long] neighbors for kNN expansion. */
+case class StCellRing(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_cellring"
+  override def nullSafeEval(cv: Any, kv: Any): Any =
+    new GenericArrayData(Cell.ring(cv.asInstanceOf[Long], kv.asInstanceOf[Int]).map(l => l: Any))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_cellGeom(cell) -> WKB polygon of the cell's lon/lat bounds. */
+case class StCellGeom(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_cellgeom"
+  override def nullSafeEval(v: Any): Any =
+    Wkb.write(Cell.bounds(v.asInstanceOf[Long]).toGeom)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_project(geom, 'webmercator') — pointwise projection of coords
+  * (reference: carto/proj_web_mercator.go:30-57 and siblings, §2.10).
+  */
+case class StProject(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_project"
+  override def nullSafeEval(gv: Any, pv: Any): Any = {
+    val g = Wkb.read(gv.asInstanceOf[Array[Byte]])
+    val proj = pv.asInstanceOf[UTF8String].toString
+    Wkb.write(Projections.forward(g, proj))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

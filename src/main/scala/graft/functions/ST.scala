@@ -1,0 +1,237 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{lit, udaf}
+
+import graft.core._
+
+/** Column-level ST function surface (PostGIS-style names, SURVEY.md §2).
+  * Geometry columns are BinaryType WKB.
+  */
+object ST {
+
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+
+  // ------------------------------------------------------------ codecs
+  def st_geomFromWKT(c: Column): Column = col(StGeomFromWKT(ex(c), strict = true))
+  def st_tryGeomFromWKT(c: Column): Column = col(StGeomFromWKT(ex(c), strict = false))
+  def st_geomFromWKB(c: Column): Column = col(StGeomFromWKB(ex(c), strict = true))
+  def st_tryGeomFromWKB(c: Column): Column = col(StGeomFromWKB(ex(c), strict = false))
+  def st_geomFromGeoJSON(c: Column): Column = col(StGeomFromGeoJson(ex(c), strict = true))
+  def st_asText(c: Column): Column = col(GeomUnaryOp("st_astext", ex(c)))
+  def st_asGeoJSON(c: Column): Column = col(GeomUnaryOp("st_asgeojson", ex(c)))
+  /** Geometry columns ARE WKB — provided for API parity. */
+  def st_asBinary(c: Column): Column = c
+
+  // ------------------------------------------------------ constructors
+  def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
+  def st_makeEnvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    col(StMakeEnvelope(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
+
+  // --------------------------------------------------------- accessors
+  private def u(op: String)(c: Column): Column = col(GeomUnaryOp(op, ex(c)))
+  def st_area(c: Column): Column = u("st_area")(c)
+  def st_length(c: Column): Column = u("st_length")(c)
+  def st_dimension(c: Column): Column = u("st_dimension")(c)
+  def st_coordDim(c: Column): Column = u("st_coorddim")(c)
+  def st_numGeometries(c: Column): Column = u("st_numgeometries")(c)
+  def st_numPoints(c: Column): Column = u("st_numpoints")(c)
+  def st_isEmpty(c: Column): Column = u("st_isempty")(c)
+  def st_isValid(c: Column): Column = u("st_isvalid")(c)
+  def st_isValidReason(c: Column): Column = u("st_isvalidreason")(c)
+  def st_geometryType(c: Column): Column = u("st_geometrytype")(c)
+  def st_x(c: Column): Column = u("st_x")(c)
+  def st_y(c: Column): Column = u("st_y")(c)
+  def st_xmin(c: Column): Column = u("st_xmin")(c)
+  def st_ymin(c: Column): Column = u("st_ymin")(c)
+  def st_xmax(c: Column): Column = u("st_xmax")(c)
+  def st_ymax(c: Column): Column = u("st_ymax")(c)
+  def st_envelope(c: Column): Column = u("st_envelope")(c)
+  def st_boundary(c: Column): Column = u("st_boundary")(c)
+  def st_centroid(c: Column): Column = u("st_centroid")(c)
+  def st_convexHull(c: Column): Column = u("st_convexhull")(c)
+  def st_pointOnSurface(c: Column): Column = u("st_pointonsurface")(c)
+  def st_reverse(c: Column): Column = u("st_reverse")(c)
+  def st_force2D(c: Column): Column = u("st_force2d")(c)
+  def st_flipCoordinates(c: Column): Column = u("st_flipcoordinates")(c)
+  def st_forcePolygonCW(c: Column): Column = u("st_forcepolygoncw")(c)
+  def st_forcePolygonCCW(c: Column): Column = u("st_forcepolygonccw")(c)
+  def st_isPolygonCW(c: Column): Column = u("st_ispolygoncw")(c)
+  def st_isPolygonCCW(c: Column): Column = u("st_ispolygonccw")(c)
+  def st_startPoint(c: Column): Column = u("st_startpoint")(c)
+  def st_endPoint(c: Column): Column = u("st_endpoint")(c)
+  def st_isClosed(c: Column): Column = u("st_isclosed")(c)
+  def st_dumpArray(c: Column): Column = u("st_dumparray")(c)
+  def st_numInteriorRings(c: Column): Column = u("st_numinteriorrings")(c)
+  def st_exteriorRing(c: Column): Column = u("st_exteriorring")(c)
+
+  // ------------------------------------------------------- predicates
+  private def b(op: String)(l: Column, r: Column): Column = col(GeomBinaryOp(op, ex(l), ex(r)))
+  def st_intersects(l: Column, r: Column): Column = b("st_intersects")(l, r)
+  def st_disjoint(l: Column, r: Column): Column = b("st_disjoint")(l, r)
+  def st_contains(l: Column, r: Column): Column = b("st_contains")(l, r)
+  def st_within(l: Column, r: Column): Column = b("st_within")(l, r)
+  def st_covers(l: Column, r: Column): Column = b("st_covers")(l, r)
+  def st_coveredBy(l: Column, r: Column): Column = b("st_coveredby")(l, r)
+  def st_crosses(l: Column, r: Column): Column = b("st_crosses")(l, r)
+  def st_overlaps(l: Column, r: Column): Column = b("st_overlaps")(l, r)
+  def st_touches(l: Column, r: Column): Column = b("st_touches")(l, r)
+  def st_equals(l: Column, r: Column): Column = b("st_equals")(l, r)
+  def st_relate(l: Column, r: Column): Column = b("st_relate")(l, r)
+  def st_relateMatch(m: Column, p: Column): Column = col(StRelateMatch(ex(m), ex(p)))
+  def st_distance(l: Column, r: Column): Column = b("st_distance")(l, r)
+  def st_intersection(l: Column, r: Column): Column = b("st_intersection")(l, r)
+  def st_exactEquals(l: Column, r: Column, tol: Column): Column =
+    col(StExactEquals(Seq(ex(l), ex(r), ex(tol))))
+
+  // ---------------------------------------------------- transformations
+  def st_simplify(c: Column, tol: Column): Column =
+    col(GeomParamOp("st_simplify", ex(c), ex(tol)))
+  def st_densify(c: Column, d: Column): Column =
+    col(GeomParamOp("st_densify", ex(c), ex(d)))
+  def st_snapToGrid(c: Column, dp: Column): Column =
+    col(GeomParamOp("st_snaptogrid", ex(c), ex(dp)))
+  def st_geometryN(c: Column, n: Column): Column =
+    col(GeomParamOp("st_geometryn", ex(c), ex(n)))
+  def st_pointN(c: Column, n: Column): Column =
+    col(GeomParamOp("st_pointn", ex(c), ex(n)))
+  def st_interiorRingN(c: Column, n: Column): Column =
+    col(GeomParamOp("st_interiorringn", ex(c), ex(n)))
+  def st_lineInterpolatePoint(c: Column, f: Column): Column =
+    col(GeomParamOp("st_lineinterpolatepoint", ex(c), ex(f)))
+  def st_clipByBox(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    col(StClipByBox(Seq(ex(g), ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
+  def st_project(g: Column, spec: Column): Column = col(StProject(ex(g), ex(spec)))
+
+  // ------------------------------------------------------------ tiling
+  def st_cellOf(lon: Column, lat: Column, level: Column): Column =
+    col(StCellOf(Seq(ex(lon), ex(lat), ex(level))))
+  def st_cellCover(g: Column, level: Column): Column = col(StCellCover(ex(g), ex(level)))
+  def st_cellRing(cell: Column, k: Column): Column = col(StCellRing(ex(cell), ex(k)))
+  def st_cellGeom(cell: Column): Column = col(StCellGeom(ex(cell)))
+  def st_cellOf(lon: Column, lat: Column, level: Int): Column = st_cellOf(lon, lat, lit(level))
+
+  // ------------------------------------------------------- aggregators
+
+  /** Envelope union fold (reference: geom/type_envelope.go:156-167
+    * ExpandToIncludeEnvelope as a partial+final-capable Aggregator).
+    * Buffer = packed (xmin,ymin,xmax,ymax) LE doubles; empty buffer =
+    * empty envelope; output = envelope polygon WKB.
+    */
+  object EnvelopeAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def unpack(b: Array[Byte]): Env =
+      if (b.isEmpty) Env.empty
+      else {
+        val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Env(buf.getDouble, buf.getDouble, buf.getDouble, buf.getDouble)
+      }
+    private def pack(e: Env): Array[Byte] =
+      if (e.isEmpty) Array.emptyByteArray
+      else {
+        val buf = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.putDouble(e.xmin).putDouble(e.ymin).putDouble(e.xmax).putDouble(e.ymax)
+        buf.array()
+      }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] =
+      if (wkb == null) buf else pack(unpack(buf).merge(Wkb.read(wkb).envelope))
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = pack(unpack(a).merge(unpack(b)))
+    def finish(buf: Array[Byte]): Array[Byte] = Wkb.write(unpack(buf).toGeom)
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Convex hull union fold — hull-of-hulls is associative
+    * (reference: geom/alg_convex_hull.go). Buffer = WKB MULTIPOINT of
+    * the running hull's vertices (bounded size).
+    */
+  object ConvexHullAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def pts(b: Array[Byte]): Vector[(Double, Double)] =
+      if (b.isEmpty) Vector.empty else Algos.collectXYs(Wkb.read(b))
+    private def hullWkb(ps: Seq[(Double, Double)]): Array[Byte] = {
+      if (ps.isEmpty) return Array.emptyByteArray
+      val hull = Algos.hullOf(ps)
+      Wkb.write(GMPoint(hull.map(p => GPoint.xy(p._1, p._2)), CT.XY))
+    }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] =
+      if (wkb == null) buf
+      else hullWkb(pts(buf) ++ Algos.collectXYs(Wkb.read(wkb)))
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = hullWkb(pts(a) ++ pts(b))
+    def finish(buf: Array[Byte]): Array[Byte] =
+      if (buf.isEmpty) Wkb.write(Geom.emptyGC)
+      else Wkb.write(Algos.convexHull(Wkb.read(buf)))
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** st_collect: gather geometries into Multi-or-GC form (SURVEY.md
+    * section 2.12). Buffer = list of WKBs; finish sorts for
+    * partition-order determinism.
+    */
+  object CollectAgg extends Aggregator[Array[Byte], List[Array[Byte]], Array[Byte]] {
+    def zero: List[Array[Byte]] = Nil
+    def reduce(buf: List[Array[Byte]], wkb: Array[Byte]): List[Array[Byte]] =
+      if (wkb == null) buf else wkb :: buf
+    def merge(a: List[Array[Byte]], b: List[Array[Byte]]): List[Array[Byte]] = a ::: b
+    def finish(buf: List[Array[Byte]]): Array[Byte] = {
+      // deterministic result independent of partition order
+      val gs = buf.map(Wkb.read).sortBy(g => Wkt.write(g))
+      val out: Geom =
+        if (gs.isEmpty) Geom.emptyGC
+        else if (gs.forall(_.typeCode == 1))
+          GMPoint(gs.map(_.asInstanceOf[GPoint]).toArray, CT.XY)
+        else if (gs.forall(_.typeCode == 2))
+          GMLine(gs.map(_.asInstanceOf[GLine].seq).toArray, CT.XY)
+        else if (gs.forall(_.typeCode == 3))
+          GMPoly(gs.map(_.asInstanceOf[GPoly].rings).toArray, CT.XY)
+        else GColl(gs.toArray, CT.XY)
+      Wkb.write(out)
+    }
+    def bufferEncoder: Encoder[List[Array[Byte]]] = Encoders.kryo[List[Array[Byte]]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // --------------------------------------------------- SQL registration
+
+  /** Register the whole surface for spark.sql use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def reg1(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => builder(es), "built-in")
+
+    for (op <- GeomOps.unary.keys)
+      reg1(op) { es => GeomUnaryOp(op, es.head) }
+    for (op <- GeomOps.binary.keys)
+      reg1(op) { es => GeomBinaryOp(op, es(0), es(1)) }
+    reg1("st_geomfromwkt") { es => StGeomFromWKT(es.head, strict = true) }
+    reg1("st_trygeomfromwkt") { es => StGeomFromWKT(es.head, strict = false) }
+    reg1("st_geomfromwkb") { es => StGeomFromWKB(es.head, strict = true) }
+    reg1("st_geomfromgeojson") { es => StGeomFromGeoJson(es.head, strict = true) }
+    reg1("st_point") { es => StPoint(es(0), es(1)) }
+    reg1("st_makeenvelope") { es => StMakeEnvelope(es) }
+    reg1("st_clipbybox") { es => StClipByBox(es) }
+    reg1("st_relatematch") { es => StRelateMatch(es(0), es(1)) }
+    reg1("st_exactequals") { es => StExactEquals(es) }
+    reg1("st_cellof") { es => StCellOf(es) }
+    reg1("st_cellcover") { es => StCellCover(es(0), es(1)) }
+    reg1("st_cellring") { es => StCellRing(es(0), es(1)) }
+    reg1("st_cellgeom") { es => StCellGeom(es.head) }
+    reg1("st_project") { es => StProject(es(0), es(1)) }
+    for (op <- Seq("st_simplify", "st_densify", "st_snaptogrid", "st_geometryn",
+      "st_pointn", "st_interiorringn", "st_lineinterpolatepoint"))
+      reg1(op) { es => GeomParamOp(op, es(0), es(1)) }
+
+    spark.udf.register("st_envelope_agg", udaf(EnvelopeAgg))
+    spark.udf.register("st_convexhull_agg", udaf(ConvexHullAgg))
+    spark.udf.register("st_collect_agg", udaf(CollectAgg))
+  }
+
+  def st_envelopeAgg(c: Column): Column = udaf(EnvelopeAgg).apply(c)
+  def st_convexHullAgg(c: Column): Column = udaf(ConvexHullAgg).apply(c)
+  def st_collectAgg(c: Column): Column = udaf(CollectAgg).apply(c)
+}

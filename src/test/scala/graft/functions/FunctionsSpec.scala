@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Wkb, Wkt}
+import graft.functions.ST._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    ST.registerAll(s)
+    s
+  }
+}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("scalar ST expressions end to end") {
+    val df = Seq(
+      ("POLYGON((0 0,4 0,4 4,0 4,0 0))", 1),
+      ("POINT(1 2)", 2),
+      ("LINESTRING(0 0,3 4)", 3)
+    ).toDF("wkt", "id")
+      .withColumn("g", st_geomFromWKT($"wkt"))
+
+    val rows = df.select(
+      $"id",
+      st_area($"g").as("area"),
+      st_length($"g").as("len"),
+      st_geometryType($"g").as("typ"),
+      st_asText($"g").as("txt"),
+      st_xmin($"g").as("xmin"),
+      st_dimension($"g").as("dim")
+    ).orderBy($"id").collect()
+
+    assert(rows(0).getDouble(1) == 16.0)
+    assert(rows(0).getString(3) == "Polygon")
+    assert(rows(0).getString(4) == "POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    assert(rows(1).getInt(6) == 0)
+    assert(rows(2).getDouble(2) == 5.0)
+  }
+
+  test("predicates as join conditions") {
+    val polys = Seq(
+      (1, "POLYGON((0 0,10 0,10 10,0 10,0 0))"),
+      (2, "POLYGON((20 20,30 20,30 30,20 30,20 20))")
+    ).toDF("pid", "pwkt").withColumn("pg", st_geomFromWKT($"pwkt"))
+    val pts = Seq((100, 5.0, 5.0), (101, 25.0, 25.0), (102, 50.0, 50.0))
+      .toDF("ptid", "x", "y").withColumn("pt", st_point($"x", $"y"))
+
+    val joined = pts.join(broadcast(polys), st_contains($"pg", $"pt"))
+      .select($"ptid", $"pid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(joined == Set((100, 1), (101, 2)))
+  }
+
+  test("SQL registration") {
+    val out = spark.sql(
+      """SELECT st_area(st_geomfromwkt('POLYGON((0 0,2 0,2 2,0 2,0 0))')) AS a,
+        |       st_astext(st_centroid(st_geomfromwkt('POLYGON((0 0,2 0,2 2,0 2,0 0))'))) AS c,
+        |       st_relate(st_geomfromwkt('POINT(1 1)'),
+        |                 st_geomfromwkt('POLYGON((0 0,2 0,2 2,0 2,0 0))')) AS r
+        |""".stripMargin).collect()(0)
+    assert(out.getDouble(0) == 4.0)
+    assert(out.getString(1) == "POINT(1 1)")
+    assert(out.getString(2) == "0FFFFF212")
+  }
+
+  test("lenient parse nulls malformed rows") {
+    val df = Seq("POINT(1 2)", "NOT A WKT", "LINESTRING(0 0,1 1)").toDF("w")
+    val n = df.select(st_tryGeomFromWKT($"w").as("g")).filter($"g".isNotNull).count()
+    assert(n == 2)
+    assertThrows[Exception] {
+      df.select(st_geomFromWKT($"w").as("g")).collect()
+    }
+  }
+
+  test("cell tiling expressions") {
+    val df = Seq((0.0, 0.0), (10.0, 48.0), (-74.0, 40.7)).toDF("lon", "lat")
+      .withColumn("cell", st_cellOf($"lon", $"lat", lit(12)))
+    val cells = df.select($"cell").collect().map(_.getLong(0))
+    assert(cells.distinct.length == 3)
+    // geom of the cell must contain the point that produced it
+    val ok = df.withColumn("cg", st_cellGeom($"cell"))
+      .withColumn("inside", st_intersects($"cg", st_point($"lon", $"lat")))
+      .agg(sum(when($"inside", 1).otherwise(0))).collect()(0).getLong(0)
+    assert(ok == 3)
+  }
+
+  test("clip by box and intersection") {
+    val out = spark.sql(
+      """SELECT st_area(st_clipbybox(st_geomfromwkt('POLYGON((0 0,4 0,4 4,0 4,0 0))'),
+        |                            2.0D, 2.0D, 6.0D, 6.0D)) AS a,
+        |       st_area(st_intersection(
+        |          st_geomfromwkt('POLYGON((0 0,4 0,4 4,0 4,0 0))'),
+        |          st_geomfromwkt('POLYGON((2 2,6 2,6 6,2 6,2 2))'))) AS b
+        |""".stripMargin).collect()(0)
+    assert(out.getDouble(0) == 4.0)
+    assert(out.getDouble(1) == 4.0)
+  }
+
+  test("aggregators: envelope, hull, collect") {
+    val df = Seq((1, "POINT(0 0)"), (1, "POINT(4 0)"), (1, "POINT(4 4)"), (1, "POINT(0 4)"),
+      (2, "POINT(10 10)"))
+      .toDF("k", "w").withColumn("g", st_geomFromWKT($"w"))
+    df.createOrReplaceTempView("pts_agg")
+    val rows = spark.sql(
+      """SELECT k, st_astext(st_envelope_agg(g)) AS env,
+        |       st_area(st_convexhull_agg(g)) AS hull_area,
+        |       st_numgeometries(st_collect_agg(g)) AS n
+        |FROM pts_agg GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(rows(0).getString(1) == "POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    assert(rows(0).getDouble(2) == 16.0)
+    assert(rows(0).getInt(3) == 4)
+    assert(rows(1).getString(1) == "POINT(10 10)")
+  }
+
+  test("st_dump via explode") {
+    val df = Seq("MULTIPOLYGON(((0 0,1 0,0 1,0 0)),((5 5,6 5,5 6,5 5)))").toDF("w")
+    val parts = df.select(explode(st_dumpArray(st_geomFromWKT($"w"))).as("part"))
+      .select(st_asText($"part")).collect().map(_.getString(0))
+    assert(parts.length == 2)
+    assert(parts.forall(_.startsWith("POLYGON")))
+  }
+
+  test("projection round trip") {
+    val df = Seq(("POINT(10 45)", "webmercator")).toDF("w", "p")
+    val back = df.select(
+      st_asText(st_project(st_project(st_geomFromWKT($"w"), $"p"), concat($"p", lit(":inv")))))
+      .collect()(0).getString(0)
+    val pt = Wkt.parse(back).asInstanceOf[graft.core.GPoint]
+    assert(math.abs(pt.x - 10) < 1e-9 && math.abs(pt.y - 45) < 1e-9)
+  }
+}
