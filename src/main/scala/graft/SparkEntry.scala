@@ -1,13 +1,790 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ST
+import graft.functions.ST._
+import graft.operators._
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator, with a DuckDB-runnable `oracleSql` twin wherever the
+  * semantics are expressible in plain SQL.
+  *
+  * Geometry for the TPC-H-ish tables is derived deterministically from
+  * integer keys as EXACT binary fractions (k/64, k/65536), so the
+  * oracle can re-derive every coordinate bit-for-bit; float results
+  * either come from exact arithmetic, correctly-rounded sqrt, or are
+  * truncated via floor(x*1e6)/1e6 which is engine-independent.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------ shared prep
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def withST(spark: SparkSession): SparkSession = {
+    ST.registerAll(spark); spark
+  }
+
+  /** Customer points: exact binary-fraction lon/lat from c_custkey. */
+  private def customerPts(spark: SparkSession, dir: String): DataFrame = {
+    withST(spark)
+    t(spark, dir, "customer")
+      .withColumn("cx", (col("c_custkey") * 7919L % 23040L).cast("double") / 64.0 - 180.0)
+      .withColumn("cy", (col("c_custkey") * 104729L % 10880L).cast("double") / 64.0 - 85.0)
+      .withColumn("pt", st_point(col("cx"), col("cy")))
+  }
+  private val CX_SQL = "(CAST((c_custkey * 7919) % 23040 AS DOUBLE) / 64.0 - 180.0)"
+  private val CY_SQL = "(CAST((c_custkey * 104729) % 10880 AS DOUBLE) / 64.0 - 85.0)"
+
+  /** Nation boxes: 5x5 grid of 72 x 34 degree tiles (integer corners). */
+  private def nationBoxes(spark: SparkSession, dir: String): DataFrame = {
+    withST(spark)
+    t(spark, dir, "nation")
+      .withColumn("nx0", (col("n_nationkey") % 5).cast("double") * 72.0 - 180.0)
+      .withColumn("ny0", floor(col("n_nationkey") / 5.0) * 34.0 - 85.0)
+      .withColumn("nx1", col("nx0") + 72.0)
+      .withColumn("ny1", col("ny0") + 34.0)
+      .withColumn("box", st_makeEnvelope(col("nx0"), col("ny0"), col("nx1"), col("ny1")))
+  }
+  private val NX0_SQL = "(CAST(n_nationkey % 5 AS DOUBLE) * 72.0 - 180.0)"
+  private val NY0_SQL = "(floor(n_nationkey / 5.0) * 34.0 - 85.0)"
+
+  /** Supplier boxes: variable position/size, exact 64th fractions. */
+  private def supplierBoxes(spark: SparkSession, dir: String): DataFrame = {
+    withST(spark)
+    t(spark, dir, "supplier")
+      .withColumn("sx0", (col("s_suppkey") * 11L % 18432L).cast("double") / 64.0 - 144.0)
+      .withColumn("sy0", (col("s_suppkey") * 17L % 8704L).cast("double") / 64.0 - 68.0)
+      .withColumn("sw", (col("s_suppkey") % 512L).cast("double") / 64.0 + 8.0)
+      .withColumn("sh", (col("s_suppkey") * 7L % 384L).cast("double") / 64.0 + 6.0)
+      .withColumn("sx1", col("sx0") + col("sw"))
+      .withColumn("sy1", col("sy0") + col("sh"))
+      .withColumn("sbox", st_makeEnvelope(col("sx0"), col("sy0"), col("sx1"), col("sy1")))
+  }
+  private val SX0_SQL = "(CAST((s_suppkey * 11) % 18432 AS DOUBLE) / 64.0 - 144.0)"
+  private val SY0_SQL = "(CAST((s_suppkey * 17) % 8704 AS DOUBLE) / 64.0 - 68.0)"
+  private val SW_SQL = "(CAST(s_suppkey % 512 AS DOUBLE) / 64.0 + 8.0)"
+  private val SH_SQL = "(CAST((s_suppkey * 7) % 384 AS DOUBLE) / 64.0 + 6.0)"
+
+  /** Part triangles: integer coordinates, WKT built as text to exercise
+    * the parser. a=(ax,ay), b=(ax+u,ay), c=(ax,ay+v).
+    */
+  private def partTris(spark: SparkSession, dir: String): DataFrame = {
+    withST(spark)
+    t(spark, dir, "part")
+      .withColumn("ax", (col("p_partkey") % 360L - 180L).cast("int"))
+      .withColumn("ay", (col("p_partkey") * 7L % 170L - 85L).cast("int"))
+      .withColumn("u", (col("p_partkey") % 16L + 1L).cast("int"))
+      .withColumn("v", (col("p_partkey") * 3L % 16L + 1L).cast("int"))
+      .withColumn("bx", col("ax") + col("u"))
+      .withColumn("cyy", col("ay") + col("v"))
+      .withColumn("tri_wkt", concat(lit("POLYGON(("),
+        col("ax"), lit(" "), col("ay"), lit(","),
+        col("bx"), lit(" "), col("ay"), lit(","),
+        col("ax"), lit(" "), col("cyy"), lit(","),
+        col("ax"), lit(" "), col("ay"), lit("))")))
+      .withColumn("tri", st_geomFromWKT(col("tri_wkt")))
+  }
+  private val TRI_VARS_SQL =
+    """CAST(p_partkey % 360 - 180 AS INTEGER) AS ax,
+      |CAST((p_partkey * 7) % 170 - 85 AS INTEGER) AS ay,
+      |CAST(p_partkey % 16 + 1 AS INTEGER) AS u,
+      |CAST((p_partkey * 3) % 16 + 1 AS INTEGER) AS v""".stripMargin
+
+  /** Order polylines: (ax,ay) -> (ax+w,ay+h) -> (ax+2w,ay); ints. */
+  private def orderLines(spark: SparkSession, dir: String): DataFrame = {
+    withST(spark)
+    t(spark, dir, "orders")
+      .withColumn("ax", (col("o_orderkey") % 1024L).cast("int"))
+      .withColumn("ay", (col("o_orderkey") * 31L % 1024L).cast("int"))
+      .withColumn("w", (col("o_orderkey") % 8L + 1L).cast("int"))
+      .withColumn("h", (col("o_orderkey") * 3L % 8L + 1L).cast("int"))
+      .withColumn("line_wkt", concat(lit("LINESTRING("),
+        col("ax"), lit(" "), col("ay"), lit(","),
+        col("ax") + col("w"), lit(" "), col("ay") + col("h"), lit(","),
+        col("ax") + col("w") * 2, lit(" "), col("ay"), lit(")")))
+      .withColumn("line", st_geomFromWKT(col("line_wkt")))
+  }
+  private val OL_VARS_SQL =
+    """CAST(o_orderkey % 1024 AS INTEGER) AS ax,
+      |CAST((o_orderkey * 31) % 1024 AS INTEGER) AS ay,
+      |CAST(o_orderkey % 8 + 1 AS INTEGER) AS w,
+      |CAST((o_orderkey * 3) % 8 + 1 AS INTEGER) AS h""".stripMargin
+
+  /** Documents corpus + deterministic near-copies for dedup queries. */
+  private def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id").as("k"),
+      col("text"))
+    val copies = t(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("k"),
+        concat(col("text"), lit(" zz qq xx")).as("text"))
+    docs.unionAll(copies)
+  }
+  private val DEDUP_CORPUS_SQL =
+    """SELECT doc_id AS k, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS k, text || ' zz qq xx' AS text
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  // ---------------------------------------------------------- flagship
+
+  /** Flagship: synthesize the Common-Crawl-style pages table, geotag,
+    * spatial-join against region polygons (broadcast prepared R-tree),
+    * count pages per region. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    withST(spark)
+    val pages = Pages.pages(spark, 20000L)
+    val regions = Pages.regions(spark).withColumn("geom", st_geomFromWKT(col("wkt")))
+    SpatialJoins.broadcastSpatialJoin(
+      pages.withColumn("pt", st_point(col("lon"), col("lat"))), col("pt"),
+      regions, "geom", pred = "contains")
+      .groupBy(col("region_id"), col("region_name"))
+      .agg(count(lit(1)).as("n_pages"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- predicates / joins ------------------------------------------
+
+    "q01_pip_contains_join" -> ((s, d) => {
+      val pts = customerPts(s, d)
+      val boxes = nationBoxes(s, d)
+      pts.join(broadcast(boxes), st_contains(col("box"), col("pt")))
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q02_within_flag" -> ((s, d) => {
+      val pts = customerPts(s, d)
+      val boxes = nationBoxes(s, d)
+      pts.join(boxes, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), st_within(col("pt"), col("box")).as("inside"))
+    }),
+
+    "q03_covers_count" -> ((s, d) => {
+      val pts = customerPts(s, d)
+      val boxes = nationBoxes(s, d)
+      pts.join(broadcast(boxes), st_covers(col("box"), col("pt")))
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q04_intersects_cell_join" -> ((s, d) => {
+      val pts = customerPts(s, d).select(col("c_custkey"), col("pt"))
+      val boxes = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      SpatialJoins.cellJoin(pts, "pt", boxes, "box", "intersects", level = 4,
+        leftKeys = Seq("c_custkey"), rightKeys = Seq("n_nationkey"))
+        .select(col("c_custkey"), col("n_nationkey"))
+    }),
+
+    "q05_broadcast_rtree_join" -> ((s, d) => {
+      val pts = customerPts(s, d)
+      val boxes = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      SpatialJoins.broadcastSpatialJoin(pts, col("pt"), boxes, "box", "contains")
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q06_relate_pred_matrix" -> ((s, d) => {
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("nx0"), col("ny0"),
+        col("nx1"), col("ny1"), col("box"))
+      val sb = supplierBoxes(s, d).select(col("s_suppkey"), col("sbox"))
+      n.crossJoin(sb).select(
+        col("n_nationkey"), col("s_suppkey"),
+        st_intersects(col("box"), col("sbox")).as("r_intersects"),
+        st_contains(col("box"), col("sbox")).as("r_contains"),
+        st_within(col("box"), col("sbox")).as("r_within"),
+        st_touches(col("box"), col("sbox")).as("r_touches"),
+        st_overlaps(col("box"), col("sbox")).as("r_overlaps"))
+    }),
+
+    "q07_relate_string" -> ((s, d) => {
+      val pts = customerPts(s, d)
+      val boxes = nationBoxes(s, d)
+      pts.join(boxes, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), st_relate(col("pt"), col("box")).as("relate"))
+    }),
+
+    "q08_distance" -> ((s, d) => {
+      val pts = customerPts(s, d)
+      val boxes = nationBoxes(s, d)
+        .withColumn("mpt", st_point(col("nx0") + 36.0, col("ny0") + 17.0))
+      pts.join(boxes, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), st_distance(col("pt"), col("mpt")).as("dist"))
+    }),
+
+    // --- measurements / analysis -------------------------------------
+
+    "q09_area_triangle" -> ((s, d) =>
+      partTris(s, d).select(col("p_partkey"), st_area(col("tri")).as("area"))),
+
+    "q10_boundary_perimeter" -> ((s, d) =>
+      supplierBoxes(s, d).select(col("s_suppkey"),
+        st_length(st_boundary(col("sbox"))).as("perim"))),
+
+    "q11_length_line" -> ((s, d) =>
+      orderLines(s, d).select(col("o_orderkey"), st_length(col("line")).as("len"))),
+
+    "q12_centroid" -> ((s, d) =>
+      nationBoxes(s, d).select(col("n_nationkey"),
+        round(ST.st_x(st_centroid(col("box"))), 3).as("cx_out"),
+        round(ST.st_y(st_centroid(col("box"))), 3).as("cy_out"))),
+
+    "q13_envelope_minmax" -> ((s, d) =>
+      orderLines(s, d).select(col("o_orderkey"),
+        st_xmin(col("line")).as("exmin"), st_ymin(col("line")).as("eymin"),
+        st_xmax(col("line")).as("exmax"), st_ymax(col("line")).as("eymax"))),
+
+    "q14_convexhull_area" -> ((s, d) =>
+      partTris(s, d).select(col("p_partkey"),
+        st_area(st_convexHull(col("tri"))).as("hull_area"))),
+
+    "q15_clip_area" -> ((s, d) => {
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val sb = supplierBoxes(s, d).select(col("s_suppkey"), col("sx0"), col("sy0"),
+        col("sx1"), col("sy1"))
+      n.crossJoin(sb).select(col("n_nationkey"), col("s_suppkey"),
+        st_area(st_clipByBox(col("box"), col("sx0"), col("sy0"), col("sx1"), col("sy1")))
+          .as("carea"))
+    }),
+
+    "q16_intersection_area" -> ((s, d) => {
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val sb = supplierBoxes(s, d).select(col("s_suppkey"), col("sbox"))
+      n.crossJoin(sb).select(col("n_nationkey"), col("s_suppkey"),
+        st_area(st_intersection(col("box"), col("sbox"))).as("iarea"))
+    }),
+
+    "q17_simplify" -> ((s, d) => {
+      val z = t(s, d, "orders")
+        .withColumn("amp", (col("o_orderkey") % 8L + 1L).cast("int"))
+        .withColumn("zig_wkt", concat(lit("LINESTRING(0 0,2 "), col("amp"), lit(",4 0)")))
+      z.select(col("o_orderkey"),
+        st_numPoints(st_simplify(st_geomFromWKT(col("zig_wkt")), lit(4.5)))
+          .cast("long").as("npts"))
+    }),
+
+    "q18_dump_explode" -> ((s, d) => {
+      val ol = orderLines(s, d)
+        .withColumn("mp_wkt", concat(lit("MULTIPOINT(("),
+          col("ax"), lit(" "), col("ay"), lit("),("),
+          col("ax") + col("w"), lit(" "), col("ay") + col("h"), lit("),("),
+          col("ax") + col("w") * 2, lit(" "), col("ay"), lit("))")))
+      ol.select(col("o_orderkey"),
+          explode(st_dumpArray(st_geomFromWKT(col("mp_wkt")))).as("part"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    }),
+
+    "q19_wkt_roundtrip" -> ((s, d) => {
+      val n = nationBoxes(s, d)
+        .withColumn("x0i", col("nx0").cast("int")).withColumn("y0i", col("ny0").cast("int"))
+        .withColumn("x1i", col("nx1").cast("int")).withColumn("y1i", col("ny1").cast("int"))
+        .withColumn("wkt_in", concat(lit("POLYGON(("),
+          col("x0i"), lit(" "), col("y0i"), lit(","),
+          col("x1i"), lit(" "), col("y0i"), lit(","),
+          col("x1i"), lit(" "), col("y1i"), lit(","),
+          col("x0i"), lit(" "), col("y1i"), lit(","),
+          col("x0i"), lit(" "), col("y0i"), lit("))")))
+      n.select(col("n_nationkey"), st_asText(st_geomFromWKT(col("wkt_in"))).as("wkt_out"))
+    }),
+
+    "q20_geojson" -> ((s, d) =>
+      customerPts(s, d).select(col("c_custkey"),
+        st_asGeoJSON(col("pt")).as("gj"))),
+
+    "q21_validity" -> ((s, d) => {
+      // valid triangle vs bowtie built from the same corners
+      val p = partTris(s, d)
+        .withColumn("bow_wkt", concat(lit("POLYGON(("),
+          col("ax"), lit(" "), col("ay"), lit(","),
+          col("bx"), lit(" "), col("cyy"), lit(","),
+          col("bx"), lit(" "), col("ay"), lit(","),
+          col("ax"), lit(" "), col("cyy"), lit(","),
+          col("ax"), lit(" "), col("ay"), lit("))")))
+      p.select(col("p_partkey"),
+        st_isValid(col("tri")).as("tri_valid"),
+        st_isValid(st_geomFromWKT(col("bow_wkt"))).as("bow_valid"))
+    }),
+
+    "q22_accessors" -> ((s, d) =>
+      orderLines(s, d).select(col("o_orderkey"),
+        st_geometryType(col("line")).as("typ"),
+        st_dimension(col("line")).cast("long").as("dim"),
+        st_numPoints(col("line")).cast("long").as("np"),
+        st_isEmpty(col("line")).as("empty"),
+        st_isClosed(col("line")).as("closed"))),
+
+    "q23_exact_equals" -> ((s, d) => {
+      val pts = customerPts(s, d)
+        .withColumn("delta",
+          (col("c_custkey") % 3L).cast("double") / 8388608.0) // k * 2^-23
+        .withColumn("pt2", st_point(col("cx") + col("delta"), col("cy")))
+      pts.select(col("c_custkey"),
+        st_exactEquals(col("pt"), col("pt2"), lit(1.1920928955078125e-7)).as("eq")) // 2^-23
+    }),
+
+    // --- tiling / projections ----------------------------------------
+
+    "q24_grid_assign" -> ((s, d) =>
+      customerPts(s, d)
+        .withColumn("cell", st_cellOfEquirect(col("cx"), col("cy"), lit(6)))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(st_cellIx(col("cell")).as("ix"), st_cellIy(col("cell")).as("iy"), col("cnt"))),
+
+    "q25_knn" -> ((s, d) => {
+      val q = nationBoxes(s, d)
+        .withColumn("mx", col("nx0") + 36.0).withColumn("my", col("ny0") + 17.0)
+        .select(col("n_nationkey"), col("mx"), col("my"))
+      val c = customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
+      SpatialJoins.knnJoin(q, "mx", "my", "n_nationkey", c, "cx", "cy", "c_custkey",
+        k = 5, level = 3, ringK = 2)
+        .select(col("n_nationkey"), col("c_custkey"), col("__rn").cast("long").as("rank"))
+    }),
+
+    "q26_projection" -> ((s, d) =>
+      customerPts(s, d).select(col("c_custkey"),
+        ST.st_x(ST.st_project(col("pt"), lit("equirect"))).as("px"),
+        ST.st_y(ST.st_project(col("pt"), lit("equirect"))).as("py"))),
+
+    "q27_tile_assign" -> ((s, d) => {
+      // webmercator cells: no SQL oracle; rows-only sanity at scale
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      SpatialJoins.tileAssign(n, "box", level = 4)
+        .select(col("n_nationkey"), col("cell"), st_area(col("tile_part")).as("part_area"))
+    }),
+
+    // --- aggregates ---------------------------------------------------
+
+    "q28_envelope_agg" -> ((s, d) => {
+      val s2 = withST(s)
+      customerPts(s2, d).createOrReplaceTempView("q28_pts")
+      s2.sql("""SELECT c_mktsegment,
+                       st_xmin(st_envelope_agg(pt)) AS axmin,
+                       st_ymin(st_envelope_agg(pt)) AS aymin,
+                       st_xmax(st_envelope_agg(pt)) AS axmax,
+                       st_ymax(st_envelope_agg(pt)) AS aymax
+                FROM q28_pts GROUP BY c_mktsegment""")
+    }),
+
+    "q29_convexhull_agg" -> ((s, d) => {
+      val s2 = withST(s)
+      partTris(s2, d)
+        .select(col("p_partkey"), explode(array(
+          st_point(col("ax").cast("double"), col("ay").cast("double")),
+          st_point(col("bx").cast("double"), col("ay").cast("double")),
+          st_point(col("ax").cast("double"), col("cyy").cast("double")))).as("cpt"))
+        .createOrReplaceTempView("q29_pts")
+      s2.sql("""SELECT p_partkey, st_area(st_convexhull_agg(cpt)) AS hull_area
+                FROM q29_pts GROUP BY p_partkey""")
+    }),
+
+    "q30_collect_agg" -> ((s, d) => {
+      val s2 = withST(s)
+      customerPts(s2, d).createOrReplaceTempView("q30_pts")
+      s2.sql("""SELECT c_nationkey, st_numgeometries(st_collect_agg(pt)) AS n
+                FROM q30_pts GROUP BY c_nationkey""")
+    }),
+
+    // --- text / dedup / embeddings ------------------------------------
+
+    "q31_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("tokens"))),
+
+    "q32_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+
+    "q33_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    "q34_exact_dedup" -> ((s, d) => {
+      val corpus = dedupCorpus(s, d)
+      Dedup.exactDedup(corpus, "text", "k").groupBy().agg(
+        count(lit(1)).as("kept"),
+        sum(when(col("k") >= 100000L, 1L).otherwise(0L)).as("kept_copies"))
+    }),
+
+    "q35_jaccard_pairs" -> ((s, d) => {
+      val corpus = dedupCorpus(s, d)
+      Dedup.jaccardPairsExact(corpus, "text", "k", shingleN = 3, threshold = 0.5)
+        .select(col("key_a"), col("key_b"), col("jaccard"))
+    }),
+
+    "q36_minhash_neardups" -> ((s, d) => {
+      val corpus = dedupCorpus(s, d)
+      Dedup.minhashNearDups(corpus, "text", "k", threshold = 0.5)
+    }),
+
+    "q37_simhash_pairs" -> ((s, d) => {
+      val corpus = dedupCorpus(s, d)
+      Dedup.simhashNearDups(corpus, "text", "k", maxHamming = 3)
+    }),
+
+    "q38_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    "q39_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      Ann.bruteForceTopK(q, "q_vec", "q_id", emb, "vec", "vec_id", k = 5)
+        .select(col("q_id"), col("vec_id").as("c_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "q40_ann_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      Ann.lshTopK(q, "q_vec", "q_id", emb, "vec", "vec_id", k = 5)
+        .select(col("q_id"), col("vec_id").as("c_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "q41_embed_neardups" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val clones = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("vec"))
+      Dedup.embeddingNearDups(emb.unionAll(clones), "vec", "vec_id", threshold = 0.9999)
+        .select(col("key_a"), col("key_b"))
+    }),
+
+    "q42_image_meta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("payload", to_binary(col("text"), lit("utf-8")))
+      Multimodal.withImageMeta(docs, "payload")
+        .select(col("doc_id"), col("image_meta.width").as("width"),
+          col("image_meta.format").as("format"))
+    }),
+
+    "q43_frame_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("payload", to_binary(col("text"), lit("utf-8")))
+      Multimodal.frameSamplePlan(docs, "payload", everyN = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("byte_offset").cast("int").as("byte_offset"))
+    }),
+
+    // --- relational anchors -------------------------------------------
+
+    "q44_events_agg" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))),
+
+    "q45_lineitem_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_extendedprice")).as("pmax")))
+  )
+
+  // --------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = {
+    val cx = CX_SQL; val cy = CY_SQL
+    val nx0 = NX0_SQL; val ny0 = NY0_SQL
+    val sx0 = SX0_SQL; val sy0 = SY0_SQL; val sw = SW_SQL; val sh = SH_SQL
+
+    // per-language stopword hit counts (distinct words present)
+    def hitsSql(words: Seq[String]): String =
+      words.map(w => s"(CASE WHEN list_contains(__toks, '$w') THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val langs = TextOps.stopwords.toSeq.sortBy(_._1) // de,en,es,fr,pt,ru
+    val encSql = langs.zipWithIndex
+      .map { case ((_, words), i) => s"${hitsSql(words)} * 8 + $i" }
+      .mkString("greatest(", ", ", ")")
+    val decodeSql = langs.zipWithIndex
+      .map { case ((lang, _), i) => s"WHEN __enc % 8 = $i THEN '$lang'" }
+      .mkString(" ")
+
+    Map(
+      "q01_pip_contains_join" ->
+        s"""SELECT n_nationkey, count(*) AS cnt FROM nation, customer
+           |WHERE $cx > $nx0 AND $cx < $nx0 + 72.0
+           |  AND $cy > $ny0 AND $cy < $ny0 + 34.0
+           |GROUP BY n_nationkey""".stripMargin,
+
+      "q02_within_flag" ->
+        s"""SELECT c_custkey,
+           |  ($cx > $nx0 AND $cx < $nx0 + 72.0 AND
+           |   $cy > $ny0 AND $cy < $ny0 + 34.0) AS inside
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+      "q03_covers_count" ->
+        s"""SELECT n_nationkey, count(*) AS cnt FROM nation, customer
+           |WHERE $cx >= $nx0 AND $cx <= $nx0 + 72.0
+           |  AND $cy >= $ny0 AND $cy <= $ny0 + 34.0
+           |GROUP BY n_nationkey""".stripMargin,
+
+      "q04_intersects_cell_join" ->
+        s"""SELECT c_custkey, n_nationkey FROM customer, nation
+           |WHERE $cx >= $nx0 AND $cx <= $nx0 + 72.0
+           |  AND $cy >= $ny0 AND $cy <= $ny0 + 34.0""".stripMargin,
+
+      "q05_broadcast_rtree_join" ->
+        s"""SELECT n_nationkey, count(*) AS cnt FROM nation, customer
+           |WHERE $cx > $nx0 AND $cx < $nx0 + 72.0
+           |  AND $cy > $ny0 AND $cy < $ny0 + 34.0
+           |GROUP BY n_nationkey""".stripMargin,
+
+      "q06_relate_pred_matrix" ->
+        s"""WITH n AS (SELECT n_nationkey, $nx0 AS x0, $ny0 AS y0,
+           |                  $nx0 + 72.0 AS x1, $ny0 + 34.0 AS y1 FROM nation),
+           |     s AS (SELECT s_suppkey, $sx0 AS x0, $sy0 AS y0,
+           |                  $sx0 + $sw AS x1, $sy0 + $sh AS y1 FROM supplier)
+           |SELECT n.n_nationkey, s.s_suppkey,
+           |  (s.x0 <= n.x1 AND n.x0 <= s.x1 AND s.y0 <= n.y1 AND n.y0 <= s.y1) AS r_intersects,
+           |  (s.x0 >= n.x0 AND s.x1 <= n.x1 AND s.y0 >= n.y0 AND s.y1 <= n.y1) AS r_contains,
+           |  (n.x0 >= s.x0 AND n.x1 <= s.x1 AND n.y0 >= s.y0 AND n.y1 <= s.y1) AS r_within,
+           |  ((s.x0 <= n.x1 AND n.x0 <= s.x1 AND s.y0 <= n.y1 AND n.y0 <= s.y1)
+           |   AND NOT (s.x0 < n.x1 AND n.x0 < s.x1 AND s.y0 < n.y1 AND n.y0 < s.y1)) AS r_touches,
+           |  ((s.x0 < n.x1 AND n.x0 < s.x1 AND s.y0 < n.y1 AND n.y0 < s.y1)
+           |   AND NOT (s.x0 >= n.x0 AND s.x1 <= n.x1 AND s.y0 >= n.y0 AND s.y1 <= n.y1)
+           |   AND NOT (n.x0 >= s.x0 AND n.x1 <= s.x1 AND n.y0 >= s.y0 AND n.y1 <= s.y1)) AS r_overlaps
+           |FROM n, s""".stripMargin,
+
+      "q07_relate_string" ->
+        s"""SELECT c_custkey,
+           |  CASE
+           |    WHEN $cx > $nx0 AND $cx < $nx0 + 72.0 AND
+           |         $cy > $ny0 AND $cy < $ny0 + 34.0 THEN '0FFFFF212'
+           |    WHEN $cx >= $nx0 AND $cx <= $nx0 + 72.0 AND
+           |         $cy >= $ny0 AND $cy <= $ny0 + 34.0 THEN 'F0FFFF212'
+           |    ELSE 'FF0FFF212'
+           |  END AS relate
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+      "q08_distance" ->
+        s"""SELECT c_custkey,
+           |  CASE WHEN $cx > $nx0 AND $cx < $nx0 + 72.0 AND
+           |            $cy > $ny0 AND $cy < $ny0 + 34.0 AND
+           |            $cx = $nx0 + 36.0 AND $cy = $ny0 + 17.0
+           |       THEN 0.0
+           |       ELSE sqrt(($cx - ($nx0 + 36.0)) * ($cx - ($nx0 + 36.0)) +
+           |                 ($cy - ($ny0 + 17.0)) * ($cy - ($ny0 + 17.0)))
+           |  END AS dist
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+      "q09_area_triangle" ->
+        s"""SELECT p_partkey,
+           |  CAST(p_partkey % 16 + 1 AS DOUBLE) * CAST((p_partkey * 3) % 16 + 1 AS DOUBLE) / 2.0 AS area
+           |FROM part""".stripMargin,
+
+      "q10_boundary_perimeter" ->
+        s"""SELECT s_suppkey, (($sw + $sh) + $sw) + $sh AS perim FROM supplier""".stripMargin,
+
+      "q11_length_line" ->
+        s"""SELECT o_orderkey,
+           |  sqrt(CAST((o_orderkey % 8 + 1) * (o_orderkey % 8 + 1) +
+           |            ((o_orderkey * 3) % 8 + 1) * ((o_orderkey * 3) % 8 + 1) AS DOUBLE)) +
+           |  sqrt(CAST((o_orderkey % 8 + 1) * (o_orderkey % 8 + 1) +
+           |            ((o_orderkey * 3) % 8 + 1) * ((o_orderkey * 3) % 8 + 1) AS DOUBLE)) AS len
+           |FROM orders""".stripMargin,
+
+      "q12_centroid" ->
+        s"""SELECT n_nationkey,
+           |  round($nx0 + 36.0, 3) AS cx_out,
+           |  round($ny0 + 17.0, 3) AS cy_out
+           |FROM nation""".stripMargin,
+
+      "q13_envelope_minmax" ->
+        s"""SELECT o_orderkey,
+           |  CAST(o_orderkey % 1024 AS DOUBLE) AS exmin,
+           |  CAST((o_orderkey * 31) % 1024 AS DOUBLE) AS eymin,
+           |  CAST(o_orderkey % 1024 + 2 * (o_orderkey % 8 + 1) AS DOUBLE) AS exmax,
+           |  CAST((o_orderkey * 31) % 1024 + (o_orderkey * 3) % 8 + 1 AS DOUBLE) AS eymax
+           |FROM orders""".stripMargin,
+
+      "q14_convexhull_area" ->
+        s"""SELECT p_partkey,
+           |  CAST(p_partkey % 16 + 1 AS DOUBLE) * CAST((p_partkey * 3) % 16 + 1 AS DOUBLE) / 2.0 AS hull_area
+           |FROM part""".stripMargin,
+
+      "q15_clip_area" ->
+        s"""SELECT n_nationkey, s_suppkey,
+           |  greatest(0.0, least($nx0 + 72.0, $sx0 + $sw) - greatest($nx0, $sx0)) *
+           |  greatest(0.0, least($ny0 + 34.0, $sy0 + $sh) - greatest($ny0, $sy0)) AS carea
+           |FROM nation, supplier""".stripMargin,
+
+      "q16_intersection_area" ->
+        s"""SELECT n_nationkey, s_suppkey,
+           |  greatest(0.0, least($nx0 + 72.0, $sx0 + $sw) - greatest($nx0, $sx0)) *
+           |  greatest(0.0, least($ny0 + 34.0, $sy0 + $sh) - greatest($ny0, $sy0)) AS iarea
+           |FROM nation, supplier""".stripMargin,
+
+      "q17_simplify" ->
+        s"""SELECT o_orderkey,
+           |  CAST(CASE WHEN o_orderkey % 8 + 1 <= 4.5 THEN 2 ELSE 3 END AS BIGINT) AS npts
+           |FROM orders""".stripMargin,
+
+      "q18_dump_explode" ->
+        "SELECT o_orderkey, CAST(3 AS BIGINT) AS n FROM orders",
+
+      "q19_wkt_roundtrip" ->
+        s"""SELECT n_nationkey,
+           |  'POLYGON((' ||
+           |  CAST(CAST($nx0 AS INTEGER) AS VARCHAR) || ' ' || CAST(CAST($ny0 AS INTEGER) AS VARCHAR) || ',' ||
+           |  CAST(CAST($nx0 + 72.0 AS INTEGER) AS VARCHAR) || ' ' || CAST(CAST($ny0 AS INTEGER) AS VARCHAR) || ',' ||
+           |  CAST(CAST($nx0 + 72.0 AS INTEGER) AS VARCHAR) || ' ' || CAST(CAST($ny0 + 34.0 AS INTEGER) AS VARCHAR) || ',' ||
+           |  CAST(CAST($nx0 AS INTEGER) AS VARCHAR) || ' ' || CAST(CAST($ny0 + 34.0 AS INTEGER) AS VARCHAR) || ',' ||
+           |  CAST(CAST($nx0 AS INTEGER) AS VARCHAR) || ' ' || CAST(CAST($ny0 AS INTEGER) AS VARCHAR) ||
+           |  '))' AS wkt_out
+           |FROM nation""".stripMargin,
+
+      "q20_geojson" ->
+        s"""SELECT c_custkey,
+           |  '{"type":"Point","coordinates":[' ||
+           |  (CASE WHEN $cx = floor($cx) THEN CAST(CAST($cx AS BIGINT) AS VARCHAR)
+           |        ELSE CAST($cx AS VARCHAR) END) || ',' ||
+           |  (CASE WHEN $cy = floor($cy) THEN CAST(CAST($cy AS BIGINT) AS VARCHAR)
+           |        ELSE CAST($cy AS VARCHAR) END) || ']}' AS gj
+           |FROM customer""".stripMargin,
+
+      "q21_validity" ->
+        "SELECT p_partkey, TRUE AS tri_valid, FALSE AS bow_valid FROM part",
+
+      "q22_accessors" ->
+        """SELECT o_orderkey, 'LineString' AS typ, CAST(1 AS BIGINT) AS dim,
+          |       CAST(3 AS BIGINT) AS np, FALSE AS empty, FALSE AS closed
+          |FROM orders""".stripMargin,
+
+      "q23_exact_equals" ->
+        "SELECT c_custkey, c_custkey % 3 < 2 AS eq FROM customer",
+
+      "q24_grid_assign" ->
+        s"""SELECT least(63, greatest(0, CAST(floor(($cx + 180.0) / 360.0 * 64) AS BIGINT))) AS ix,
+           |       least(63, greatest(0, CAST(floor((85.0 - $cy) / 170.0 * 64) AS BIGINT))) AS iy,
+           |       count(*) AS cnt
+           |FROM customer GROUP BY 1, 2""".stripMargin,
+
+      "q25_knn" ->
+        s"""SELECT n_nationkey, c_custkey, rank FROM (
+           |  SELECT n_nationkey, c_custkey,
+           |    row_number() OVER (PARTITION BY n_nationkey ORDER BY
+           |      ($cx - ($nx0 + 36.0)) * ($cx - ($nx0 + 36.0)) +
+           |      ($cy - ($ny0 + 17.0)) * ($cy - ($ny0 + 17.0)), c_custkey) AS rank
+           |  FROM nation, customer) WHERE rank <= 5""".stripMargin,
+
+      "q26_projection" ->
+        s"""SELECT c_custkey,
+           |  6371000.0 * ($cx * 0.017453292519943295) AS px,
+           |  6371000.0 * ($cy * 0.017453292519943295) AS py
+           |FROM customer""".stripMargin,
+
+      "q28_envelope_agg" ->
+        s"""SELECT c_mktsegment, min($cx) AS axmin, min($cy) AS aymin,
+           |       max($cx) AS axmax, max($cy) AS aymax
+           |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+      "q29_convexhull_agg" ->
+        s"""SELECT p_partkey,
+           |  CAST(p_partkey % 16 + 1 AS DOUBLE) * CAST((p_partkey * 3) % 16 + 1 AS DOUBLE) / 2.0 AS hull_area
+           |FROM part""".stripMargin,
+
+      "q30_collect_agg" ->
+        "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey",
+
+      "q31_token_count" ->
+        """SELECT doc_id,
+          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tokens
+          |FROM documents""".stripMargin,
+
+      "q32_langid" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS __toks FROM documents
+           |), enc AS (
+           |  SELECT doc_id, $encSql AS __enc FROM scored
+           |)
+           |SELECT doc_id,
+           |  CASE WHEN __enc < 8 THEN 'und' ELSE (CASE $decodeSql END) END AS lang_pred
+           |FROM enc""".stripMargin,
+
+      "q33_quality" ->
+        """WITH q AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS DOUBLE) AS len,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+          |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks
+          |  FROM documents)
+          |SELECT doc_id,
+          |  floor((least(len / 500.0, 1.0) * 0.25 +
+          |         (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.35 +
+          |         (1.0 - (CASE WHEN len > 0 THEN least(punct / len * 10.0, 1.0) ELSE 0.0 END)) * 0.15 +
+          |         (CASE WHEN toks > 0 THEN (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+          |               ELSE 0.0 END) * 0.25) * 1000000.0) / 1000000.0 AS quality
+          |FROM q""".stripMargin,
+
+      "q34_exact_dedup" ->
+        s"""WITH corpus AS ($DEDUP_CORPUS_SQL),
+           |kept AS (
+           |  SELECT k, row_number() OVER (PARTITION BY text ORDER BY k) AS rn FROM corpus)
+           |SELECT count(*) AS kept,
+           |       CAST(sum(CASE WHEN k >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_copies
+           |FROM kept WHERE rn = 1""".stripMargin,
+
+      "q35_jaccard_pairs" ->
+        s"""WITH corpus AS ($DEDUP_CORPUS_SQL),
+           |sh AS (
+           |  SELECT k,
+           |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |      ELSE list_transform(range(1, len(toks) - 1),
+           |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sset
+           |  FROM (SELECT k, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM corpus)),
+           |pairs AS (
+           |  SELECT a.k AS key_a, b.k AS key_b,
+           |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+           |    CAST(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS DOUBLE) AS j
+           |  FROM sh a, sh b WHERE a.k < b.k)
+           |SELECT key_a, key_b, floor(j * 1000000.0) / 1000000.0 AS jaccard
+           |FROM pairs WHERE j >= 0.5""".stripMargin,
+
+      "q39_cosine_topk" ->
+        """SELECT q_id, c_id, rank FROM (
+          |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |                             CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+          |  FROM embeddings q, embeddings c WHERE q.vec_id < 8)
+          |WHERE rank <= 5""".stripMargin,
+
+      "q41_embed_neardups" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 0)
+          |SELECT a.vec_id AS key_a, b.vec_id AS key_b
+          |FROM corpus a, corpus b
+          |WHERE a.vec_id < b.vec_id
+          |  AND list_cosine_similarity(a.vec, b.vec) >= 0.9999""".stripMargin,
+
+      "q43_frame_sample" ->
+        """SELECT doc_id, frame_idx, CAST(frame_idx * 1024 AS INTEGER) AS byte_offset FROM (
+          |  SELECT doc_id, unnest(range(0,
+          |    greatest(1, CAST(octet_length(encode(text)) / 1024 AS INTEGER)), 2)) AS frame_idx
+          |  FROM documents)""".stripMargin,
+
+      "q44_events_agg" ->
+        """SELECT user_id, count(*) AS n, min(value) AS vmin, max(value) AS vmax
+          |FROM events GROUP BY user_id""".stripMargin,
+
+      "q45_lineitem_agg" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |       min(l_quantity) AS qmin, max(l_extendedprice) AS pmax
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+    )
+  }
 }

@@ -360,6 +360,53 @@ case class StCellRing(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_cellOfEquirect(lon, lat, level) -> LongType Z-order cell over a
+  * plain equirectangular grid (lon in [-180,180), lat in [-85,85)).
+  * Unlike the mercator cell, the index math is pure arithmetic
+  * (floor((lon+180)/360 * 2^level)) — bit-for-bit reproducible by the
+  * SQL oracle.
+  */
+case class StCellOfEquirect(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.length == 3, "st_cellOfEquirect(lon,lat,level)")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_cellofequirect"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val lon = vs(0).asInstanceOf[Double]
+    val lat = vs(1).asInstanceOf[Double]
+    val level = vs(2).asInstanceOf[Int]
+    val n = (1L << level).toDouble
+    def clamp(v: Long): Long = math.max(0L, math.min((1L << level) - 1, v))
+    val ix = clamp(math.floor((lon + 180.0) / 360.0 * n).toLong)
+    val iy = clamp(math.floor((85.0 - lat) / 170.0 * n).toLong)
+    Cell.pack(level, ix, iy)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** Decode a cell id's X index (Morton de-interleave). */
+case class StCellIx(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_cellix"
+  override def nullSafeEval(v: Any): Any = Cell.ixOf(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Decode a cell id's Y index. */
+case class StCellIy(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_celliy"
+  override def nullSafeEval(v: Any): Any = Cell.iyOf(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** st_cellGeom(cell) -> WKB polygon of the cell's lon/lat bounds. */
 case class StCellGeom(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

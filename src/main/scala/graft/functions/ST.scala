@@ -114,6 +114,10 @@ object ST {
   def st_cellRing(cell: Column, k: Column): Column = col(StCellRing(ex(cell), ex(k)))
   def st_cellGeom(cell: Column): Column = col(StCellGeom(ex(cell)))
   def st_cellOf(lon: Column, lat: Column, level: Int): Column = st_cellOf(lon, lat, lit(level))
+  def st_cellOfEquirect(lon: Column, lat: Column, level: Column): Column =
+    col(StCellOfEquirect(Seq(ex(lon), ex(lat), ex(level))))
+  def st_cellIx(cell: Column): Column = col(StCellIx(ex(cell)))
+  def st_cellIy(cell: Column): Column = col(StCellIy(ex(cell)))
 
   // ------------------------------------------------------- aggregators
 
@@ -218,6 +222,9 @@ object ST {
     reg1("st_relatematch") { es => StRelateMatch(es(0), es(1)) }
     reg1("st_exactequals") { es => StExactEquals(es) }
     reg1("st_cellof") { es => StCellOf(es) }
+    reg1("st_cellofequirect") { es => StCellOfEquirect(es) }
+    reg1("st_cellix") { es => StCellIx(es.head) }
+    reg1("st_celliy") { es => StCellIy(es.head) }
     reg1("st_cellcover") { es => StCellCover(es(0), es(1)) }
     reg1("st_cellring") { es => StCellRing(es(0), es(1)) }
     reg1("st_cellgeom") { es => StCellGeom(es.head) }

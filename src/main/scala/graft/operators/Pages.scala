@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthesis of the Common-Crawl-style pages table from
+  * BASELINE.json's input_hint: (url string, warc_ts timestamp,
+  * html binary, text string, lang string) plus derived lon/lat.
+  *
+  * Everything is pure Column arithmetic over spark.range (codegen'd,
+  * no UDFs, no RNG): page i's attributes are splitmix64-style integer
+  * mixes of i, so any executor regenerates identical rows — the
+  * idempotent-resume property the north rule asks for comes free.
+  *
+  * Spatial skew is intentional: ~50% of pages geotag into a handful of
+  * "urban" hotspots (hot cells for the salting/AQE paths); the rest
+  * spread uniformly.
+  */
+object Pages {
+
+  /** LCG step as Column ops. Chosen to be (a) overflow-free under ANSI
+    * mode for inputs < 2^31 (max product ~2.4e18 < Long.Max) and (b)
+    * reproducible in DuckDB with identical integer arithmetic, so the
+    * oracle can re-derive every synthetic attribute.
+    */
+  private def lcg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+
+  /** City hotspots (lon, lat) — fixed, public coordinates. */
+  val cities: Seq[(Double, Double)] = Seq(
+    (-74.0, 40.7), (-0.1, 51.5), (139.7, 35.7), (2.35, 48.85), (116.4, 39.9),
+    (-122.4, 37.8), (151.2, -33.9), (-43.2, -22.9), (77.2, 28.6), (37.6, 55.75),
+    (13.4, 52.5), (-99.1, 19.4), (103.85, 1.3), (28.0, -26.2), (-87.6, 41.9),
+    (126.98, 37.57), (72.88, 19.07), (31.2, 30.05), (-58.4, -34.6), (100.5, 13.75))
+
+  def pages(spark: SparkSession, n: Long): DataFrame = {
+    val langs = array(Seq("en", "de", "fr", "es", "ja", "zh", "pt", "ru").map(lit): _*)
+    val cityLon = array(cities.map(c => lit(c._1)): _*)
+    val cityLat = array(cities.map(c => lit(c._2)): _*)
+
+    val df0 = spark.range(n).toDF("page_id")
+    // page_id stays < 2^31 for the supported synth sizes; chain two LCG
+    // steps for two independent-looking streams
+    val df = df0
+      .withColumn("__h", lcg(col("page_id") % lit(2147483648L)))
+      .withColumn("__h2", lcg(col("__h")))
+    val h = col("__h"); val h2 = col("__h2")
+    val hot = h % lit(100L) < 50 // 50% of pages in hotspots
+    val cityIdx = (h2 % lit(cities.length.toLong)).cast("int")
+    // jitter within ~0.5 deg of the city center; uniform elsewhere.
+    // Offsets are exact binary fractions (k / 65536) for oracle parity.
+    val jLon = ((h % lit(65536L)).cast("double") - 32768.0) / 65536.0
+    val jLat = ((h2 % lit(65536L)).cast("double") - 32768.0) / 65536.0
+    val uLon = ((h % lit(360 * 64L)).cast("double") / 64.0) - 180.0
+    val uLat = ((h2 % lit(170 * 64L)).cast("double") / 64.0) - 85.0
+
+    df.withColumn("url",
+        concat(lit("https://site-"), (h % lit(10000L)).cast("string"),
+          lit(".example/page/"), col("page_id").cast("string")))
+      .withColumn("warc_ts",
+        timestamp_seconds(lit(1704067200L) + h2 % lit(31536000L))) // within 2024
+      .withColumn("lang", element_at(langs, (h % lit(8L) + 1).cast("int")))
+      .withColumn("text",
+        concat(lit("page "), col("page_id").cast("string"), lit(" corpus "),
+          (h2 % lit(1000L)).cast("string"), lit(" body"),
+          repeat(lit(" lorem"), (h % lit(16L)).cast("int") + 1)))
+      .withColumn("html",
+        to_binary(concat(lit("<html><body>"), col("text"), lit("</body></html>")), lit("utf-8")))
+      .withColumn("lon", when(hot, element_at(cityLon, cityIdx + 1) + jLon).otherwise(uLon))
+      .withColumn("lat", when(hot, element_at(cityLat, cityIdx + 1) + jLat).otherwise(uLat))
+      .drop("__h", "__h2")
+  }
+
+  /** Region polygons (axis-aligned boxes around each city + a coarse
+    * world grid) as a broadcast-able dimension table.
+    */
+  def regions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cityBoxes = cities.zipWithIndex.map { case ((lon, lat), i) =>
+      (i.toLong, s"city_$i",
+        s"POLYGON(($lon ${lat - 1},${lon + 1} ${lat - 1},${lon + 1} ${lat + 1},$lon ${lat + 1},$lon ${lat - 1}))")
+    }
+    val grid = for {
+      gx <- 0 until 12; gy <- 0 until 6
+    } yield {
+      val w = -180.0 + gx * 30; val s = -90.0 + gy * 30
+      (1000L + gx * 6 + gy, s"grid_${gx}_$gy",
+        s"POLYGON(($w $s,${w + 30} $s,${w + 30} ${s + 30},$w ${s + 30},$w $s))")
+    }
+    (cityBoxes ++ grid).toDF("region_id", "region_name", "wkt")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language-ID heuristic, quality scoring, document
+  * fingerprinting. All pure Column expressions (codegen'd, no UDFs) so
+  * they survive 100-TB scans; the DuckDB oracle can replicate each via
+  * plain SQL.
+  */
+object TextOps {
+
+  /** Oracle-safe 6-dp truncation: floor(x*1e6)/1e6 is bit-identical in
+    * Spark and DuckDB (plain IEEE ops), unlike round(x, 6) whose
+    * half-way handling differs between engines.
+    */
+  def r6 = floor6 _
+  def floor6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
+
+  /** Whitespace token count. Empty/blank strings count 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-chunks plus digit/punct runs.
+    * Cheap deterministic proxy for a tokenizer's token count.
+    */
+  def subwordCountEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword tables for the n-gram/stopword language heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"),
+    "pt" -> Seq("o", "a", "os", "e", "um", "uma", "para", "com", "nao", "mais"),
+    "ru" -> Seq("i", "v", "ne", "na", "chto", "eto", "kak", "po", "iz", "za"))
+
+  /** Language-ID: argmax over per-language stopword hits; "und"
+    * (undetermined) when nothing matches. Ties break by language code
+    * order for determinism.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "[^a-z]+")
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(array_intersect(toks, array(words.map(lit): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality score in [0,1]: blends length, alpha ratio, punct ratio,
+    * mean word length sanity. Deterministic, oracle-replicable.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val punctPenalty = when(len > 0, least(punct / len * 10.0, lit(1.0))).otherwise(lit(0.0))
+    val wordLenOk = when(toks > 0, when((len / toks).between(3.0, 12.0), 1.0).otherwise(0.5))
+      .otherwise(lit(0.0))
+    floor6(lenScore * 0.25 + alphaRatio * 0.35 + (lit(1.0) - punctPenalty) * 0.15 +
+      wordLenOk * 0.25)
+  }
+
+  /** Polynomial rolling-hash fingerprint over whitespace tokens:
+    * fp = sum(tokHash_i * 31^(n-1-i)) in Long-modulo arithmetic, where
+    * tokHash = Java String.hashCode-compatible 32-bit hash. Replicable
+    * in DuckDB via the same integer recurrence.
+    */
+  def fingerprint(text: Column): Column = {
+    // fold tokens with fp = fp*31 + hash(token), all mod 2^31 to stay
+    // overflow-free under ANSI mode and DuckDB-replicable
+    val toks = split(trim(text), "\\s+")
+    aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => (acc * 31L + crc32(to_binary(t, lit("utf-8"))) % lit(1048576L)) % lit(2147483648L)
+    )
+  }
+
+  /** n-char shingle set (lowercased, whitespace-normalized). */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val len = length(norm)
+    when(len < n, array(norm))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), len - n + 1),
+        i => norm.substr(i, lit(n)))))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val m = size(toks)
+    when(m < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), m - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}
