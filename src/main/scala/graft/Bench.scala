@@ -1,24 +1,134 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ST
+import graft.functions.ST._
+import graft.operators.{Pages, SpatialJoins}
+
+/** Benchmark harness.
+  *
+  * 1. Times every SparkEntry query at SPARK_GRAFT_SF_DIR on
+  *    local[SPARK_GRAFT_CPUS].
+  * 2. Runs the flagship spatial-join + tile-assignment job over the
+  *    synthesized pages table at TWO parallelism levels (cores N/4 and
+  *    N) on identical input — the in-sandbox stand-in for the north
+  *    rule's N vs 4N executor scaling — and reports rows/sec at both
+  *    plus scaling efficiency. Also writes BENCH.md.
+  *
+  * Prints exactly ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    ST.registerAll(s)
+    s
+  }
+
+  /** The flagship 100-TB-shaped job, parameterized by page count:
+    * geotag pages, broadcast-prepared spatial join to regions,
+    * per-region counts, plus point->cell tile assignment counts.
+    * Returns total output rows touched (forces both jobs).
+    */
+  private def flagship(spark: SparkSession, nPages: Long): Long = {
+    val pages = Pages.pages(spark, nPages)
+      .select(col("page_id"), col("lon"), col("lat"))
+      .withColumn("pt", st_point(col("lon"), col("lat")))
+    val regions = Pages.regions(spark)
+      .withColumn("geom", st_geomFromWKT(col("wkt")))
+    val joined = SpatialJoins.broadcastSpatialJoin(
+      pages, col("pt"), regions, "geom", pred = "contains")
+      .groupBy(col("region_id")).agg(count(lit(1)).as("n"))
+    val r1 = joined.count()
+    val tiles = Pages.pages(spark, nPages)
+      .withColumn("cell", st_cellOf(col("lon"), col("lat"), lit(12)))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val r2 = tiles.count()
+    r1 + r2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "4000000").toLong
+
+    // ---- per-query timings at full parallelism
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, secs, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- scaling: same flagship input at cores/4 vs cores.
+    // min of 3 reps per level: robust to JIT/codegen first-run cost and
+    // hypervisor noise, which is what a cluster-level throughput number
+    // would average away.
+    val lowCores = math.max(2, cpus / 4)
+    def minOf3(s: SparkSession): Double = {
+      flagship(s, math.max(10000L, nPages / 20)) // warm-up
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        flagship(s, nPages)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val hiSecs = minOf3(spark)
     spark.stop()
+    val sparkLo = session(lowCores)
+    val loSecs = minOf3(sparkLo)
+    sparkLo.stop()
+
+    val rateHi = nPages / hiSecs
+    val rateLo = nPages / loSecs
+    val coreRatio = cpus.toDouble / lowCores
+    val efficiency = (rateHi / rateLo) / coreRatio
+
+    def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""flagship_pages":$nPages,""" +
+        s""""throughput_rows_per_sec_${cpus}cores":${rateHi.toLong},""" +
+        s""""throughput_rows_per_sec_${lowCores}cores":${rateLo.toLong},""" +
+        s""""scaling_efficiency_${lowCores}to$cpus":${d3(efficiency)}}"""
+    println(json)
+
+    // BENCH.md: human-readable scaling evidence
+    val md =
+      f"""# BENCH — spatial-join + tile-assignment throughput
+         |
+         |Flagship job: synthesize $nPages%,d Common-Crawl-style pages
+         |(deterministic, 50%% skewed into 20 urban hotspots), geotag,
+         |broadcast-prepared-R-tree `st_contains` join against 140 region
+         |polygons with per-region counts, plus Z-order level-12 tile
+         |assignment with per-cell counts. Same input at both parallelism
+         |levels (stand-in for N vs 4N executors).
+         |
+         || cores | wall secs | rows/sec |
+         ||---|---|---|
+         || $lowCores | $loSecs%.2f | ${rateLo.toLong}%,d |
+         || $cpus | $hiSecs%.2f | ${rateHi.toLong}%,d |
+         |
+         |Scaling efficiency ($lowCores -> $cpus cores, ratio ${coreRatio.toInt}x):
+         |**$efficiency%.3f** (gate: >= 0.8)
+         |
+         |Per-query timings (sf dir $sfDir) are in the driver's
+         |BENCH_r{N}.json line emitted by this main.
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
   }
 }

@@ -46,6 +46,14 @@ object Intersects {
   def intersects(a: Geom, b: Geom): Boolean = {
     if (a.isEmpty || b.isEmpty) return false
     if (!a.envelope.intersects(b.envelope)) return false
+    // single-point fast path (the dominant join probe shape)
+    (a, b) match {
+      case (p: GPoint, other @ (_: GPoly | _: GMPoly)) =>
+        return Alg.pointInAreal(other, p.x, p.y) >= 0
+      case (other @ (_: GPoly | _: GMPoly), p: GPoint) =>
+        return Alg.pointInAreal(other, p.x, p.y) >= 0
+      case _ =>
+    }
     val fa = flatten(a)
     val fb = flatten(b)
 

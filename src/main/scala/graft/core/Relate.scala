@@ -499,6 +499,20 @@ object Relate {
 
   // ------------------------------------------------- named predicates
 
+  /** Fast paths for the overwhelmingly common join shapes: a single
+    * point probed against an areal build side (the reference's own
+    * fast path layering: geom/alg_intersects.go full type dispatch
+    * before falling back to RelateNG). Returns -2 when no fast path
+    * applies; otherwise the point location (-1/0/1) vs the areal.
+    */
+  @inline private def pointVsAreal(pt: Geom, other: Geom): Int = pt match {
+    case p: GPoint if !p.isEmpty => other match {
+      case _: GPoly | _: GMPoly => Alg.pointInAreal(other, p.x, p.y)
+      case _ => -2
+    }
+    case _ => -2
+  }
+
   /** (reference: geom/alg_relate.go:102-232) */
   def equalsTopo(a: Geom, b: Geom): Boolean = {
     if (a.isEmpty && b.isEmpty) return true
@@ -511,14 +525,26 @@ object Relate {
     val m = relate(a, b)
     matches(m, "FT*******") || matches(m, "F**T*****") || matches(m, "F***T****")
   }
-  def contains(a: Geom, b: Geom): Boolean = matches(relate(a, b), "T*****FF*")
-  def within(a: Geom, b: Geom): Boolean = matches(relate(a, b), "T*F**F***")
+  def contains(a: Geom, b: Geom): Boolean = {
+    val loc = pointVsAreal(b, a)
+    if (loc != -2) return loc == 1 // point interior to areal; boundary/exterior fail T*****FF*
+    matches(relate(a, b), "T*****FF*")
+  }
+  def within(a: Geom, b: Geom): Boolean = {
+    val loc = pointVsAreal(a, b)
+    if (loc != -2) return loc == 1
+    matches(relate(a, b), "T*F**F***")
+  }
   def covers(a: Geom, b: Geom): Boolean = {
+    val loc = pointVsAreal(b, a)
+    if (loc != -2) return loc >= 0 // interior or boundary
     val m = relate(a, b)
     matches(m, "T*****FF*") || matches(m, "*T****FF*") ||
       matches(m, "***T**FF*") || matches(m, "****T*FF*")
   }
   def coveredBy(a: Geom, b: Geom): Boolean = {
+    val loc = pointVsAreal(a, b)
+    if (loc != -2) return loc >= 0
     val m = relate(a, b)
     matches(m, "T*F**F***") || matches(m, "*TF**F***") ||
       matches(m, "**FT*F***") || matches(m, "**F*TF***")

@@ -56,8 +56,12 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 24, bands: Int = 8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
+    // cache: the signature column feeds 8 band expressions and both join
+    // sides — without a materialization barrier Catalyst would inline
+    // (and re-evaluate) the whole minhash tree at every use site.
+    // At petabyte scale this would be a parquet checkpoint instead.
     val withSig = df.select(col(keyCol).as("__key"),
-      minhashSignature(col(textCol), shingleN, k).as("__sig"))
+      minhashSignature(col(textCol), shingleN, k).as("__sig")).cache()
     val banded = withSig.select(col("__key"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -81,7 +85,7 @@ object Dedup {
                       k: Int = 24, bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(df, textCol, keyCol, shingleN, k, bands)
     val sh = df.select(col(keyCol).as("__k"),
-      TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
+      TextOps.wordShingles(col(textCol), shingleN).as("__sh")).cache()
     cands
       .join(sh.withColumnRenamed("__k", "key_a").withColumnRenamed("__sh", "sh_a"), "key_a")
       .join(sh.withColumnRenamed("__k", "key_b").withColumnRenamed("__sh", "sh_b"), "key_b")
@@ -100,7 +104,7 @@ object Dedup {
   def jaccardPairsExact(df: DataFrame, textCol: String, keyCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
     val sh = df.select(col(keyCol).as("__k"),
-      TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
+      TextOps.wordShingles(col(textCol), shingleN).as("__sh")).cache()
     val inv = sh.select(col("__k"), explode(col("__sh")).as("s"))
     val pairs = inv.as("a").join(inv.as("b"), col("a.s") === col("b.s"))
       .filter(col("a.__k") < col("b.__k"))
@@ -116,20 +120,24 @@ object Dedup {
       .select(col("key_a"), col("key_b"), TextOps.floor6(col("jaccard")).as("jaccard"))
   }
 
-  /** 32-bit SimHash over word tokens (crc32 token hashes; bit votes via
-    * higher-order aggregate — no UDF).
+  /** 32-bit SimHash per document as a relational plan: explode distinct
+    * word tokens, crc32-hash them, take 32 per-bit majority votes in
+    * ONE groupBy (a single map-side-combinable aggregation) — instead
+    * of a 32-aggregate megalith expression, which blows up codegen.
+    * Returns (keyCol, simhash Long).
     */
-  def simhash(text: Column): Column = {
-    val toks = TextOps.wordShingles(text, 1)
-    val hs = transform(toks, t => crc32(to_binary(t, lit("utf-8"))))
-    // for each of 32 bits: count votes; bit set if votes*2 >= n
-    val n = size(hs)
-    val bits = (0 until 32).map { b =>
-      val votes = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftright(h, b) % lit(2L))
-      when(votes * 2 >= n.cast("long"), lit(1L) * lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  def simhashDF(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val toks = df.select(col(keyCol).as("__key"),
+        explode(TextOps.wordShingles(col(textCol), 1)).as("__tok"))
+      .withColumn("__h", crc32(to_binary(col("__tok"), lit("utf-8"))))
+    val bitSums = (0 until 32).map(b =>
+      sum(shiftright(col("__h"), b) % 2L).as(s"__b$b"))
+    val aggs = count(lit(1)).as("__n") +: bitSums
+    val counted = toks.groupBy(col("__key")).agg(aggs.head, aggs.tail: _*)
+    val simCol = (0 until 32).map(b =>
+      when(col(s"__b$b") * 2 >= col("__n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    counted.select(col("__key"), simCol.as("__sim"))
   }
 
   /** SimHash near-dup pairs: block on 8-bit chunks (any equal chunk is
@@ -138,7 +146,7 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, textCol: String, keyCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(keyCol).as("__key"), simhash(col(textCol)).as("__sim"))
+    val withSig = simhashDF(df, textCol, keyCol)
     val chunks = withSig.select(col("__key"), col("__sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), (shiftright(col("__sim"), c * 8) % lit(256L)).as("chunk"))): _*))
