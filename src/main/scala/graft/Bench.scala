@@ -68,6 +68,7 @@ object Bench {
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name: $secs%.2f s ($n rows)")
       (name, secs, n)
     }
 

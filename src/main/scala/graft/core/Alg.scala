@@ -247,6 +247,36 @@ object Alg {
       math.min(distPointSeg(cx, cy, ax, ay, bx, by), distPointSeg(dx, dy, ax, ay, bx, by)))
   }
 
+  /** Robust ring orientation: CCW iff the turn at the lexicographically
+    * smallest vertex is a left turn (robust orient, immune to the
+    * near-zero shoelace cancellation that flips sliver rings).
+    */
+  def ringIsCCW(r: Seqn): Boolean = {
+    val n0 = r.n
+    if (n0 < 4) return signedRingArea(r) > 0
+    val n = n0 - 1 // ignore duplicated closing vertex
+    var m = 0
+    var i = 1
+    while (i < n) {
+      if (r.y(i) < r.y(m) || (r.y(i) == r.y(m) && r.x(i) < r.x(m))) m = i
+      i += 1
+    }
+    // previous distinct vertex
+    var pi = (m + n - 1) % n
+    var guard = 0
+    while ((r.x(pi) == r.x(m) && r.y(pi) == r.y(m)) && guard < n) {
+      pi = (pi + n - 1) % n; guard += 1
+    }
+    var ni = (m + 1) % n
+    guard = 0
+    while ((r.x(ni) == r.x(m) && r.y(ni) == r.y(m)) && guard < n) {
+      ni = (ni + 1) % n; guard += 1
+    }
+    val o = orient(r.x(pi), r.y(pi), r.x(m), r.y(m), r.x(ni), r.y(ni))
+    if (o != 0) o > 0
+    else signedRingArea(r) > 0 // fully collinear fallback
+  }
+
   /** Signed area of a ring (shoelace/2); CCW positive
     * (reference: geom/type_polygon.go:416 signedAreaOfLinearRing).
     */

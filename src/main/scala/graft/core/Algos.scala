@@ -333,7 +333,7 @@ object Algos {
   }
 
   /** Ring orientation helpers (reference: geom/type_geometry.go:682-743). */
-  def isRingCCW(r: Seqn): Boolean = Alg.signedRingArea(r) > 0
+  def isRingCCW(r: Seqn): Boolean = Alg.ringIsCCW(r)
 
   /** Force shell CW/CCW with holes opposite
     * (reference ForceCW/ForceCCW semantics).

@@ -51,13 +51,36 @@ object Measure {
   def centroid(g: Geom): Option[(Double, Double)] = {
     val (sx2, sy2, w2) = arealCentroidSum(g)
     if (w2 > 0) return Some((sx2 / w2, sy2 / w2))
-    val (sx1, sy1, w1) = linearCentroidSum(g)
+    // zero-area degenerate areal input: fall back to the length-weighted
+    // centroid over lines INCLUDING polygon rings treated as lines
+    // (JTS-compatible degenerate behavior; see TestCentroid.xml
+    // "invalid box" / "degenerate box" cases)
+    val (sx1, sy1, w1) = linearCentroidSum(withRingsAsLines(g))
     if (w1 > 0) return Some((sx1 / w1, sy1 / w1))
-    val (sx0, sy0, n0) = pointCentroidSum(g)
-    if (n0 > 0) return Some((sx0 / n0, sy0 / n0))
-    // degenerate linear (zero length): average of vertices
-    val (vx, vy, vn) = vertexSum(g)
-    if (vn > 0) Some((vx / vn, vy / vn)) else None
+    // fully degenerate: average of point components plus the FIRST
+    // vertex of each zero-length line / ring (JTS Centroid's
+    // addLineSegments degenerate fallback)
+    var sx0 = 0.0; var sy0 = 0.0; var n0 = 0
+    def addPt(x: Double, y: Double): Unit = { sx0 += x; sy0 += y; n0 += 1 }
+    def walk(gg: Geom): Unit = gg match {
+      case p: GPoint => if (!p.isEmpty) addPt(p.x, p.y)
+      case GMPoint(ps, _) => ps.foreach(walk)
+      case GLine(s) => if (s.n > 0) addPt(s.x(0), s.y(0))
+      case GMLine(ls, _) => ls.foreach(s => if (s.n > 0) addPt(s.x(0), s.y(0)))
+      case GPoly(rs, _) => rs.foreach(r => if (r.n > 0) addPt(r.x(0), r.y(0)))
+      case GMPoly(ps, _) => ps.foreach(_.foreach(r => if (r.n > 0) addPt(r.x(0), r.y(0))))
+      case GColl(gs, _) => gs.foreach(walk)
+    }
+    walk(g)
+    if (n0 > 0) Some((sx0 / n0, sy0 / n0)) else None
+  }
+
+  /** Rewrites areal parts as their rings-as-lines, keeping other parts. */
+  private def withRingsAsLines(g: Geom): Geom = g match {
+    case GPoly(rings, ct) => GMLine(rings, ct)
+    case GMPoly(ps, ct) => GMLine(ps.flatten, ct)
+    case GColl(gs, ct) => GColl(gs.map(withRingsAsLines), ct)
+    case other => other
   }
 
   /** (sum(cx*area), sum(cy*area), sum(area)) over areal parts using the
@@ -66,26 +89,33 @@ object Measure {
   private def arealCentroidSum(g: Geom): (Double, Double, Double) = g match {
     case GPoly(rings, _) =>
       var sx = 0.0; var sy = 0.0; var sa = 0.0
+      // offset origin to the polygon's first vertex before the shoelace
+      // sums — the standard numerical-stability trick for thin/remote
+      // polygons (matches JTS Centroid's setAreaBasePoint behavior)
+      val bx = if (rings.nonEmpty && rings(0).n > 0) rings(0).x(0) else 0.0
+      val by = if (rings.nonEmpty && rings(0).n > 0) rings(0).y(0) else 0.0
       var i = 0
       while (i < rings.length) {
         val r = rings(i)
-        var cx = 0.0; var cy = 0.0
-        var a = Alg.signedRingArea(r)
+        var cx = 0.0; var cy = 0.0; var a2 = 0.0
         var j = 0
         while (j < r.n - 1) {
-          val cross = r.x(j) * r.y(j + 1) - r.x(j + 1) * r.y(j)
-          cx += (r.x(j) + r.x(j + 1)) * cross
-          cy += (r.y(j) + r.y(j + 1)) * cross
+          val x1 = r.x(j) - bx; val y1 = r.y(j) - by
+          val x2 = r.x(j + 1) - bx; val y2 = r.y(j + 1) - by
+          val cross = x1 * y2 - x2 * y1
+          a2 += cross
+          cx += (x1 + x2) * cross
+          cy += (y1 + y2) * cross
           j += 1
         }
+        val a = a2 / 2.0
         // ring centroid * ring area, sign-corrected: shell positive,
         // holes negative regardless of stored winding
         val aAbs = math.abs(a)
         val sign = if (i == 0) 1.0 else -1.0
         if (a != 0) {
-          // cx/(6a) is the centroid; multiply by |a| and orientation sign
-          sx += sign * (cx / (6.0 * a)) * aAbs
-          sy += sign * (cy / (6.0 * a)) * aAbs
+          sx += sign * (bx + cx / (6.0 * a)) * aAbs
+          sy += sign * (by + cy / (6.0 * a)) * aAbs
           sa += sign * aAbs
         }
         i += 1

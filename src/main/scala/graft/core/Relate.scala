@@ -136,7 +136,7 @@ object Relate {
     val out = mutable.ArrayBuffer.empty[(Seg, Boolean)]
     for (p <- polys; k <- p.rings.indices) {
       val r = p.rings(k)
-      val ccw = Alg.signedRingArea(r) > 0
+      val ccw = Alg.ringIsCCW(r)
       val interiorLeft = (k == 0) == ccw
       var i = 0
       while (i < r.n - 1) {
@@ -228,19 +228,38 @@ object Relate {
     false
   }
 
+  /** Tolerant variant for midpoints of FLOATING-NODED pieces: a piece
+    * endpoint produced by crossingPoint carries ~ulp-scale error, so
+    * its midpoint can sit epsilon off the underlying segment. eps is
+    * relative to coordinate magnitude.
+    */
+  private def nearAnySeg(segs: Array[Seg], px: Double, py: Double): Boolean = {
+    val eps = 1e-9 * math.max(1.0, math.max(math.abs(px), math.abs(py)))
+    var i = 0
+    while (i < segs.length) {
+      val s = segs(i)
+      if (Alg.distPointSeg(px, py, s.x1, s.y1, s.x2, s.y2) <= eps) return true
+      i += 1
+    }
+    false
+  }
+
   /** Interior side of areal geometry at a boundary point (mx,my) wrt
     * direction (dx,dy): +1 left, -1 right, 0 not found / ambiguous.
     */
   private def interiorSideAt(ringSegs: Array[(Seg, Boolean)],
                              mx: Double, my: Double, dx: Double, dy: Double): Int = {
+    val eps = 1e-9 * math.max(1.0, math.max(math.abs(mx), math.abs(my)))
     var i = 0
     while (i < ringSegs.length) {
       val (s, interiorLeft) = ringSegs(i)
-      if (Alg.onSegment(s.x1, s.y1, s.x2, s.y2, mx, my)) {
+      if (Alg.distPointSeg(mx, my, s.x1, s.y1, s.x2, s.y2) <= eps) {
         val sx = s.x2 - s.x1; val sy = s.y2 - s.y1
         val cross = sx * dy - sy * dx
-        if (cross == 0) { // collinear with piece
-          val aligned = sx * dx + sy * dy > 0
+        // direction parallelism with relative tolerance
+        val dot = sx * dx + sy * dy
+        if (math.abs(cross) <= 1e-9 * math.abs(dot) || cross == 0) {
+          val aligned = dot > 0
           val left = if (aligned) interiorLeft else !interiorLeft
           return if (left) 1 else -1
         }
@@ -364,11 +383,11 @@ object Relate {
 
     var aOn = false; var aOff = false
     for (p <- piecesA) {
-      if (onAnySeg(segsB, p.mx, p.my)) aOn = true else aOff = true
+      if (nearAnySeg(segsB, p.mx, p.my)) aOn = true else aOff = true
     }
     var bOn = false; var bOff = false
     for (p <- piecesB) {
-      if (onAnySeg(segsA, p.mx, p.my)) bOn = true else bOff = true
+      if (nearAnySeg(segsA, p.mx, p.my)) bOn = true else bOff = true
     }
     if (aOn) m(II) = '1'
     if (aOff) m(IE) = '1'
@@ -410,7 +429,9 @@ object Relate {
 
     var anyOnBoundary = false
     for (p <- piecesA) {
-      locB(p.mx, p.my) match {
+      val loc0 = locB(p.mx, p.my)
+      val loc = if (loc0 != 0 && nearAnySeg(ringSegsB, p.mx, p.my)) 0 else loc0
+      loc match {
         case 1  => m(II) = '1'
         case 0  => m(IB) = '1'; anyOnBoundary = true
         case -1 => m(IE) = '1'
@@ -430,7 +451,7 @@ object Relate {
     // does A cover any/all of B's boundary?
     var ringOff = false
     for (p <- piecesB) {
-      if (!onAnySeg(segsA, p.mx, p.my)) ringOff = true
+      if (!nearAnySeg(segsA, p.mx, p.my)) ringOff = true
     }
     if (ringOff) m(EB) = '1'
     new String(m)
@@ -445,7 +466,11 @@ object Relate {
     val piecesA = nodePieces(ringsA, segsB, contacts)
     val piecesB = nodePieces(ringsB, segsA, contacts)
 
-    def locIn(polys: Array[GPoly], x: Double, y: Double): Int = {
+    // eps-aware: a noded piece midpoint carries rounding error both from
+    // floating noding and from the (x1+x2)/2 itself, so "exactly on the
+    // boundary" must tolerate ~ulp-scale distance
+    def locIn(polys: Array[GPoly], ringSegs: Array[(Seg, Boolean)],
+              x: Double, y: Double): Int = {
       var best = -1
       var i = 0
       while (i < polys.length && best != 1) {
@@ -453,13 +478,13 @@ object Relate {
         if (l > best) best = l
         i += 1
       }
-      best
+      if (best != 0 && nearAnySeg(ringSegs.map(_._1), x, y)) 0 else best
     }
 
     var aIn = false; var aOn = false; var aOut = false
     var onSameSide = false; var onOppSide = false
     for (p <- piecesA) {
-      locIn(pb.polys, p.mx, p.my) match {
+      locIn(pb.polys, ringsB, p.mx, p.my) match {
         case 1 => aIn = true
         case -1 => aOut = true
         case 0 =>
@@ -474,7 +499,7 @@ object Relate {
     }
     var bIn = false; var bOut = false
     for (p <- piecesB) {
-      locIn(pa.polys, p.mx, p.my) match {
+      locIn(pa.polys, ringsA, p.mx, p.my) match {
         case 1 => bIn = true
         case -1 => bOut = true
         case 0 =>

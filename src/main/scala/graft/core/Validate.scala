@@ -55,11 +55,29 @@ object Validate {
     else None
   }
 
-  private def ringReason(r: Seqn): Option[String] = {
-    lineReason(r).foreach(rr => return Some(rr))
-    if (r.n < 4) return Some("ring must have at least 4 points")
-    if (r.x(0) != r.x(r.n - 1) || r.y(0) != r.y(r.n - 1))
+  /** Drop consecutive duplicate vertices (repeated points are valid in
+    * rings per OGC/JTS; they must not trip the simplicity scan).
+    */
+  private[core] def dedupRing(r: Seqn): Seqn = {
+    if (r.n == 0) return r
+    val buf = new mutable.ArrayBuilder.ofDouble
+    var lastX = Double.NaN; var lastY = Double.NaN
+    var i = 0
+    while (i < r.n) {
+      val x = r.x(i); val y = r.y(i)
+      if (i == 0 || x != lastX || y != lastY) { buf += x; buf += y }
+      lastX = x; lastY = y
+      i += 1
+    }
+    new Seqn(buf.result(), CT.XY)
+  }
+
+  private def ringReason(r0: Seqn): Option[String] = {
+    lineReason(r0).foreach(rr => return Some(rr))
+    if (r0.x(0) != r0.x(r0.n - 1) || r0.y(0) != r0.y(r0.n - 1))
       return Some("ring must be closed")
+    val r = dedupRing(r0)
+    if (r.n < 4) return Some("ring must have at least 4 points")
     if (!ringIsSimple(r)) return Some("ring must not self-intersect")
     None
   }
@@ -111,17 +129,24 @@ object Validate {
     */
   private def polyReason(rings: Array[Seqn]): Option[String] = {
     for (r <- rings) ringReason(r).foreach(x => return Some(x))
-    val shell = rings(0)
+    val deduped = rings.map(dedupRing)
+    val shell = deduped(0)
     val shellPoly = GPoly(Array(shell), CT.XY)
-    // ring-pair constraints + touch graph
-    val touchEdges = mutable.ArrayBuffer.empty[(Int, Int)]
+    // ring-pair constraints + bipartite touch graph: nodes are rings AND
+    // touch points; a cycle disconnects the interior
+    // (reference: geom/type_polygon.go:102-148 + graph.go)
+    val touchPoints = mutable.LinkedHashMap.empty[(Double, Double), Int]
+    val touchEdges = mutable.LinkedHashSet.empty[(Int, Int)] // (ringId, pointNodeId)
     var i = 0
-    while (i < rings.length) {
+    while (i < deduped.length) {
       var j = i + 1
-      while (j < rings.length) {
-        ringPairTouch(rings(i), rings(j)) match {
+      while (j < deduped.length) {
+        ringPairTouch(deduped(i), deduped(j)) match {
           case RingPair.Crosses => return Some("polygon rings must not intersect at more than one point")
-          case RingPair.TouchAt(_) => touchEdges += ((i, j))
+          case RingPair.TouchAt(pt) =>
+            val pid = touchPoints.getOrElseUpdate(pt, deduped.length + touchPoints.size)
+            touchEdges += ((i, pid))
+            touchEdges += ((j, pid))
           case RingPair.NoTouch =>
         }
         j += 1
@@ -130,8 +155,8 @@ object Validate {
     }
     // holes inside shell
     i = 1
-    while (i < rings.length) {
-      val h = rings(i)
+    while (i < deduped.length) {
+      val h = deduped(i)
       var inside = false
       var k = 0
       while (k < h.n - 1 && !inside) {
@@ -143,8 +168,33 @@ object Validate {
       // all points on shell boundary would also be a multi-touch, caught above
       i += 1
     }
-    // connectivity: touch graph over rings must be acyclic
-    if (hasCycle(rings.length, touchEdges.toSeq)) Some("polygon interior must be connected")
+    // holes must not nest inside each other (reference:
+    // type_polygon.go:88-98 violateRingNested, extended to scan past
+    // shared boundary points)
+    i = 1
+    while (i < deduped.length) {
+      var j = 1
+      while (j < deduped.length) {
+        if (i != j && deduped(j).envelope.contains(deduped(i).envelope)) {
+          val hi = deduped(i)
+          var k = 0
+          var decided = false
+          while (k < hi.n - 1 && !decided) {
+            Alg.pointInRing(deduped(j), hi.x(k), hi.y(k)) match {
+              case 1 => return Some("polygon interior rings must not be nested")
+              case -1 => decided = true
+              case _ => // on boundary, try next vertex
+            }
+            k += 1
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // connectivity: bipartite (ring, touch point) graph must be acyclic
+    if (hasCycle(deduped.length + touchPoints.size, touchEdges.toSeq))
+      Some("polygon interior must be connected")
     else None
   }
 

@@ -1,0 +1,202 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+/** Runs the JTS XML test corpus shipped inside the reference repo
+  * (reference: internal/jtsport/xmltest/testdata/general — public JTS
+  * test data, read at test time, nothing copied) against our engine.
+  *
+  * Round-1 scope: the predicate families (relate + named predicates),
+  * distance, centroid, convex hull, boundary. Pass-rate gates are
+  * ratchets: they assert the current supported level and get raised as
+  * the engine grows (overlay/buffer ops land in later phases).
+  */
+class XmlCorpusSpec extends AnyFunSuite {
+
+  private val dir = "/root/reference/internal/jtsport/xmltest/testdata/general"
+
+  private case class Op(name: String, arg1: String, arg2: String,
+                        arg3: String, expected: String)
+  private case class Case(desc: String, a: String, b: String, ops: Seq[Op])
+
+  private val caseRe: Regex = "(?s)<case>(.*?)</case>".r
+  private val aRe: Regex = "(?s)<a>\\s*(.*?)\\s*</a>".r
+  private val bRe: Regex = "(?s)<b>\\s*(.*?)\\s*</b>".r
+  private val descRe: Regex = "(?s)<desc>\\s*(.*?)\\s*</desc>".r
+  private val opRe: Regex = "(?s)<op\\s+([^>]*)>\\s*(.*?)\\s*</op>".r
+  private val attrRe: Regex = "(\\w+)\\s*=\\s*\"([^\"]*)\"".r
+
+  private def parseFile(path: String): Seq[Case] = {
+    val content = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    caseRe.findAllMatchIn(content).map { cm =>
+      val block = cm.group(1)
+      val a = aRe.findFirstMatchIn(block).map(_.group(1)).getOrElse("")
+      val b = bRe.findFirstMatchIn(block).map(_.group(1)).getOrElse("")
+      val desc = descRe.findFirstMatchIn(block).map(_.group(1)).getOrElse("")
+      val ops = opRe.findAllMatchIn(block).map { om =>
+        val attrs = attrRe.findAllMatchIn(om.group(1))
+          .map(m => m.group(1) -> m.group(2)).toMap
+        Op(attrs.getOrElse("name", ""), attrs.getOrElse("arg1", ""),
+          attrs.getOrElse("arg2", ""), attrs.getOrElse("arg3", ""),
+          om.group(2).trim)
+      }.toSeq
+      Case(desc, a, b, ops)
+    }.toSeq
+  }
+
+  private def tryParse(wkt: String): Option[Geom] =
+    try Some(Wkt.parse(wkt.replaceAll("\\s+", " ").trim))
+    catch { case _: Throwable => None }
+
+  /** Run all ops with the given names across files; returns
+    * (passed, failed, skipped, failures-sample).
+    */
+  private def run(files: Seq[String], opNames: Set[String])(
+      check: (Op, Geom, Geom) => Option[Boolean]): (Int, Int, Int, Seq[String]) = {
+    var pass = 0; var fail = 0; var skip = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (f <- files; c <- parseFile(s"$dir/$f");
+         op <- c.ops if opNames.contains(op.name)) {
+      (tryParse(c.a), if (c.b.nonEmpty) tryParse(c.b) else Some(Geom.emptyGC)) match {
+        case (Some(ga0), Some(gb0)) =>
+          // arg order: arg1/arg2 may be "A"/"B" in either order
+          val (ga, gb) =
+            if (op.arg1.equalsIgnoreCase("B")) (gb0, ga0) else (ga0, gb0)
+          try {
+            check(op, ga, gb) match {
+              case Some(true) => pass += 1
+              case Some(false) =>
+                fail += 1
+                if (failures.length < 10)
+                  failures += s"$f :: ${c.desc} :: ${op.name} expected=${op.expected} arg3=${op.arg3}"
+              case None => skip += 1
+            }
+          } catch {
+            case _: UnsupportedOperationException => skip += 1
+            case e: Throwable =>
+              fail += 1
+              if (failures.length < 10)
+                failures += s"$f :: ${c.desc} :: ${op.name} threw ${e.getClass.getSimpleName}: ${e.getMessage}"
+          }
+        case _ => skip += 1
+      }
+    }
+    (pass, fail, skip, failures.toSeq)
+  }
+
+  private def boolExpected(op: Op): Boolean = op.expected.trim.toBoolean
+
+  test("JTS corpus: relate matrices") {
+    val files = Seq("TestRelateAA.xml", "TestRelateLA.xml", "TestRelateLL.xml",
+      "TestRelatePA.xml", "TestRelatePL.xml", "TestRelatePP.xml")
+    val (pass, fail, skip, failures) = run(files, Set("relate")) { (op, a, b) =>
+      Some(Relate.matches(Relate.relate(a, b), op.arg3) == boolExpected(op))
+    }
+    info(s"relate: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 74 && fail == 0, s"relate corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: named predicates") {
+    val files = Seq("TestRelateAA.xml", "TestRelateLA.xml", "TestRelateLL.xml",
+      "TestRelatePA.xml", "TestRelatePL.xml", "TestRelatePP.xml",
+      "TestRectanglePredicate.xml", "TestPreparedPolygonPredicate.xml",
+      "TestPreparedPointPredicate.xml")
+    val preds = Map[String, (Geom, Geom) => Boolean](
+      "intersects" -> Relate.intersects, "contains" -> Relate.contains,
+      "within" -> Relate.within, "covers" -> Relate.covers,
+      "coveredBy" -> Relate.coveredBy, "touches" -> Relate.touches,
+      "overlaps" -> Relate.overlaps, "crosses" -> Relate.crosses,
+      "disjoint" -> Relate.disjoint, "equalsTopo" -> Relate.equalsTopo)
+    val (pass, fail, skip, failures) = run(files, preds.keySet) { (op, a, b) =>
+      Some(preds(op.name)(a, b) == boolExpected(op))
+    }
+    info(s"predicates: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 284 && fail == 0, s"predicate corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: distance") {
+    val files = Seq("TestDistance.xml", "TestWithinDistance.xml")
+    val (pass, fail, skip, failures) = run(files, Set("distance", "isWithinDistance")) {
+      (op, a, b) =>
+        if (a.isEmpty || b.isEmpty) None
+        else op.name match {
+          case "distance" =>
+            val exp = op.expected.toDouble
+            Intersects.distance(a, b).map(d => math.abs(d - exp) <= 1e-9 * math.max(1, exp))
+          case _ =>
+            val d = op.arg3.toDouble
+            Intersects.distance(a, b).map(dd => (dd <= d) == boolExpected(op))
+        }
+    }
+    info(s"distance: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(fail == 0, s"distance corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: centroid") {
+    val (pass, fail, skip, failures) = run(Seq("TestCentroid.xml"), Set("getCentroid")) {
+      (op, a, _) =>
+        val expected = tryParse(op.expected)
+        expected match {
+          case Some(ep: GPoint) =>
+            Measure.centroid(a) match {
+              case Some((x, y)) if !ep.isEmpty =>
+                Some(math.abs(x - ep.x) <= 1e-6 && math.abs(y - ep.y) <= 1e-6)
+              case None if ep.isEmpty => Some(true)
+              case _ => Some(false)
+            }
+          case _ => None
+        }
+    }
+    info(s"centroid: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 37 && fail == 0, s"centroid corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: convex hull") {
+    val files = Seq("TestConvexHull.xml", "TestConvexHull-big.xml")
+    val (pass, fail, skip, failures) = run(files, Set("convexhull")) { (op, a, _) =>
+      tryParse(op.expected).map { exp =>
+        val hull = Algos.convexHull(a)
+        // topological equality; degenerate (point/line) hulls compare structurally
+        if (exp.dimension == 2 && hull.dimension == 2)
+          Relate.equalsTopo(hull, exp)
+        else
+          Wkt.write(Geom.force2D(hull)) == Wkt.write(Geom.force2D(exp)) ||
+            Relate.equalsTopo(hull, exp)
+      }
+    }
+    info(s"convexhull: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 14 && fail == 0, s"convexhull corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: boundary") {
+    val (pass, fail, skip, failures) = run(Seq("TestBoundary.xml"), Set("getboundary")) {
+      (op, a, _) =>
+        tryParse(op.expected).map { exp =>
+          if (a.isEmpty || exp.isEmpty) Geom.boundary(a).isEmpty == exp.isEmpty
+          else Relate.equalsTopo(Geom.boundary(a), exp)
+        }
+    }
+    info(s"boundary: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 12 && fail == 0, s"boundary corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: isValid") {
+    val files = Seq("TestValid.xml", "TestValid2.xml")
+    val (pass, fail, skip, failures) = run(files, Set("isValid")) { (op, a, _) =>
+      Some(Validate.isValid(a) == boolExpected(op))
+    }
+    info(s"isValid: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    // ratchet: raise as validation completeness grows
+    assert(pass >= 826 && fail == 0, s"isValid corpus regression: pass=$pass fail=$fail")
+  }
+}
