@@ -69,6 +69,7 @@ object Bench {
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name: $secs%.2f s ($n rows)")
+      spark.catalog.clearCache() // keep the long suite from accumulating
       (name, secs, n)
     }
 
@@ -85,8 +86,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    val hiSecs = minOf3(spark)
+    // fresh sessions for both levels: the suite session above has
+    // accumulated codegen/broadcast state that would bias the comparison
     spark.stop()
+    val sparkHi = session(cpus)
+    val hiSecs = minOf3(sparkHi)
+    sparkHi.stop()
     val sparkLo = session(lowCores)
     val loSecs = minOf3(sparkLo)
     sparkLo.stop()

@@ -352,3 +352,161 @@ object Algos {
     case other => other
   }
 }
+
+/** IsSimple per type (reference: geom/type_line_string.go:112-200,
+  * type_multi_line_string.go:106-198, type_multi_point.go:91-103,
+  * type_polygon.go IsSimple == true, GC undefined ->
+  * type_geometry.go:578-597). Returns None for GeometryCollection
+  * (undefined).
+  */
+object Simplicity {
+  def isSimple(g: Geom): Option[Boolean] = g match {
+    case _: GPoint => Some(true)
+    case GMPoint(pts, _) =>
+      val full = pts.filter(!_.isEmpty).map(p => (p.x, p.y))
+      Some(full.distinct.length == full.length)
+    case GLine(s) => Some(lineIsSimple(s))
+    case GMLine(ls, _) => Some(mlsIsSimple(ls.filter(!_.isEmpty)))
+    case _: GPoly | _: GMPoly => Some(true)
+    case _: GColl => None
+  }
+
+  /** A LineString is simple iff no self intersections besides adjacent
+    * segment endpoints, allowing the closing point of a closed line.
+    */
+  def lineIsSimple(s: Seqn): Boolean = {
+    val n = s.n - 1 // segments
+    if (n <= 0) return true
+    val closed = s.x(0) == s.x(s.n - 1) && s.y(0) == s.y(s.n - 1)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (Alg.segmentsIntersect(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1),
+          s.x(j), s.y(j), s.x(j + 1), s.y(j + 1))) {
+          val adjacent = j == i + 1
+          val closing = closed && i == 0 && j == n - 1
+          if (!adjacent && !closing) return false
+          // adjacent/closing segments must share exactly the one endpoint
+          if (Alg.segmentsCross(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1),
+            s.x(j), s.y(j), s.x(j + 1), s.y(j + 1))) return false
+          // collinear fold-back check
+          val col =
+            Alg.orient(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j), s.y(j)) == 0 &&
+              Alg.orient(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j + 1), s.y(j + 1)) == 0
+          if (col) {
+            val backJ =
+              if (adjacent) Alg.onSegment(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j + 1), s.y(j + 1)) &&
+                (s.x(j + 1) != s.x(i + 1) || s.y(j + 1) != s.y(i + 1))
+              else Alg.onSegment(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j), s.y(j)) &&
+                (s.x(j) != s.x(i) || s.y(j) != s.y(i))
+            if (backJ) return false
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** MultiLineString: all members simple, and member pairs may only
+    * intersect at their boundary (endpoint) points.
+    */
+  def mlsIsSimple(ls: Array[Seqn]): Boolean = {
+    if (!ls.forall(lineIsSimple)) return false
+    var a = 0
+    while (a < ls.length) {
+      var b = a + 1
+      while (b < ls.length) {
+        val sa = ls(a); val sb = ls(b)
+        var i = 0
+        while (i < sa.n - 1) {
+          var j = 0
+          while (j < sb.n - 1) {
+            if (Alg.segmentsIntersect(sa.x(i), sa.y(i), sa.x(i + 1), sa.y(i + 1),
+              sb.x(j), sb.y(j), sb.x(j + 1), sb.y(j + 1))) {
+              if (Alg.segmentsCross(sa.x(i), sa.y(i), sa.x(i + 1), sa.y(i + 1),
+                sb.x(j), sb.y(j), sb.x(j + 1), sb.y(j + 1))) return false
+              // any touch point must be a boundary endpoint of BOTH lines
+              val ends = Seq(
+                (sa.x(0), sa.y(0)), (sa.x(sa.n - 1), sa.y(sa.n - 1)))
+              val endsB = Seq(
+                (sb.x(0), sb.y(0)), (sb.x(sb.n - 1), sb.y(sb.n - 1)))
+              val touches = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+              for ((px, py) <- Seq((sb.x(j), sb.y(j)), (sb.x(j + 1), sb.y(j + 1))))
+                if (Alg.onSegment(sa.x(i), sa.y(i), sa.x(i + 1), sa.y(i + 1), px, py))
+                  touches += ((px, py))
+              for ((px, py) <- Seq((sa.x(i), sa.y(i)), (sa.x(i + 1), sa.y(i + 1))))
+                if (Alg.onSegment(sb.x(j), sb.y(j), sb.x(j + 1), sb.y(j + 1), px, py))
+                  touches += ((px, py))
+              for (t <- touches.distinct)
+                if (!ends.contains(t) || !endsB.contains(t)) return false
+            }
+            j += 1
+          }
+          i += 1
+        }
+        b += 1
+      }
+      a += 1
+    }
+    true
+  }
+}
+
+/** Rotating calipers over the convex hull
+  * (reference: geom/alg_rotating_calipers.go:13-133).
+  */
+object Calipers {
+
+  /** Minimum-area oriented bounding rectangle; degenerate inputs return
+    * the hull itself (point/line).
+    */
+  def minAreaRect(g: Geom): Geom = bestRect(g, byWidth = false)
+
+  /** Rectangle oriented along the minimum-width direction. */
+  def minWidthRect(g: Geom): Geom = bestRect(g, byWidth = true)
+
+  private def bestRect(g: Geom, byWidth: Boolean): Geom = {
+    val hull = Algos.convexHull(g)
+    hull match {
+      case GPoly(rings, _) if rings.nonEmpty =>
+        val r = rings(0)
+        val n = r.n - 1
+        var best: Array[Double] = null
+        var bestScore = Double.PositiveInfinity
+        var e = 0
+        while (e < n) {
+          val ex = r.x(e + 1) - r.x(e); val ey = r.y(e + 1) - r.y(e)
+          val len = math.sqrt(ex * ex + ey * ey)
+          if (len > 0) {
+            val ux = ex / len; val uy = ey / len // edge direction
+            var minU = Double.MaxValue; var maxU = -Double.MaxValue
+            var minV = Double.MaxValue; var maxV = -Double.MaxValue
+            var i = 0
+            while (i < n) {
+              val u = r.x(i) * ux + r.y(i) * uy
+              val v = -r.x(i) * uy + r.y(i) * ux
+              if (u < minU) minU = u; if (u > maxU) maxU = u
+              if (v < minV) minV = v; if (v > maxV) maxV = v
+              i += 1
+            }
+            val w = maxU - minU; val h = maxV - minV
+            val score = if (byWidth) math.min(w, h) else w * h
+            if (score < bestScore) {
+              bestScore = score
+              def pt(u: Double, v: Double): (Double, Double) =
+                (u * ux - v * uy, u * uy + v * ux)
+              val c = Array(pt(minU, minV), pt(maxU, minV), pt(maxU, maxV), pt(minU, maxV))
+              best = Array(c(0)._1, c(0)._2, c(1)._1, c(1)._2, c(2)._1, c(2)._2,
+                c(3)._1, c(3)._2, c(0)._1, c(0)._2)
+            }
+          }
+          e += 1
+        }
+        if (best == null) hull else GPoly(Array(Seqn.xy(best)), CT.XY)
+      case other => other // point or line hull: degenerate result
+    }
+  }
+}

@@ -1,0 +1,264 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** TWKB codec (Tiny WKB: zigzag-varint delta-encoded, quantized).
+  *
+  * Follows the public TWKB spec as implemented by the reference
+  * (geom/twkb_parser.go:17-82, geom/twkb_write.go:17-100): precision
+  * -8..+7 zigzag-encoded in the type byte, optional bbox / size /
+  * idlist headers, per-dimension running delta encoding, rings stored
+  * without the duplicate closing point. 2D here (the engine computes in
+  * 2D; Z/M-bearing inputs are written via their XY projection).
+  */
+object Twkb {
+
+  final class ParseException(msg: String) extends RuntimeException(msg)
+
+  // ------------------------------------------------------------ varint
+
+  private def writeUnsigned(buf: ArrayBuffer[Byte], v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0) {
+      buf += ((v & 0x7F) | 0x80).toByte
+      v >>>= 7
+    }
+    buf += (v & 0x7F).toByte
+  }
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  private def writeSigned(buf: ArrayBuffer[Byte], v: Long): Unit =
+    writeUnsigned(buf, zigzag(v))
+
+  private final class Reader(bytes: Array[Byte]) {
+    var pos = 0
+    def byte(): Int = {
+      if (pos >= bytes.length) throw new ParseException("truncated header")
+      val b = bytes(pos) & 0xFF; pos += 1; b
+    }
+    def unsigned(): Long = {
+      var shift = 0
+      var out = 0L
+      var more = true
+      while (more) {
+        if (pos >= bytes.length) throw new ParseException("truncated varint")
+        val b = bytes(pos); pos += 1
+        out |= (b & 0x7FL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+        if (shift > 63) throw new ParseException("varint too long")
+      }
+      out
+    }
+    def signed(): Long = unzigzag(unsigned())
+  }
+
+  // ------------------------------------------------------------- write
+
+  /** Marshal with XY precision (-8..7 decimal digits). Options mirror
+    * the reference's (twkb_write.go:17-52): include bbox and/or size
+    * headers.
+    */
+  def write(g: Geom, precXY: Int, withBBox: Boolean = false,
+            withSize: Boolean = false): Array[Byte] = {
+    require(precXY >= -8 && precXY <= 7, "twkb precision must be in [-8, 7]")
+    val scale = math.pow(10, precXY)
+    val g2 = Geom.force2D(g)
+
+    val body = new ArrayBuffer[Byte]()
+    var lastX = 0L; var lastY = 0L
+    def q(v: Double): Long = math.round(v * scale)
+
+    def writeSeqPts(s: Seqn, dropClosing: Boolean): Unit = {
+      val n = if (dropClosing && s.n > 1 &&
+        s.x(0) == s.x(s.n - 1) && s.y(0) == s.y(s.n - 1)) s.n - 1 else s.n
+      writeUnsigned(body, n.toLong)
+      var i = 0
+      while (i < n) {
+        val qx = q(s.x(i)); val qy = q(s.y(i))
+        writeSigned(body, qx - lastX); writeSigned(body, qy - lastY)
+        lastX = qx; lastY = qy
+        i += 1
+      }
+    }
+
+    def writeBody(g: Geom): Unit = g match {
+      case p: GPoint =>
+        val qx = q(p.x); val qy = q(p.y)
+        writeSigned(body, qx - lastX); writeSigned(body, qy - lastY)
+        lastX = qx; lastY = qy
+      case GLine(s) => writeSeqPts(s, dropClosing = false)
+      case GPoly(rs, _) =>
+        writeUnsigned(body, rs.length.toLong)
+        rs.foreach(writeSeqPts(_, dropClosing = true))
+      case GMPoint(pts, _) =>
+        val full = pts.filter(!_.isEmpty)
+        writeUnsigned(body, full.length.toLong)
+        full.foreach(writeBody)
+      case GMLine(ls, _) =>
+        writeUnsigned(body, ls.length.toLong)
+        ls.foreach(writeSeqPts(_, dropClosing = false))
+      case GMPoly(ps, _) =>
+        writeUnsigned(body, ps.length.toLong)
+        ps.foreach { rs =>
+          writeUnsigned(body, rs.length.toLong)
+          rs.foreach(writeSeqPts(_, dropClosing = true))
+        }
+      case GColl(gs, _) =>
+        writeUnsigned(body, gs.length.toLong)
+        gs.foreach { child =>
+          val sub = write(child, precXY, withBBox = false, withSize = false)
+          body ++= sub
+        }
+    }
+
+    val isEmpty = g2.isEmpty
+    if (!isEmpty) writeBody(g2)
+
+    val out = new ArrayBuffer[Byte]()
+    out += ((g2.typeCode & 0x0F) | ((zigzag(precXY.toLong) & 0x0F) << 4).toInt).toByte
+    var meta = 0
+    if (withBBox && !isEmpty) meta |= 0x01
+    if (withSize) meta |= 0x02
+    if (isEmpty) meta |= 0x10
+    out += meta.toByte
+
+    val tail = new ArrayBuffer[Byte]()
+    if (withBBox && !isEmpty) {
+      val e = g2.envelope
+      val qx0 = math.round(e.xmin * scale); val qx1 = math.round(e.xmax * scale)
+      val qy0 = math.round(e.ymin * scale); val qy1 = math.round(e.ymax * scale)
+      writeSigned(tail, qx0); writeSigned(tail, qx1 - qx0)
+      writeSigned(tail, qy0); writeSigned(tail, qy1 - qy0)
+    }
+    tail ++= body
+    if (withSize) writeUnsigned(out, tail.length.toLong)
+    out ++= tail
+    out.toArray
+  }
+
+  // -------------------------------------------------------------- read
+
+  def read(bytes: Array[Byte]): Geom = {
+    val r = new Reader(bytes)
+    readGeom(r)
+  }
+
+  private def readGeom(r: Reader): Geom = {
+    val typePrec = r.byte()
+    val typ = typePrec & 0x0F
+    val prec = unzigzag((typePrec >> 4) & 0x0FL).toInt
+    val scale = math.pow(10, prec)
+    val metaHdr = r.byte()
+    val hasBBox = (metaHdr & 0x01) != 0
+    val hasSize = (metaHdr & 0x02) != 0
+    val hasIds = (metaHdr & 0x04) != 0
+    val hasExt = (metaHdr & 0x08) != 0
+    val isEmpty = (metaHdr & 0x10) != 0
+    var zCount = 0
+    if (hasExt) {
+      val ext = r.byte()
+      // Z/M presence bits; we skip their precisions, coordinates below
+      // must then consume the extra ordinates
+      zCount = (if ((ext & 0x01) != 0) 1 else 0) + (if ((ext & 0x02) != 0) 1 else 0)
+    }
+    if (hasSize) r.unsigned() // remaining byte length (unused here)
+    if (hasBBox) {
+      var d = 0
+      while (d < 2 + zCount) { r.signed(); r.signed(); d += 1 }
+    }
+
+    var lastX = 0L; var lastY = 0L
+    def readPt(): (Double, Double) = {
+      lastX += r.signed(); lastY += r.signed()
+      var z = 0
+      while (z < zCount) { r.signed(); z += 1 } // discard Z/M
+      (lastX / scale, lastY / scale)
+    }
+    def readSeq(closeRing: Boolean): Seqn = {
+      val n = r.unsigned().toInt
+      val out = new ArrayBuffer[Double](2 * (n + 1))
+      var i = 0
+      while (i < n) {
+        val (x, y) = readPt()
+        out += x; out += y
+        i += 1
+      }
+      if (closeRing && n > 0 && (out(0) != out(out.length - 2) || out(1) != out(out.length - 1))) {
+        out += out(0); out += out(1)
+      }
+      Seqn.xy(out.toArray)
+    }
+
+    typ match {
+      case 1 =>
+        if (isEmpty) GPoint.empty
+        else { val (x, y) = readPt(); GPoint.xy(x, y) }
+      case 2 =>
+        if (isEmpty) GLine(Seqn.empty2D) else GLine(readSeq(closeRing = false))
+      case 3 =>
+        if (isEmpty) GPoly(Array.empty, CT.XY)
+        else {
+          val nr = r.unsigned().toInt
+          GPoly(Array.fill(nr)(readSeq(closeRing = true)), CT.XY)
+        }
+      case 4 =>
+        if (isEmpty) GMPoint(Array.empty, CT.XY)
+        else {
+          val n = r.unsigned().toInt
+          if (hasIds) (0 until n).foreach(_ => r.signed())
+          GMPoint(Array.fill(n) { val (x, y) = readPt(); GPoint.xy(x, y) }, CT.XY)
+        }
+      case 5 =>
+        if (isEmpty) GMLine(Array.empty, CT.XY)
+        else {
+          val n = r.unsigned().toInt
+          if (hasIds) (0 until n).foreach(_ => r.signed())
+          GMLine(Array.fill(n)(readSeq(closeRing = false)), CT.XY)
+        }
+      case 6 =>
+        if (isEmpty) GMPoly(Array.empty, CT.XY)
+        else {
+          val n = r.unsigned().toInt
+          if (hasIds) (0 until n).foreach(_ => r.signed())
+          GMPoly(Array.fill(n) {
+            val nr = r.unsigned().toInt
+            Array.fill(nr)(readSeq(closeRing = true))
+          }, CT.XY)
+        }
+      case 7 =>
+        if (isEmpty) GColl(Array.empty, CT.XY)
+        else {
+          val n = r.unsigned().toInt
+          if (hasIds) (0 until n).foreach(_ => r.signed())
+          GColl(Array.fill(n)(readGeom(r)), CT.XY)
+        }
+      case other => throw new ParseException(s"invalid twkb type $other")
+    }
+  }
+
+  /** Header-only envelope scan: when a bbox header is present, decode
+    * just it without touching the body — the cheap pre-filter for
+    * petabyte scans (reference: geom/twkb_parser.go:34 UnmarshalTWKBEnvelope).
+    */
+  def readEnvelope(bytes: Array[Byte]): Option[Env] = {
+    val r = new Reader(bytes)
+    val typePrec = r.byte()
+    val prec = unzigzag((typePrec >> 4) & 0x0FL).toInt
+    val scale = math.pow(10, prec)
+    val metaHdr = r.byte()
+    if ((metaHdr & 0x10) != 0) return Some(Env.empty)
+    if ((metaHdr & 0x01) == 0) return None
+    var zCount = 0
+    if ((metaHdr & 0x08) != 0) {
+      val ext = r.byte()
+      zCount = (if ((ext & 0x01) != 0) 1 else 0) + (if ((ext & 0x02) != 0) 1 else 0)
+    }
+    if ((metaHdr & 0x02) != 0) r.unsigned()
+    val x0 = r.signed(); val dx = r.signed()
+    val y0 = r.signed(); val dy = r.signed()
+    Some(Env(x0 / scale, y0 / scale, (x0 + dx) / scale, (y0 + dy) / scale))
+  }
+}

@@ -93,7 +93,12 @@ object GeomOps {
     "st_exteriorring" -> (BinaryType, {
       case GPoly(rs, _) if rs.nonEmpty => wkb(GLine(rs(0)))
       case _ => null
-    })
+    }),
+    "st_issimple" -> (BooleanType, g => Simplicity.isSimple(g).map(Boolean.box).orNull),
+    "st_minimumareaboundingrectangle" -> (BinaryType, g => wkb(Calipers.minAreaRect(g))),
+    "st_minimumwidthboundingrectangle" -> (BinaryType, g => wkb(Calipers.minWidthRect(g))),
+    "st_summary" -> (StringType, g =>
+      utf8(s"${g.typeName}[${CT.name(g.ct)}] with ${g.numPoints} points"))
   )
 
   val binary: Map[String, (DataType, (Geom, Geom) => Any)] = Map(
@@ -434,4 +439,47 @@ case class StProject(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** st_asTWKB(geom, precision) -> compact quantized bytes
+  * (reference: geom/twkb_write.go:17-52) — with bbox header so scans
+  * can pre-filter without full decode.
+  */
+case class StAsTwkb(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_astwkb"
+  override def nullSafeEval(gv: Any, pv: Any): Any =
+    Twkb.write(Wkb.read(gv.asInstanceOf[Array[Byte]]), pv.asInstanceOf[Int],
+      withBBox = true)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_geomFromTWKB(bytes) -> WKB geometry (reference: geom/twkb_parser.go:17). */
+case class StGeomFromTwkb(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_geomfromtwkb"
+  override def nullSafeEval(v: Any): Any =
+    Wkb.write(Twkb.read(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_twkbEnvelope(bytes) -> envelope polygon WKB from the bbox header
+  * only, without decoding the body (reference: twkb_parser.go:34
+  * UnmarshalTWKBEnvelope — the cheap petabyte-scan pre-filter).
+  */
+case class StTwkbEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_twkbenvelope"
+  override def nullSafeEval(v: Any): Any =
+    Twkb.readEnvelope(v.asInstanceOf[Array[Byte]])
+      .map(e => Wkb.write(e.toGeom)).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -26,6 +26,9 @@ object ST {
   def st_asGeoJSON(c: Column): Column = col(GeomUnaryOp("st_asgeojson", ex(c)))
   /** Geometry columns ARE WKB — provided for API parity. */
   def st_asBinary(c: Column): Column = c
+  def st_asTWKB(c: Column, prec: Column): Column = col(StAsTwkb(ex(c), ex(prec)))
+  def st_geomFromTWKB(c: Column): Column = col(StGeomFromTwkb(ex(c)))
+  def st_twkbEnvelope(c: Column): Column = col(StTwkbEnvelope(ex(c)))
 
   // ------------------------------------------------------ constructors
   def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
@@ -68,6 +71,12 @@ object ST {
   def st_dumpArray(c: Column): Column = u("st_dumparray")(c)
   def st_numInteriorRings(c: Column): Column = u("st_numinteriorrings")(c)
   def st_exteriorRing(c: Column): Column = u("st_exteriorring")(c)
+  def st_isSimple(c: Column): Column = u("st_issimple")(c)
+  def st_minimumAreaBoundingRectangle(c: Column): Column =
+    u("st_minimumareaboundingrectangle")(c)
+  def st_minimumWidthBoundingRectangle(c: Column): Column =
+    u("st_minimumwidthboundingrectangle")(c)
+  def st_summary(c: Column): Column = u("st_summary")(c)
 
   // ------------------------------------------------------- predicates
   private def b(op: String)(l: Column, r: Column): Column = col(GeomBinaryOp(op, ex(l), ex(r)))
@@ -221,6 +230,9 @@ object ST {
     reg1("st_clipbybox") { es => StClipByBox(es) }
     reg1("st_relatematch") { es => StRelateMatch(es(0), es(1)) }
     reg1("st_exactequals") { es => StExactEquals(es) }
+    reg1("st_astwkb") { es => StAsTwkb(es(0), es(1)) }
+    reg1("st_geomfromtwkb") { es => StGeomFromTwkb(es.head) }
+    reg1("st_twkbenvelope") { es => StTwkbEnvelope(es.head) }
     reg1("st_cellof") { es => StCellOf(es) }
     reg1("st_cellofequirect") { es => StCellOfEquirect(es) }
     reg1("st_cellix") { es => StCellIx(es.head) }

@@ -67,6 +67,7 @@ object Ann {
               corpus: DataFrame, cVec: String, cKey: String,
               k: Int, planes: Int = 8, probeBits: Int = 1): DataFrame = {
     val c = corpus.withColumn("__bucket", hyperplaneSig(col(cVec), planes))
+      .repartition(col("__bucket"))
     val qSig = queries.withColumn("__sig", hyperplaneSig(col(qVec), planes))
     // multi-probe: original bucket plus all buckets at Hamming distance 1
     val probes =

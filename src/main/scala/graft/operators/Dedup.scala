@@ -56,12 +56,14 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 24, bands: Int = 8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // cache: the signature column feeds 8 band expressions and both join
-    // sides — without a materialization barrier Catalyst would inline
-    // (and re-evaluate) the whole minhash tree at every use site.
-    // At petabyte scale this would be a parquet checkpoint instead.
+    // exchange barrier: the signature column feeds 8 band expressions
+    // and both join sides — without a barrier Catalyst's CollapseProject
+    // would inline (and re-evaluate) the whole minhash tree at every use
+    // site. A repartition is a barrier that ReuseExchange dedups within
+    // the plan, and unlike cache() it leaks nothing across queries.
     val withSig = df.select(col(keyCol).as("__key"),
-      minhashSignature(col(textCol), shingleN, k).as("__sig")).cache()
+      minhashSignature(col(textCol), shingleN, k).as("__sig"))
+      .repartition(col("__key"))
     val banded = withSig.select(col("__key"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -85,7 +87,8 @@ object Dedup {
                       k: Int = 24, bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(df, textCol, keyCol, shingleN, k, bands)
     val sh = df.select(col(keyCol).as("__k"),
-      TextOps.wordShingles(col(textCol), shingleN).as("__sh")).cache()
+      TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
+      .repartition(col("__k"))
     cands
       .join(sh.withColumnRenamed("__k", "key_a").withColumnRenamed("__sh", "sh_a"), "key_a")
       .join(sh.withColumnRenamed("__k", "key_b").withColumnRenamed("__sh", "sh_b"), "key_b")
@@ -104,7 +107,8 @@ object Dedup {
   def jaccardPairsExact(df: DataFrame, textCol: String, keyCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
     val sh = df.select(col(keyCol).as("__k"),
-      TextOps.wordShingles(col(textCol), shingleN).as("__sh")).cache()
+      TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
+      .repartition(col("__k"))
     val inv = sh.select(col("__k"), explode(col("__sh")).as("s"))
     val pairs = inv.as("a").join(inv.as("b"), col("a.s") === col("b.s"))
       .filter(col("a.__k") < col("b.__k"))
@@ -169,7 +173,10 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, keyCol: String,
                         threshold: Double, planes: Int = 8): DataFrame = {
     val sigExpr = Ann.hyperplaneSig(col(vecCol), planes)
+    // barrier: sig expression is expensive (planes x dim fold) and feeds
+    // both join sides
     val withSig = df.select(col(keyCol).as("__key"), col(vecCol).as("__v"), sigExpr.as("__b"))
+      .repartition(col("__b"))
     val l = withSig.select(col("__b"), col("__key").as("key_a"), col("__v").as("v_a"))
     val r = withSig.select(col("__b"), col("__key").as("key_b"), col("__v").as("v_b"))
     l.join(r, "__b")

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.ST._
+
+/** Structured Streaming extension (SURVEY.md §2.12 — absent from the
+  * reference, marked extension): event-time windowed spatial
+  * aggregation per Z-order cell, and stateful per-key processing for
+  * incremental cell statistics.
+  *
+  * The same ST expressions run unchanged under streaming because they
+  * are ordinary Catalyst expressions — watermarking and state live
+  * entirely in Spark.
+  */
+object Streaming {
+
+  /** Tumbling-window page/event counts + bounding envelope per cell.
+    * Input must have an event-time column, lon/lat columns.
+    */
+  def cellWindowStats(events: DataFrame, tsCol: String, lonCol: String,
+                      latCol: String, level: Int,
+                      windowDur: String, watermarkDur: String): DataFrame = {
+    events
+      .withWatermark(tsCol, watermarkDur)
+      .withColumn("cell", st_cellOf(col(lonCol), col(latCol), lit(level)))
+      .withColumn("pt", st_point(col(lonCol), col(latCol)))
+      .groupBy(window(col(tsCol), windowDur), col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col(lonCol)).as("xmin"), min(col(latCol)).as("ymin"),
+        max(col(lonCol)).as("xmax"), max(col(latCol)).as("ymax"))
+  }
+
+  /** Running per-cell state: total count and expanding envelope,
+    * maintained incrementally with mapGroupsWithState — the streaming
+    * analogue of a per-cell spatial index warm cache.
+    */
+  final case class CellObs(cell: Long, lon: Double, lat: Double)
+  final case class CellState(cell: Long, n: Long,
+                             xmin: Double, ymin: Double, xmax: Double, ymax: Double)
+
+  def runningCellState(obs: Dataset[CellObs]): Dataset[CellState] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.cell)
+      .mapGroupsWithState[CellState, CellState](GroupStateTimeout.NoTimeout) {
+        (cell, rows, state: GroupState[CellState]) =>
+          var st = state.getOption.getOrElse(
+            CellState(cell, 0L, Double.MaxValue, Double.MaxValue,
+              -Double.MaxValue, -Double.MaxValue))
+          rows.foreach { o =>
+            st = CellState(cell, st.n + 1,
+              math.min(st.xmin, o.lon), math.min(st.ymin, o.lat),
+              math.max(st.xmax, o.lon), math.max(st.ymax, o.lat))
+          }
+          state.update(st)
+          st
+      }
+  }
+}

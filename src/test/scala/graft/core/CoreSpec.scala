@@ -398,3 +398,52 @@ class CoreSpec extends AnyFunSuite {
     assert(o1 == -o2 || (o1 == 0 && o2 == 0))
   }
 }
+
+class TwkbSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def g(w: String): Geom = Wkt.parse(w)
+
+  test("twkb round trip at precision 0") {
+    val cases = Seq(
+      "POINT(1 2)", "POINT EMPTY",
+      "LINESTRING(0 0,100 100,200 0)",
+      "POLYGON((0 0,40 0,40 40,0 40,0 0))",
+      "POLYGON((0 0,40 0,40 40,0 40,0 0),(10 10,20 10,20 20,10 20,10 10))",
+      "MULTIPOINT((1 2),(3 4))",
+      "MULTILINESTRING((0 0,1 1),(2 2,3 3))",
+      "MULTIPOLYGON(((0 0,10 0,0 10,0 0)),((50 50,60 50,50 60,50 50)))",
+      "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,5 5))",
+      "GEOMETRYCOLLECTION EMPTY", "MULTIPOLYGON EMPTY")
+    for (w <- cases) {
+      val back = Twkb.read(Twkb.write(g(w), 0))
+      assert(Wkt.write(back) == w, s"twkb round trip of $w")
+    }
+  }
+
+  test("twkb quantization at precision 1") {
+    val p = Twkb.read(Twkb.write(g("POINT(1.26 2.34)"), 1)).asInstanceOf[GPoint]
+    assert(p.x == 1.3 && p.y == 2.3)
+  }
+
+  test("twkb negative precision coarsens") {
+    val p = Twkb.read(Twkb.write(g("POINT(1234 5678)"), -2)).asInstanceOf[GPoint]
+    assert(p.x == 1200.0 && p.y == 5700.0)
+  }
+
+  test("twkb bbox header fast envelope") {
+    val b = Twkb.write(g("POLYGON((0 0,40 0,40 40,0 40,0 0))"), 0, withBBox = true)
+    assert(Twkb.readEnvelope(b) == Some(Env(0, 0, 40, 40)))
+    // without bbox header -> None
+    val nb = Twkb.write(g("POINT(1 2)"), 0)
+    assert(Twkb.readEnvelope(nb) == None)
+    // size header round trips too
+    val sb = Twkb.write(g("LINESTRING(0 0,10 10)"), 0, withBBox = true, withSize = true)
+    assert(Wkt.write(Twkb.read(sb)) == "LINESTRING(0 0,10 10)")
+  }
+
+  test("twkb is much smaller than wkb for polygons") {
+    val poly = g("POLYGON((0 0,40 0,40 40,0 40,0 0),(10 10,20 10,20 20,10 20,10 10))")
+    val wkb = Wkb.write(poly)
+    val twkb = Twkb.write(poly, 0)
+    assert(twkb.length * 3 < wkb.length, s"twkb=${twkb.length} wkb=${wkb.length}")
+  }
+}

