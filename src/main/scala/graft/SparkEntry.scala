@@ -197,6 +197,24 @@ object SparkEntry {
         .groupBy(col("n_nationkey")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // same join, raw-coordinate probe fast path (no WKB round-trip)
+    "q46_point_key_join" -> ((s, d) => {
+      val pts = customerPts(s, d)
+      val boxes = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      SpatialJoins.broadcastPointKeyJoin(pts, col("cx"), col("cy"),
+        boxes, "box", "n_nationkey", pred = "contains", outKey = "n_nationkey")
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // same join+count fused into one zero-allocation aggregate
+    "q47_pip_count_agg" -> ((s, d) => {
+      val pts = customerPts(s, d)
+      val boxes = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      SpatialJoins.broadcastPipCounts(pts, col("cx"), col("cy"),
+        boxes, "box", "n_nationkey", pred = "contains",
+        outKey = "n_nationkey", outCount = "cnt")
+    }),
+
     "q06_relate_pred_matrix" -> ((s, d) => {
       val n = nationBoxes(s, d).select(col("n_nationkey"), col("nx0"), col("ny0"),
         col("nx1"), col("ny1"), col("box"))
@@ -545,6 +563,20 @@ object SparkEntry {
            |WHERE $cx > $nx0 AND $cx < $nx0 + 72.0
            |  AND $cy > $ny0 AND $cy < $ny0 + 34.0
            |GROUP BY n_nationkey""".stripMargin,
+
+      "q46_point_key_join" ->
+        s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, count(*) AS cnt
+           |FROM nation, customer
+           |WHERE $cx > $nx0 AND $cx < $nx0 + 72.0
+           |  AND $cy > $ny0 AND $cy < $ny0 + 34.0
+           |GROUP BY 1""".stripMargin,
+
+      "q47_pip_count_agg" ->
+        s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, count(*) AS cnt
+           |FROM nation, customer
+           |WHERE $cx > $nx0 AND $cx < $nx0 + 72.0
+           |  AND $cy > $ny0 AND $cy < $ny0 + 34.0
+           |GROUP BY 1""".stripMargin,
 
       "q06_relate_pred_matrix" ->
         s"""WITH n AS (SELECT n_nationkey, $nx0 AS x0, $ny0 AS y0,

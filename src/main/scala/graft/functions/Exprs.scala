@@ -321,17 +321,43 @@ case class StExactEquals(children: Seq[Expression]) extends Expression with Code
 
 // ------------------------------------------------------------- tiling
 
-/** st_cellOf(lon, lat, level) -> LongType Z-order cell id. */
-case class StCellOf(children: Seq[Expression]) extends Expression with CodegenFallback {
+/** st_cellOf(lon, lat, level) -> LongType Z-order cell id.
+  *
+  * Full codegen (static call into Cell.cellOf, primitive args): this is
+  * the per-row hot path of the tile-assignment flagship, so it must not
+  * box or allocate — it stays inside WholeStageCodegen.
+  */
+case class StCellOf(children: Seq[Expression]) extends Expression {
   require(children.length == 3, "st_cellOf(lon,lat,level)")
   override def dataType: DataType = LongType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "st_cellof"
   override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
-    if (vs.contains(null)) return null
-    Cell.cellOf(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
-      vs(2).asInstanceOf[Int])
+    val v0 = children(0).eval(input); if (v0 == null) return null
+    val v1 = children(1).eval(input); if (v1 == null) return null
+    val v2 = children(2).eval(input); if (v2 == null) return null
+    Cell.cellOf(v0.asInstanceOf[Double], v1.asInstanceOf[Double], v2.asInstanceOf[Int])
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c0 = children(0).genCode(ctx)
+    val c1 = children(1).genCode(ctx)
+    val c2 = children(2).genCode(ctx)
+    val nullCheck =
+      if (nullable) code"${c0.isNull} || ${c1.isNull} || ${c2.isNull}" else code"false"
+    ev.copy(code =
+      code"""
+        ${c0.code}
+        ${c1.code}
+        ${c2.code}
+        boolean ${ev.isNull} = $nullCheck;
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.tiling.Cell.cellOf(${c0.value}, ${c1.value}, ${c2.value});
+        }""")
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(children = cs)

@@ -42,6 +42,17 @@ object SpatialJoins {
       (geoms, envs, RTree.bulkLoad(envs))
     })
 
+  private val preparedKeyCache =
+    TrieMap.empty[Long, (Array[Long], Array[Geom], RTree)]
+
+  private def preparedKeyed(
+      bc: Broadcast[(Array[Long], Array[Array[Byte]])]): (Array[Long], Array[Geom], RTree) =
+    preparedKeyCache.getOrElseUpdate(bc.id, {
+      val (keys, wkbs) = bc.value
+      val geoms = wkbs.map(b => if (b.isEmpty) Geom.emptyGC else Wkb.read(b))
+      (keys, geoms, RTree.bulkLoad(geoms.map(_.envelope)))
+    })
+
   /** Predicate evaluation for join refinement; `pred` values follow the
     * ST names; the polygon/build side is the left argument.
     */
@@ -68,16 +79,24 @@ object SpatialJoins {
       pred: String = "contains",
       joinType: String = "inner"): DataFrame = {
     val spark = big.sparkSession
-    // cache so the id assignment is identical between the collect below
-    // and the final equi-join back
-    val smallIdx = small.withColumn("__idx", monotonically_increasing_id()).cache()
-    val collected = smallIdx.select(col("__idx"), col(smallGeom)).collect()
-    require(collected.nonEmpty, "broadcast side is empty")
-    val maxIdx = collected.map(_.getLong(0)).max
-    require(maxIdx < Int.MaxValue, "broadcast side too large")
-    val wkbs = Array.fill[Array[Byte]]((maxIdx + 1).toInt)(Array.emptyByteArray)
-    collected.foreach(r => wkbs(r.getLong(0).toInt) = r.getAs[Array[Byte]](1))
+    // ONE collect of the dimension side; ids are assigned driver-side so
+    // the broadcast array and the join-back rows can never disagree (no
+    // cache needed — caches leaked across calls and degraded long runs)
+    val smallRows = small.collect()
+    require(smallRows.nonEmpty, "broadcast side is empty")
+    val geomAt = small.schema.fieldIndex(smallGeom)
+    val wkbs = smallRows.map { r =>
+      val b = r.getAs[Array[Byte]](geomAt)
+      if (b == null) Array.emptyByteArray else b
+    }
     val bc = spark.sparkContext.broadcast(wkbs)
+    import scala.jdk.CollectionConverters._
+    val idxRows: java.util.List[org.apache.spark.sql.Row] =
+      smallRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong)
+      }.toSeq.asJava
+    val smallIdx = spark.createDataFrame(idxRows,
+      small.schema.add("__idx", org.apache.spark.sql.types.LongType))
 
     val predName = pred
     val matchUdf = udf { (probeWkb: Array[Byte]) =>
@@ -105,6 +124,94 @@ object SpatialJoins {
     exploded.drop("__idxs")
       .join(broadcast(smallIdx), Seq("__idx"), joinType)
       .drop("__idx")
+  }
+
+  /** Point-probe broadcast join fast path: joins a big (lon, lat) point
+    * table against a broadcast areal dimension, emitting the dimension
+    * KEY directly. Unlike [[broadcastSpatialJoin]] there is no WKB
+    * round-trip on the probe side (no st_point encode, no per-row
+    * decode), no explode-then-join-back — the executor-local R-tree
+    * maps raw coordinates straight to matching keys via ray-casting
+    * point-in-areal location (reference: geom/alg_prepared.go pattern
+    * over alg_point_in_ring.go). This is the 100-TB hot path: the only
+    * per-row allocation is the small matched-keys array.
+    *
+    * Semantics per OGC point-vs-areal: contains/within ⇔ point strictly
+    * interior; covers/intersects ⇔ interior or boundary.
+    */
+  def broadcastPointKeyJoin(
+      big: DataFrame, lonCol: Column, latCol: Column,
+      small: DataFrame, smallGeom: String, smallKey: String,
+      pred: String = "contains",
+      outKey: String = "match_key"): DataFrame = {
+    val spark = big.sparkSession
+    val rows = small.select(col(smallKey).cast("long"), col(smallGeom)).collect()
+    require(rows.nonEmpty, "broadcast side is empty")
+    val keys = rows.map(_.getLong(0))
+    val wkbs = rows.map { r =>
+      val b = r.getAs[Array[Byte]](1)
+      if (b == null) Array.emptyByteArray else b
+    }
+    val bc = spark.sparkContext.broadcast((keys, wkbs))
+    val interiorOnly = pred match {
+      case "contains" | "within"                 => true
+      case "covers" | "coveredby" | "intersects" => false
+      case other =>
+        throw new IllegalArgumentException(s"unsupported point-join predicate '$other'")
+    }
+    val probe = udf { (lon: Double, lat: Double) =>
+      val (ks, geoms, tree) = preparedKeyed(bc)
+      var out: scala.collection.mutable.ArrayBuffer[Long] = null
+      tree.rangeSearch(Env(lon, lat, lon, lat)) { i =>
+        val loc = Alg.pointInAreal(geoms(i), lon, lat)
+        if (if (interiorOnly) loc == 1 else loc >= 0) {
+          if (out == null) out = new scala.collection.mutable.ArrayBuffer[Long](4)
+          out += ks(i)
+        }
+        true
+      }
+      if (out == null) Array.emptyLongArray else out.toArray
+    }
+    big.withColumn(outKey, explode(probe(lonCol, latCol)))
+  }
+
+  /** Fused broadcast PIP join + per-polygon count: equivalent to
+    * broadcastPointKeyJoin(...).groupBy(key).count() but executed as a
+    * single zero-allocation imperative aggregate (see
+    * [[graft.functions.StPipCountAgg]]) — one map pass over the big
+    * side, a merge of nSmall-long arrays across partitions, no shuffle
+    * of data rows. Eager: the result is dimension-sized by
+    * construction.
+    */
+  def broadcastPipCounts(
+      big: DataFrame, lonCol: Column, latCol: Column,
+      small: DataFrame, smallGeom: String, smallKey: String,
+      pred: String = "contains",
+      outKey: String = "region_id", outCount: String = "n"): DataFrame = {
+    val spark = big.sparkSession
+    val rows = small.select(col(smallKey).cast("long"), col(smallGeom)).collect()
+    require(rows.nonEmpty, "broadcast side is empty")
+    val keys = rows.map(_.getLong(0))
+    val wkbs = rows.map { r =>
+      val b = r.getAs[Array[Byte]](1)
+      if (b == null) Array.emptyByteArray else b
+    }
+    val bc = spark.sparkContext.broadcast(wkbs)
+    val interiorOnly = pred match {
+      case "contains" | "within"                 => true
+      case "covers" | "coveredby" | "intersects" => false
+      case other =>
+        throw new IllegalArgumentException(s"unsupported point-join predicate '$other'")
+    }
+    val agg = graft.functions.StPipCountAgg(
+      org.apache.spark.sql.GraftBridge.expression(lonCol),
+      org.apache.spark.sql.GraftBridge.expression(latCol),
+      bc, keys.length, interiorOnly)
+    val counts = big
+      .agg(org.apache.spark.sql.GraftBridge.column(agg.toAggregateExpression()).as("counts"))
+      .collect()(0).getSeq[Long](0)
+    import spark.implicits._
+    keys.zip(counts).filter(_._2 > 0L).toSeq.toDF(outKey, outCount)
   }
 
   /** Partitioned cell equi-join for big-vs-big spatial joins.
