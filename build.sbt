@@ -26,11 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // fixed, pre-touched heap: lazy heap growth page-faults in the kernel
-  // mid-benchmark (observed 88% sys-time stalls); pay the zeroing cost
-  // once at JVM start instead
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq ++
   sys.env.get("GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
+// Benchmark/Verify runs (run scope): fixed, pre-touched heap — lazy heap
+// growth page-faults in the kernel mid-benchmark (observed 88%-sys-time
+// stalls); pay the zeroing cost once at JVM start instead.
+run / javaOptions ++= Seq(
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
+)
+// Tests: modest lazy heap — a 48g pre-touch per forked test JVM costs
+// minutes of page zeroing and starves concurrent JVMs.
+Test / javaOptions ++= Seq("-Xmx8g")

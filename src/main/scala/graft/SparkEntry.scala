@@ -285,6 +285,43 @@ object SparkEntry {
         st_area(st_intersection(col("box"), col("sbox"))).as("iarea"))
     }),
 
+    // --- general overlay set ops (arrangement engine) ----------------
+
+    "q48_union_area" -> ((s, d) => {
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val sb = supplierBoxes(s, d).select(col("s_suppkey"), col("sbox"))
+      sb.join(broadcast(n), pmod(col("s_suppkey"), lit(25L)) === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_nationkey"),
+          st_area(st_union(col("sbox"), col("box"))).as("u_area"))
+    }),
+
+    "q49_difference_area" -> ((s, d) => {
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val sb = supplierBoxes(s, d).select(col("s_suppkey"), col("sbox"))
+      sb.join(broadcast(n), pmod(col("s_suppkey"), lit(25L)) === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_nationkey"),
+          st_area(st_difference(col("sbox"), col("box"))).as("d_area"))
+    }),
+
+    "q50_symdifference_area" -> ((s, d) => {
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val sb = supplierBoxes(s, d).select(col("s_suppkey"), col("sbox"))
+      sb.join(broadcast(n), pmod(col("s_suppkey"), lit(25L)) === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_nationkey"),
+          st_area(st_symDifference(col("sbox"), col("box"))).as("sd_area"))
+    }),
+
+    "q51_union_agg_area" -> ((s, d) => {
+      // per-nation union of supplier x-interval strips (fixed y in
+      // [0,8]): the distributed st_union_agg fold; oracle = interval
+      // union length * 8 via gaps-and-islands
+      val sb = supplierBoxes(s, d)
+        .select(col("s_nationkey"),
+          st_makeEnvelope(col("sx0"), lit(0.0), col("sx0") + col("sw"), lit(8.0)).as("strip"))
+      sb.groupBy(col("s_nationkey"))
+        .agg(st_area(st_unionAgg(col("strip"))).as("u_area"))
+    }),
+
     "q17_simplify" -> ((s, d) => {
       val z = t(s, d, "orders")
         .withColumn("amp", (col("o_orderkey") % 8L + 1L).cast("int"))
@@ -663,6 +700,42 @@ object SparkEntry {
            |  greatest(0.0, least($ny0 + 34.0, $sy0 + $sh) - greatest($ny0, $sy0)) AS iarea
            |FROM nation, supplier""".stripMargin,
 
+      "q48_union_area" ->
+        s"""SELECT s_suppkey, n_nationkey,
+           |  $sw * $sh + 72.0 * 34.0 -
+           |  greatest(0.0, least($nx0 + 72.0, $sx0 + $sw) - greatest($nx0, $sx0)) *
+           |  greatest(0.0, least($ny0 + 34.0, $sy0 + $sh) - greatest($ny0, $sy0)) AS u_area
+           |FROM supplier, nation WHERE s_suppkey % 25 = n_nationkey""".stripMargin,
+
+      "q49_difference_area" ->
+        s"""SELECT s_suppkey, n_nationkey,
+           |  $sw * $sh -
+           |  greatest(0.0, least($nx0 + 72.0, $sx0 + $sw) - greatest($nx0, $sx0)) *
+           |  greatest(0.0, least($ny0 + 34.0, $sy0 + $sh) - greatest($ny0, $sy0)) AS d_area
+           |FROM supplier, nation WHERE s_suppkey % 25 = n_nationkey""".stripMargin,
+
+      "q50_symdifference_area" ->
+        s"""SELECT s_suppkey, n_nationkey,
+           |  $sw * $sh + 72.0 * 34.0 - 2 * (
+           |  greatest(0.0, least($nx0 + 72.0, $sx0 + $sw) - greatest($nx0, $sx0)) *
+           |  greatest(0.0, least($ny0 + 34.0, $sy0 + $sh) - greatest($ny0, $sy0))) AS sd_area
+           |FROM supplier, nation WHERE s_suppkey % 25 = n_nationkey""".stripMargin,
+
+      "q51_union_agg_area" ->
+        s"""WITH iv AS (
+           |  SELECT s_nationkey AS k, $sx0 AS x0, $sx0 + $sw AS x1 FROM supplier),
+           |ord AS (
+           |  SELECT k, x0, x1, max(x1) OVER (
+           |    PARTITION BY k ORDER BY x0, x1
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           |  FROM iv),
+           |grp AS (
+           |  SELECT k, x0, x1, sum(CASE WHEN prev_max IS NULL OR x0 > prev_max
+           |    THEN 1 ELSE 0 END) OVER (PARTITION BY k ORDER BY x0, x1) AS g
+           |  FROM ord),
+           |isl AS (SELECT k, g, max(x1) - min(x0) AS len FROM grp GROUP BY k, g)
+           |SELECT k AS s_nationkey, sum(len) * 8.0 AS u_area FROM isl GROUP BY 1""".stripMargin,
+
       "q17_simplify" ->
         s"""SELECT o_orderkey,
            |  CAST(CASE WHEN o_orderkey % 8 + 1 <= 4.5 THEN 2 ELSE 3 END AS BIGINT) AS npts
@@ -718,8 +791,8 @@ object SparkEntry {
 
       "q26_projection" ->
         s"""SELECT c_custkey,
-           |  6371000.0 * ($cx * 0.017453292519943295) AS px,
-           |  6371000.0 * ($cy * 0.017453292519943295) AS py
+           |  ((2 * 6378137.0 + 6356752.314245) / 3) * ($cx * 0.017453292519943295) AS px,
+           |  ((2 * 6378137.0 + 6356752.314245) / 3) * ($cy * 0.017453292519943295) AS py
            |FROM customer""".stripMargin,
 
       "q28_envelope_agg" ->

@@ -51,9 +51,8 @@ object Overlay {
       case None =>
     }
 
-    throw new UnsupportedOperationException(
-      "st_intersection currently requires at least one convex areal operand " +
-        "(general OverlayNG-style noding lands in a later phase)")
+    // general case: arrangement overlay (SetOps)
+    SetOps.intersection(a, b)
   }
 
   private def pointIntersection(pts: Geom, other: Geom): Geom = {
@@ -368,7 +367,10 @@ object PointOnSurface {
   * "lambertcyl", "equirect". Suffix ":inv" applies the reverse map.
   */
 object Projections {
-  private final val R = 6371000.0 // reference carto uses earth radius for the non-tile projections
+  /** WGS84 ellipsoid mean radius, matching the reference's carto
+    * constant (reference: carto/radius.go WGS84EllipsoidMeanRadiusM).
+    */
+  private final val R = (2 * 6378137.0 + 6356752.314245) / 3
 
   def forward(g: Geom, spec0: String): Geom = {
     val inv = spec0.endsWith(":inv")
@@ -404,8 +406,179 @@ object Projections {
       case "equirect" =>
         if (!inv) (lon, lat) => (R * math.toRadians(lon), R * math.toRadians(lat))
         else (x, y) => (math.toDegrees(x / R), math.toDegrees(y / R))
+
+      // conic / azimuthal projections, spherical Snyder forms
+      // (reference: carto/proj_lambert_conformal_conic.go:45-92,
+      //  proj_albers_equal_area_conic.go:43-102,
+      //  proj_equidistant_conic.go:48-113, proj_orthographic.go:46-78,
+      //  proj_azimuthal_equidistant.go:39-76 — all "Map Projections: A
+      //  Working Manual", Snyder, USGS PP 1395)
+      case s if s.startsWith("lcc") =>
+        val Array(_, a1, a2, a3, a4) = padSpec(s, 5)
+        val phi1 = math.toRadians(a1.toDouble); val phi2 = math.toRadians(a2.toDouble)
+        val lam0 = math.toRadians(a3.toDouble); val phi0 = math.toRadians(a4.toDouble)
+        val n =
+          if (phi1 == phi2) math.sin(phi1)
+          else math.log(math.cos(phi1) / math.cos(phi2)) /
+            math.log(math.tan(math.Pi / 4 + phi2 / 2) / math.tan(math.Pi / 4 + phi1 / 2))
+        val F = math.cos(phi1) * math.pow(math.tan(math.Pi / 4 + phi1 / 2), n) / n
+        val rho0 = R * F / math.pow(math.tan(math.Pi / 4 + phi0 / 2), n)
+        if (!inv) (lon, lat) => {
+          val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+          val rho = R * F / math.pow(math.tan(math.Pi / 4 + phi / 2), n)
+          (rho * math.sin(n * (lam - lam0)), rho0 - rho * math.cos(n * (lam - lam0)))
+        } else (x, y) => {
+          val rho = math.signum(n) * math.sqrt(x * x + (rho0 - y) * (rho0 - y))
+          val theta = math.atan2(x, rho0 - y)
+          val phi = 2 * math.atan(math.pow(R * F / rho, 1 / n)) - math.Pi / 2
+          (math.toDegrees(lam0 + theta / n), math.toDegrees(phi))
+        }
+      case s if s.startsWith("albers") =>
+        val Array(_, a1, a2, a3, a4) = padSpec(s, 5)
+        val phi1 = math.toRadians(a1.toDouble); val phi2 = math.toRadians(a2.toDouble)
+        val lam0 = math.toRadians(a3.toDouble); val phi0 = math.toRadians(a4.toDouble)
+        val n = (math.sin(phi1) + math.sin(phi2)) / 2
+        val c = math.cos(phi1) * math.cos(phi1) + 2 * n * math.sin(phi1)
+        val rho0 = R * math.sqrt(c - 2 * n * math.sin(phi0)) / n
+        if (!inv) (lon, lat) => {
+          val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+          val rho = R * math.sqrt(c - 2 * n * math.sin(phi)) / n
+          val theta = n * (lam - lam0)
+          (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+        } else (x, y) => {
+          val rho = math.sqrt(x * x + (rho0 - y) * (rho0 - y))
+          val theta = math.atan2(x, rho0 - y)
+          val phi = math.asin((c - (rho * n / R) * (rho * n / R)) / (2 * n))
+          (math.toDegrees(lam0 + theta / n), math.toDegrees(phi))
+        }
+      case s if s.startsWith("eqdc") =>
+        val Array(_, a1, a2, a3, a4) = padSpec(s, 5)
+        val phi1 = math.toRadians(a1.toDouble); val phi2 = math.toRadians(a2.toDouble)
+        val lam0 = math.toRadians(a3.toDouble); val phi0 = math.toRadians(a4.toDouble)
+        val n =
+          if (phi1 == phi2) math.sin(phi1)
+          else (math.cos(phi1) - math.cos(phi2)) / (phi2 - phi1)
+        val gg = math.cos(phi1) / n + phi1
+        val rho0 = R * (gg - phi0)
+        if (!inv) (lon, lat) => {
+          val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+          val rho = R * (gg - phi)
+          val theta = n * (lam - lam0)
+          (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+        } else (x, y) => {
+          val rho = math.signum(n) * math.sqrt(x * x + (rho0 - y) * (rho0 - y))
+          val theta = math.atan2(x, rho0 - y)
+          (math.toDegrees(lam0 + theta / n), math.toDegrees(gg - rho / R))
+        }
+      case s if s.startsWith("ortho") =>
+        val Array(_, a1, a2) = padSpec(s, 3)
+        val lam0 = math.toRadians(a1.toDouble); val phi0 = math.toRadians(a2.toDouble)
+        if (!inv) (lon, lat) => {
+          val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+          (R * math.cos(phi) * math.sin(lam - lam0),
+            R * (math.cos(phi0) * math.sin(phi) -
+              math.sin(phi0) * math.cos(phi) * math.cos(lam - lam0)))
+        } else (x, y) => {
+          val rho = math.sqrt(x * x + y * y)
+          if (rho == 0) (math.toDegrees(lam0), math.toDegrees(phi0))
+          else {
+            val cc = math.asin(math.min(1.0, rho / R))
+            val phi = math.asin(math.cos(cc) * math.sin(phi0) +
+              y * math.sin(cc) * math.cos(phi0) / rho)
+            val lam = lam0 + math.atan2(x * math.sin(cc),
+              rho * math.cos(cc) * math.cos(phi0) - y * math.sin(cc) * math.sin(phi0))
+            (math.toDegrees(lam), math.toDegrees(phi))
+          }
+        }
+      case s if s.startsWith("aeqd") =>
+        val Array(_, a1, a2) = padSpec(s, 3)
+        val lam0 = math.toRadians(a1.toDouble); val phi0 = math.toRadians(a2.toDouble)
+        if (!inv) (lon, lat) => {
+          val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+          val cosc = math.sin(phi0) * math.sin(phi) +
+            math.cos(phi0) * math.cos(phi) * math.cos(lam - lam0)
+          val cc = math.acos(math.max(-1.0, math.min(1.0, cosc)))
+          val kp = if (cc == 0) 1.0 else cc / math.sin(cc)
+          (R * kp * math.cos(phi) * math.sin(lam - lam0),
+            R * kp * (math.cos(phi0) * math.sin(phi) -
+              math.sin(phi0) * math.cos(phi) * math.cos(lam - lam0)))
+        } else (x, y) => {
+          val rho = math.sqrt(x * x + y * y)
+          if (rho == 0) (math.toDegrees(lam0), math.toDegrees(phi0))
+          else {
+            val cc = rho / R
+            val phi = math.asin(math.cos(cc) * math.sin(phi0) +
+              y * math.sin(cc) * math.cos(phi0) / rho)
+            val lam = lam0 + math.atan2(x * math.sin(cc),
+              rho * math.cos(cc) * math.cos(phi0) - y * math.sin(cc) * math.sin(phi0))
+            (math.toDegrees(lam), math.toDegrees(phi))
+          }
+        }
+      case s if s.startsWith("utm") =>
+        // Snyder ellipsoidal transverse Mercator, WGS84 constants
+        // (reference: carto/proj_utm.go:133-230)
+        val code = s.split(':')(1)
+        require(code.length == 3, s"bad UTM code '$code' (e.g. 56S)")
+        val zone = code.take(2).toInt
+        require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range")
+        val north = code(2) == 'N' || code(2) == 'n'
+        val lam0 = math.toRadians((zone - 1) * 6 - 180 + 3.0)
+        val n0 = if (north) 0.0 else 10e6
+        val aa = 6378137.0; val k0 = 0.9996; val e2 = 0.00669438; val e0 = 500e3
+        val ep2 = e2 / (1 - e2)
+        val e4 = e2 * e2; val e6 = e4 * e2
+        if (!inv) (lon, lat) => {
+          val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+          val nN = aa / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+          val t = math.tan(phi) * math.tan(phi)
+          val c = ep2 * math.cos(phi) * math.cos(phi)
+          val a1 = (lam - lam0) * math.cos(phi)
+          val m = aa * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi -
+            (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi) +
+            (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi) -
+            (35 * e6 / 3072) * math.sin(6 * phi))
+          val a2 = a1 * a1; val a3 = a2 * a1; val a4 = a3 * a1
+          val a5 = a4 * a1; val a6 = a5 * a1
+          val x = e0 + k0 * nN * (a1 + (1 - t + c) * a3 / 6 +
+            (5 - 18 * t + t * t + 72 * c - 58 * ep2) * a5 / 120)
+          val y = n0 + k0 * (m + nN * math.tan(phi) * (a2 / 2 +
+            (5 - t + 9 * c + 4 * c * c) * a4 / 24 +
+            (61 - 58 * t + t * t + 600 * c - 330 * ep2) * a6 / 720))
+          (x, y)
+        } else (x0, y0) => {
+          val x = x0 - e0; val y = y0 - n0
+          val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+          val m = y / k0
+          val mu = m / (aa * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+          val e12 = e1 * e1; val e13 = e12 * e1; val e14 = e13 * e1
+          val phi1 = mu + (3 * e1 / 2 - 27 * e13 / 32) * math.sin(2 * mu) +
+            (21 * e12 / 16 - 55 * e14 / 32) * math.sin(4 * mu) +
+            (151 * e13 / 96) * math.sin(6 * mu) +
+            (1097 * e14 / 512) * math.sin(8 * mu)
+          val c1 = ep2 * math.cos(phi1) * math.cos(phi1)
+          val t1 = math.tan(phi1) * math.tan(phi1)
+          val n1 = aa / math.sqrt(1 - e2 * math.sin(phi1) * math.sin(phi1))
+          val r1 = aa * (1 - e2) / math.pow(1 - e2 * math.sin(phi1) * math.sin(phi1), 1.5)
+          val d = x / (n1 * k0)
+          val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d; val d5 = d4 * d; val d6 = d5 * d
+          val phi = phi1 - (n1 * math.tan(phi1) / r1) * (d2 / 2 -
+            (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d4 / 24 +
+            (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) * d6 / 720)
+          val lam = lam0 + (d - (1 + 2 * t1 + c1) * d3 / 6 +
+            (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) * d5 / 120) /
+            math.cos(phi1)
+          (math.toDegrees(lam), math.toDegrees(phi))
+        }
       case other => throw new IllegalArgumentException(s"unknown projection '$other'")
     }
     Geom.transformXY(g, fn)
+  }
+
+  /** Split a spec like "lcc:33:45:-96:23" into exactly n fields,
+    * padding missing numeric parameters with "0".
+    */
+  private def padSpec(s: String, n: Int): Array[String] = {
+    val parts = s.split(':')
+    (parts ++ Array.fill(math.max(0, n - parts.length))("0")).take(n)
   }
 }

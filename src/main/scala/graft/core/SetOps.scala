@@ -1,0 +1,921 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** General geometric set operations (union / intersection / difference /
+  * symmetric difference / unary union) over arbitrary geometry pairs.
+  *
+  * Reference semantics: geom/alg_overlay.go (empty-result typing at
+  * lines 29-44, GC-aware pairwise plans at 84-220) with the overlay
+  * engine itself re-derived Spark-side as an arrangement overlay
+  * instead of a port of OverlayNG's noding ladder
+  * (jts/operation_overlayng_*):
+  *
+  *  1. NODE: all input segments are split at mutual intersections
+  *     (R-tree candidate pairs, DD-robust orientation tests, one
+  *     crossing point computed per pair so both segments split at the
+  *     identical coordinate).
+  *  2. ARRANGE: the noded edges form a planar subdivision; faces are
+  *     extracted by left-face half-edge traversal with hole-contour
+  *     nesting.
+  *  3. CLASSIFY: each face takes one strictly-interior point, located
+  *     against both inputs (ray-casting), giving (inA, inB).
+  *  4. KEEP + DISSOLVE: faces are kept per the boolean op; edges
+  *     between a kept and an unkept face are walked into shells and
+  *     holes (the union of kept faces).
+  *
+  * Lower-dimensional intersection output (collinear boundary pieces,
+  * isolated touch points) is collected from the same noded graph.
+  */
+object SetOps {
+
+  private final val OpInt = 0
+  private final val OpUnion = 1
+  private final val OpDiff = 2
+  private final val OpSym = 3
+
+  // ------------------------------------------------------------ public
+
+  def union(a: Geom, b: Geom): Geom = {
+    if (a.isEmpty && b.isEmpty)
+      return Overlay.emptyOfDim(math.max(a.dimension, b.dimension))
+    if (isGC(a) || isGC(b)) return unionMany(Seq(a, b))
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    overlay(a, b, OpUnion)
+  }
+
+  def intersection(a: Geom, b: Geom): Geom = {
+    val outDim = math.min(a.dimension, b.dimension)
+    if (a.isEmpty || b.isEmpty || !a.envelope.intersects(b.envelope))
+      return Overlay.emptyOfDim(outDim)
+    if (isGC(a) || isGC(b)) return gcIntersection(a, b)
+    overlay(a, b, OpInt)
+  }
+
+  def difference(a: Geom, b: Geom): Geom = {
+    if (a.isEmpty) return Overlay.emptyOfDim(a.dimension)
+    if (b.isEmpty) return a
+    if (isGC(a) || isGC(b)) return gcDifference(a, b)
+    if (!a.envelope.intersects(b.envelope)) return a
+    overlay(a, b, OpDiff)
+  }
+
+  def symDifference(a: Geom, b: Geom): Geom = {
+    if (a.isEmpty && b.isEmpty)
+      return Overlay.emptyOfDim(math.max(a.dimension, b.dimension))
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    if (isGC(a) || isGC(b)) return union(difference(a, b), difference(b, a))
+    overlay(a, b, OpSym)
+  }
+
+  /** Union of all components of g (reference: alg_overlay.go:274-286). */
+  def unaryUnion(g: Geom): Geom = {
+    if (g.isEmpty) return Overlay.emptyOfDim(g.dimension)
+    unionMany(Seq(g))
+  }
+
+  def unionMany(gs: Seq[Geom]): Geom = {
+    val parts = mutable.ArrayBuffer.empty[Geom]
+    def walk(g: Geom): Unit = g match {
+      case GColl(cs, _) => cs.foreach(walk)
+      case g if g.isEmpty => ()
+      case GMPoint(ps, _) => ps.filter(!_.isEmpty).foreach(parts += _)
+      case GMLine(ls, ct) => ls.filter(!_.isEmpty).foreach(s => parts += GLine(s))
+      case GMPoly(ps, ct) => ps.filter(_.nonEmpty).foreach(p => parts += GPoly(p, ct))
+      case g => parts += g
+    }
+    gs.foreach(walk)
+    if (parts.isEmpty) return Geom.emptyGC
+    nAryUnion(parts.toSeq)
+  }
+
+  // --------------------------------------------------- GC-aware plans
+
+  private def isGC(g: Geom): Boolean = g.isInstanceOf[GColl]
+
+  private def atomicParts(g: Geom): Seq[Geom] = {
+    val out = mutable.ArrayBuffer.empty[Geom]
+    def walk(x: Geom): Unit = x match {
+      case GColl(cs, _) => cs.foreach(walk)
+      case GMPoint(ps, _) => ps.filter(!_.isEmpty).foreach(out += _)
+      case GMLine(ls, _) => ls.filter(!_.isEmpty).foreach(s => out += GLine(s))
+      case GMPoly(ps, ct) => ps.filter(_.nonEmpty).foreach(p => out += GPoly(p, ct))
+      case x if !x.isEmpty => out += x
+      case _ => ()
+    }
+    walk(x = g)
+    out.toSeq
+  }
+
+  /** Pairwise intersections across parts, unioned
+    * (reference: alg_overlay.go:84-120 incl. the R-tree over parts).
+    */
+  private def gcIntersection(a: Geom, b: Geom): Geom = {
+    val pa = atomicParts(if (isGC(a)) unaryUnion(a) else a)
+    val pb = atomicParts(if (isGC(b)) unaryUnion(b) else b)
+    if (pa.isEmpty || pb.isEmpty)
+      return Overlay.emptyOfDim(math.min(a.dimension, b.dimension))
+    val tree = RTree.bulkLoad(pb.map(_.envelope).toArray)
+    val results = mutable.ArrayBuffer.empty[Geom]
+    for (x <- pa; e = x.envelope; if !e.isEmpty) {
+      tree.rangeSearch(e) { i =>
+        val r = intersection(x, pb(i))
+        if (!r.isEmpty) results += r
+        true
+      }
+    }
+    if (results.isEmpty) Overlay.emptyOfDim(math.min(a.dimension, b.dimension))
+    else unionMany(results.toSeq)
+  }
+
+  /** Sequential subtraction per part (reference: alg_overlay.go:158-220). */
+  private def gcDifference(a: Geom, b: Geom): Geom = {
+    val pa = atomicParts(if (isGC(a)) unaryUnion(a) else a)
+    val pb = atomicParts(if (isGC(b)) unaryUnion(b) else b)
+    if (pb.isEmpty) return unionMany(pa)
+    val tree = RTree.bulkLoad(pb.map(_.envelope).toArray)
+    val results = mutable.ArrayBuffer.empty[Geom]
+    for (x <- pa) {
+      var cur = x
+      tree.rangeSearch(x.envelope) { i =>
+        if (!cur.isEmpty && cur.envelope.intersects(pb(i).envelope))
+          cur = difference(cur, pb(i))
+        !cur.isEmpty
+      }
+      if (!cur.isEmpty) results += cur
+    }
+    if (results.isEmpty) Overlay.emptyOfDim(a.dimension)
+    else unionMany(results.toSeq)
+  }
+
+  /** n-ary union of atomic parts, by dimension: areal parts go through
+    * ONE shared arrangement (kept face = inside any part); line parts
+    * are noded and deduped, dropping pieces covered by the areal
+    * result; points are deduped and dropped if covered.
+    */
+  private def nAryUnion(parts: Seq[Geom]): Geom = {
+    val polys = parts.filter(_.dimension == 2)
+    val lines = parts.collect { case l: GLine => l }
+    val points = parts.collect { case p: GPoint if !p.isEmpty => p }
+
+    val arealResult: Geom =
+      if (polys.isEmpty) GPoly(Array.empty, CT.XY)
+      else if (polys.size == 1) polys.head
+      else {
+        // cascaded (balanced-tree) union in envelope-sorted order —
+        // matches the reference's cascaded union inside
+        // OverlayNGRobust_Union: each input participates in O(log n)
+        // overlays instead of O(n) for a linear fold
+        var level = polys.sortBy { p =>
+          val e = p.envelope; (e.xmin, e.ymin)
+        }.toIndexedSeq
+        while (level.size > 1) {
+          level = level.grouped(2).map {
+            case Seq(x, y) =>
+              if (!x.envelope.intersects(y.envelope)) mergeDisjointAreal(x, y)
+              else overlay(x, y, OpUnion)
+            case Seq(x) => x
+          }.toIndexedSeq
+        }
+        level.head
+      }
+
+    val lineResult: Geom =
+      if (lines.isEmpty) GLine(Seqn.empty2D)
+      else {
+        // dedupe/merge the lines among themselves, then subtract the
+        // areal closure via the line-areal overlay (which nodes line
+        // segments at areal boundary crossings — a piece-midpoint test
+        // without that noding misses partially-covered segments)
+        val noder = new Noder
+        lines.foreach(l => noder.addLine(l.seq, srcA = true))
+        noder.node()
+        val merged = linesFromEdges(noder.edges)
+        if (arealResult.isEmpty || merged.isEmpty) merged
+        else lineArealOverlay(merged, arealResult, OpDiff, lineIsA = true)
+      }
+
+    val pointResult: Geom = {
+      val kept = points.filter { p =>
+        (arealResult.isEmpty || Alg.pointInAreal(arealResult, p.x, p.y) < 0) &&
+          (lineResult.isEmpty || !Intersects.intersects(p, lineResult))
+      }
+      dedupPoints(kept.map(p => (p.x, p.y)))
+    }
+
+    assembleMixed(arealResult, lineResult, pointResult)
+  }
+
+  /** Concatenate two areal geoms with disjoint envelopes into one
+    * MultiPolygon — no overlay needed.
+    */
+  private def mergeDisjointAreal(a: Geom, b: Geom): Geom = {
+    val parts = mutable.ArrayBuffer.empty[Array[Seqn]]
+    def add(g: Geom): Unit = g match {
+      case GPoly(rs, _) if rs.nonEmpty => parts += rs
+      case GMPoly(ps, _) => ps.filter(_.nonEmpty).foreach(parts += _)
+      case _ => ()
+    }
+    add(a); add(b)
+    if (parts.isEmpty) GPoly(Array.empty, CT.XY)
+    else if (parts.length == 1) GPoly(parts.head, CT.XY)
+    else GMPoly(parts.toArray, CT.XY)
+  }
+
+  // ------------------------------------------------ binary dispatcher
+
+  private def overlay(a: Geom, b: Geom, op: Int): Geom = {
+    val da = a.dimension; val db = b.dimension
+    (da, db) match {
+      case (2, 2) => arealOverlay(a, b, op)
+      case (0, _) | (_, 0) => pointOverlay(a, b, op)
+      case (1, 1) => lineLineOverlay(a, b, op)
+      case (1, 2) => lineArealOverlay(a, b, op, lineIsA = true)
+      case (2, 1) => lineArealOverlay(b, a, swapDiffOp(op), lineIsA = false)
+      case _ => throw new UnsupportedOperationException(
+        s"overlay for dims ($da,$db) not supported")
+    }
+  }
+
+  private def swapDiffOp(op: Int): Int = op // symmetry handled inside
+
+  // --------------------------------------------------- point overlays
+
+  private def pointsOf(g: Geom): Seq[(Double, Double)] =
+    Geom.dump(g).collect { case p: GPoint if !p.isEmpty => (p.x, p.y) }.toSeq
+
+  private def dedupPoints(pts: Seq[(Double, Double)]): Geom = {
+    val seen = mutable.LinkedHashSet.empty[(Double, Double)]
+    pts.foreach(p => seen += ((p._1 + 0.0, p._2 + 0.0)))
+    if (seen.isEmpty) GPoint.empty
+    else if (seen.size == 1) GPoint.xy(seen.head._1, seen.head._2)
+    else GMPoint(seen.toArray.map(p => GPoint.xy(p._1, p._2)), CT.XY)
+  }
+
+  private def pointOverlay(a: Geom, b: Geom, op: Int): Geom = {
+    def locIn(g: Geom, x: Double, y: Double): Boolean =
+      Intersects.intersects(GPoint.xy(x, y), g)
+    op match {
+      case OpInt =>
+        val pts = if (a.dimension == 0) pointsOf(a).filter(p => locIn(b, p._1, p._2))
+                  else pointsOf(b).filter(p => locIn(a, p._1, p._2))
+        dedupPoints(pts)
+      case OpDiff =>
+        if (a.dimension == 0) dedupPoints(pointsOf(a).filterNot(p => locIn(b, p._1, p._2)))
+        else {
+          // areal/line minus points = unchanged (points are measure zero)
+          a
+        }
+      case OpUnion | OpSym =>
+        if (a.dimension == 0 && b.dimension == 0) {
+          if (op == OpUnion) dedupPoints(pointsOf(a) ++ pointsOf(b))
+          else {
+            val pa = pointsOf(a).map(p => (p._1 + 0.0, p._2 + 0.0)).toSet
+            val pb = pointsOf(b).map(p => (p._1 + 0.0, p._2 + 0.0)).toSet
+            dedupPoints(((pa diff pb) ++ (pb diff pa)).toSeq)
+          }
+        } else {
+          val (pts, other) = if (a.dimension == 0) (a, b) else (b, a)
+          val leftover = pointsOf(pts).filterNot(p => locIn(other, p._1, p._2))
+          if (leftover.isEmpty) other
+          else GColl(Array(other, dedupPoints(leftover)), CT.XY)
+        }
+    }
+  }
+
+  // ------------------------------------------------------ line x line
+
+  private def addLinesOf(noder: Noder, g: Geom, srcA: Boolean): Unit = g match {
+    case GLine(s) => noder.addLine(s, srcA)
+    case GMLine(ls, _) => ls.foreach(s => noder.addLine(s, srcA))
+    case _ => ()
+  }
+
+  private def lineLineOverlay(a: Geom, b: Geom, op: Int): Geom = {
+    val noder = new Noder
+    addLinesOf(noder, a, srcA = true)
+    addLinesOf(noder, b, srcA = false)
+    noder.node()
+    val edges = noder.edges
+    op match {
+      case OpInt =>
+        val shared = edges.filter(e => e.aSrc && e.bSrc)
+        val lineG = linesFromEdges(shared)
+        // isolated crossing points between A and B not covered by a
+        // shared edge
+        val endpoints = mutable.HashSet.empty[(Double, Double)]
+        shared.foreach { e =>
+          endpoints += ((e.x1, e.y1)); endpoints += ((e.x2, e.y2)) }
+        val touchPts = noder.abNodes.toSeq
+          .filterNot(p => endpoints.contains(p))
+          .filterNot(p => shared.exists(e => Alg.onSegment(e.x1, e.y1, e.x2, e.y2, p._1, p._2)))
+        assembleMixed(GPoly(Array.empty, CT.XY), lineG, dedupPoints(touchPts), emptyDim = 1)
+      case OpUnion => linesFromEdges(edges)
+      case OpDiff => linesFromEdges(edges.filter(e => e.aSrc && !e.bSrc))
+      case OpSym => linesFromEdges(edges.filter(e => e.aSrc ^ e.bSrc))
+    }
+  }
+
+  // ----------------------------------------------------- line x areal
+
+  /** line op areal. For (2,1) inputs the caller passes the line first;
+    * `lineIsA` tells us whether the original left operand was the line
+    * (matters for difference only).
+    */
+  private def lineArealOverlay(line: Geom, areal: Geom, op: Int,
+                               lineIsA: Boolean): Geom = {
+    val noder = new Noder
+    addLinesOf(noder, line, srcA = true)
+    addRingsOf(noder, areal, srcA = false)
+    noder.node()
+    // classify only the pieces that came from the line
+    val pieces = noder.edges.filter(_.aSrc)
+    def loc(e: NodedEdge): Int =
+      if (e.bSrc) 0 // collinear with the areal boundary
+      else Alg.pointInAreal(areal, (e.x1 + e.x2) / 2, (e.y1 + e.y2) / 2)
+    op match {
+      case OpInt =>
+        val kept = pieces.filter(e => loc(e) >= 0)
+        val lineG = linesFromEdges(kept)
+        val endpoints = mutable.HashSet.empty[(Double, Double)]
+        kept.foreach { e => endpoints += ((e.x1, e.y1)); endpoints += ((e.x2, e.y2)) }
+        val touchPts = noder.abNodes.toSeq
+          .filterNot(p => endpoints.contains(p))
+          .filterNot(p => kept.exists(e => Alg.onSegment(e.x1, e.y1, e.x2, e.y2, p._1, p._2)))
+          .filter(p => Alg.pointInAreal(areal, p._1, p._2) >= 0)
+        assembleMixed(GPoly(Array.empty, CT.XY), lineG, dedupPoints(touchPts), emptyDim = 1)
+      case OpDiff =>
+        if (lineIsA) linesFromEdges(pieces.filter(e => loc(e) < 0))
+        else areal // areal minus line: lines are measure zero
+      case OpUnion | OpSym =>
+        val outside = linesFromEdges(pieces.filter(e => loc(e) < 0))
+        if (outside.isEmpty) areal
+        else GColl(Array(areal, outside), CT.XY)
+    }
+  }
+
+  // ---------------------------------------------------- areal x areal
+
+  private def addRingsOf(noder: Noder, g: Geom, srcA: Boolean): Unit = g match {
+    case GPoly(rings, _) => rings.foreach(r => noder.addLine(r, srcA))
+    case GMPoly(ps, _) => ps.foreach(_.foreach(r => noder.addLine(r, srcA)))
+    case GColl(cs, _) => cs.foreach(addRingsOf(noder, _, srcA))
+    case _ => ()
+  }
+
+  private def keep(op: Int, inA: Boolean, inB: Boolean): Boolean = op match {
+    case OpInt => inA && inB
+    case OpUnion => inA || inB
+    case OpDiff => inA && !inB
+    case OpSym => inA ^ inB
+  }
+
+  private def arealOverlay(a: Geom, b: Geom, op: Int): Geom = {
+    val noder = new Noder
+    addRingsOf(noder, a, srcA = true)
+    addRingsOf(noder, b, srcA = false)
+    noder.node()
+    val arr = new Arrangement(noder.edges)
+    arr.build()
+
+    // classify faces
+    val keptFace = new Array[Boolean](arr.nFaces)
+    var f = 0
+    while (f < arr.nFaces) {
+      if (!arr.faceUnbounded(f)) {
+        val (px, py) = arr.faceInteriorPoint(f)
+        val inA = Alg.pointInAreal(a, px, py) > 0
+        val inB = Alg.pointInAreal(b, px, py) > 0
+        keptFace(f) = keep(op, inA, inB)
+      }
+      f += 1
+    }
+
+    val arealResult = arr.dissolve(keptFace)
+
+    if (op != OpInt) return arealResult
+
+    // lower-dimensional intersection output: collinear boundary pieces
+    // between A and B not adjacent to a kept face; then isolated touch
+    // points not covered by anything kept
+    val sharedEdges = mutable.ArrayBuffer.empty[NodedEdge]
+    var ei = 0
+    while (ei < arr.edges.length) {
+      val e = arr.edges(ei)
+      if (e.aSrc && e.bSrc && !keptFace(arr.leftFace(ei)) && !keptFace(arr.rightFace(ei)))
+        sharedEdges += e
+      ei += 1
+    }
+    val lineG = linesFromEdges(sharedEdges.toSeq)
+
+    val coveredPts = mutable.HashSet.empty[(Double, Double)]
+    ei = 0
+    while (ei < arr.edges.length) {
+      val e = arr.edges(ei)
+      val keptAdj = keptFace(arr.leftFace(ei)) || keptFace(arr.rightFace(ei)) ||
+        (e.aSrc && e.bSrc)
+      if (keptAdj) {
+        coveredPts += ((e.x1, e.y1)); coveredPts += ((e.x2, e.y2))
+      }
+      ei += 1
+    }
+    val touchPts = noder.abNodes.toSeq.filterNot(coveredPts.contains)
+    assembleMixed(arealResult, lineG, dedupPoints(touchPts))
+  }
+
+  // ------------------------------------------------------- assembly
+
+  /** Merge noded 2-point edges into maximal linestrings through
+    * degree-2 nodes.
+    */
+  private def linesFromEdges(edges: Seq[NodedEdge]): Geom = {
+    if (edges.isEmpty) return GLine(Seqn.empty2D)
+    type Pt = (Double, Double)
+    val adj = mutable.HashMap.empty[Pt, mutable.ArrayBuffer[Int]]
+    edges.zipWithIndex.foreach { case (e, i) =>
+      adj.getOrElseUpdate((e.x1, e.y1), mutable.ArrayBuffer.empty) += i
+      adj.getOrElseUpdate((e.x2, e.y2), mutable.ArrayBuffer.empty) += i
+    }
+    val used = new Array[Boolean](edges.length)
+    val out = mutable.ArrayBuffer.empty[Seqn]
+
+    def walk(start: Int, fromPt: Pt): mutable.ArrayBuffer[Pt] = {
+      val pts = mutable.ArrayBuffer[Pt](fromPt)
+      var cur = start
+      var at = fromPt
+      var continue = true
+      while (continue) {
+        used(cur) = true
+        val e = edges(cur)
+        val next: Pt = if ((e.x1, e.y1) == at) (e.x2, e.y2) else (e.x1, e.y1)
+        pts += next
+        at = next
+        val cands = adj(at).filterNot(used(_))
+        if (cands.length == 1 && adj(at).length == 2) cur = cands.head
+        else continue = false
+      }
+      pts
+    }
+
+    // start walks at nodes that are not degree-2 (chain endpoints)
+    for ((pt, ids) <- adj if ids.length != 2; i <- ids if !used(i))
+      out += seqnOf(walk(i, pt).toSeq)
+    // leftover pure cycles
+    edges.indices.foreach { i =>
+      if (!used(i)) {
+        val e = edges(i)
+        out += seqnOf(walk(i, (e.x1, e.y1)).toSeq)
+      }
+    }
+    if (out.isEmpty) GLine(Seqn.empty2D)
+    else if (out.length == 1) GLine(out.head)
+    else GMLine(out.toArray, CT.XY)
+  }
+
+  private def seqnOf(pts: Seq[(Double, Double)]): Seqn = {
+    val arr = new Array[Double](pts.length * 2)
+    var i = 0
+    pts.foreach { p => arr(i) = p._1; arr(i + 1) = p._2; i += 2 }
+    Seqn.xy(arr)
+  }
+
+  /** Combine areal + line + point results into the leanest type;
+    * all-empty yields the dim-typed empty (reference:
+    * alg_overlay.go:29-44 createEmptyResult).
+    */
+  private def assembleMixed(areal: Geom, line: Geom, point: Geom,
+                            emptyDim: Int = 2): Geom = {
+    val parts = mutable.ArrayBuffer.empty[Geom]
+    if (!areal.isEmpty) parts += areal
+    if (!line.isEmpty) parts += line
+    if (!point.isEmpty) parts += point
+    parts.length match {
+      case 0 => Overlay.emptyOfDim(emptyDim)
+      case 1 => parts.head
+      case _ => GColl(parts.toArray, CT.XY)
+    }
+  }
+}
+
+/** One noded, deduplicated, undirected edge of the overlay graph. */
+final case class NodedEdge(x1: Double, y1: Double, x2: Double, y2: Double,
+                           var aSrc: Boolean, var bSrc: Boolean)
+
+/** Segment noder: collects tagged segments, splits them at mutual
+  * intersections (computed once per crossing pair so the split point is
+  * bit-identical on both), dedupes sub-segments, and records the nodes
+  * where an A-segment meets a B-segment (candidate touch points).
+  */
+final class Noder {
+  private val segs = mutable.ArrayBuffer.empty[Array[Double]] // x1,y1,x2,y2
+  private val segSrcA = mutable.ArrayBuffer.empty[Boolean]
+  private val splits = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[(Double, Double)]]
+
+  /** Nodes where an A-source segment intersects a B-source segment. */
+  val abNodes: mutable.LinkedHashSet[(Double, Double)] = mutable.LinkedHashSet.empty
+
+  var edges: Seq[NodedEdge] = Nil
+
+  def addLine(s: Seqn, srcA: Boolean): Unit = {
+    var i = 0
+    while (i < s.n - 1) {
+      val x1 = s.x(i); val y1 = s.y(i); val x2 = s.x(i + 1); val y2 = s.y(i + 1)
+      if (x1 != x2 || y1 != y2) {
+        segs += Array(x1 + 0.0, y1 + 0.0, x2 + 0.0, y2 + 0.0)
+        segSrcA += srcA
+        splits += mutable.ArrayBuffer.empty
+      }
+      i += 1
+    }
+  }
+
+  private def addSplit(i: Int, x: Double, y: Double): Unit = {
+    val s = segs(i)
+    if ((x != s(0) || y != s(1)) && (x != s(2) || y != s(3)))
+      splits(i) += ((x, y))
+  }
+
+  def node(): Unit = {
+    val n = segs.length
+    val envs = new Array[Env](n)
+    var i = 0
+    while (i < n) {
+      val s = segs(i)
+      envs(i) = Env(math.min(s(0), s(2)), math.min(s(1), s(3)),
+        math.max(s(0), s(2)), math.max(s(1), s(3)))
+      i += 1
+    }
+    val tree = RTree.bulkLoad(envs)
+    i = 0
+    while (i < n) {
+      val s = segs(i)
+      tree.rangeSearch(envs(i)) { j =>
+        if (j > i) intersectPair(i, j)
+        true
+      }
+      i += 1
+    }
+
+    // split + dedupe
+    val seen = mutable.LinkedHashMap.empty[(Double, Double, Double, Double), NodedEdge]
+    i = 0
+    while (i < n) {
+      val s = segs(i)
+      val dx = s(2) - s(0); val dy = s(3) - s(1)
+      val horiz = math.abs(dx) >= math.abs(dy)
+      def t(px: Double, py: Double): Double =
+        if (horiz) (px - s(0)) / dx else (py - s(1)) / dy
+      val pts = ((s(0), s(1)) +: splits(i).distinct.sortBy(p => t(p._1, p._2))) :+ ((s(2), s(3)))
+      var k = 0
+      while (k < pts.length - 1) {
+        val (ax, ay) = pts(k); val (bx, by) = pts(k + 1)
+        if (ax != bx || ay != by) {
+          val key = if (ax < bx || (ax == bx && ay <= by)) (ax, ay, bx, by) else (bx, by, ax, ay)
+          seen.get(key) match {
+            case Some(e) =>
+              if (segSrcA(i)) e.aSrc = true else e.bSrc = true
+            case None =>
+              seen(key) = NodedEdge(key._1, key._2, key._3, key._4,
+                aSrc = segSrcA(i), bSrc = !segSrcA(i))
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    edges = seen.values.toSeq
+  }
+
+  private def intersectPair(i: Int, j: Int): Unit = {
+    val a = segs(i); val b = segs(j)
+    val o1 = Alg.orient(a(0), a(1), a(2), a(3), b(0), b(1))
+    val o2 = Alg.orient(a(0), a(1), a(2), a(3), b(2), b(3))
+    val o3 = Alg.orient(b(0), b(1), b(2), b(3), a(0), a(1))
+    val o4 = Alg.orient(b(0), b(1), b(2), b(3), a(2), a(3))
+    val crossSrc = segSrcA(i) != segSrcA(j)
+
+    if (o1 * o2 < 0 && o3 * o4 < 0) {
+      // proper crossing: one shared point, computed once
+      val (px, py) = Alg.crossingPoint(a(0), a(1), a(2), a(3), b(0), b(1), b(2), b(3))
+      addSplit(i, px, py); addSplit(j, px, py)
+      if (crossSrc) abNodes += ((px, py))
+      return
+    }
+    if (o1 == 0 && o2 == 0 && o3 == 0 && o4 == 0) {
+      // collinear: project endpoints onto the other segment
+      var touched = false
+      def tryPt(si: Int, px: Double, py: Double): Unit = {
+        val s = segs(si)
+        if (Alg.onSegment(s(0), s(1), s(2), s(3), px, py)) {
+          addSplit(si, px, py); touched = true
+          if (crossSrc) abNodes += ((px, py))
+        }
+      }
+      tryPt(i, b(0), b(1)); tryPt(i, b(2), b(3))
+      tryPt(j, a(0), a(1)); tryPt(j, a(2), a(3))
+      return
+    }
+    // endpoint touching / T-junctions
+    if (o1 == 0 && Alg.onSegment(a(0), a(1), a(2), a(3), b(0), b(1))) {
+      addSplit(i, b(0), b(1)); if (crossSrc) abNodes += ((b(0), b(1)))
+    }
+    if (o2 == 0 && Alg.onSegment(a(0), a(1), a(2), a(3), b(2), b(3))) {
+      addSplit(i, b(2), b(3)); if (crossSrc) abNodes += ((b(2), b(3)))
+    }
+    if (o3 == 0 && Alg.onSegment(b(0), b(1), b(2), b(3), a(0), a(1))) {
+      addSplit(j, a(0), a(1)); if (crossSrc) abNodes += ((a(0), a(1)))
+    }
+    if (o4 == 0 && Alg.onSegment(b(0), b(1), b(2), b(3), a(2), a(3))) {
+      addSplit(j, a(2), a(3)); if (crossSrc) abNodes += ((a(2), a(3)))
+    }
+  }
+}
+
+/** Planar arrangement over noded edges: half-edge structure, left-face
+  * traversal, hole-contour nesting, face interior points, and dissolve
+  * of kept faces into shells + holes.
+  */
+final class Arrangement(val edges: Seq[NodedEdge]) {
+  // nodes
+  private val nodeId = mutable.HashMap.empty[(Double, Double), Int]
+  private val nodeXY = mutable.ArrayBuffer.empty[(Double, Double)]
+  private def nid(x: Double, y: Double): Int =
+    nodeId.getOrElseUpdate((x, y), { nodeXY += ((x, y)); nodeXY.length - 1 })
+
+  // half-edges: 2*i = edge i directed (p1->p2), 2*i+1 = (p2->p1)
+  private var heFrom: Array[Int] = _
+  private var heTo: Array[Int] = _
+  private var heNext: Array[Int] = _ // next half-edge in left-face walk
+  private var heFace: Array[Int] = _
+  private var contourOf: Array[Int] = _ // half-edge -> contour id
+  private val contours = mutable.ArrayBuffer.empty[Array[Int]] // contour -> half-edges
+  private val contourArea = mutable.ArrayBuffer.empty[Double]
+  private var contourFace: Array[Int] = _
+  var nFaces: Int = 0
+  private var unbounded: Array[Boolean] = _
+  private val faceContours = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+
+  @inline private def twin(h: Int): Int = h ^ 1
+
+  def build(): Unit = {
+    val m = edges.length
+    heFrom = new Array[Int](2 * m); heTo = new Array[Int](2 * m)
+    var i = 0
+    while (i < m) {
+      val e = edges(i)
+      val u = nid(e.x1, e.y1); val v = nid(e.x2, e.y2)
+      heFrom(2 * i) = u; heTo(2 * i) = v
+      heFrom(2 * i + 1) = v; heTo(2 * i + 1) = u
+      i += 1
+    }
+    // outgoing half-edges per node, sorted by angle (CCW order)
+    val out = Array.fill(nodeXY.length)(mutable.ArrayBuffer.empty[Int])
+    i = 0
+    while (i < 2 * m) { out(heFrom(i)) += i; i += 1 }
+    val angle = new Array[Double](2 * m)
+    i = 0
+    while (i < 2 * m) {
+      val (fx, fy) = nodeXY(heFrom(i)); val (tx, ty) = nodeXY(heTo(i))
+      angle(i) = math.atan2(ty - fy, tx - fx)
+      i += 1
+    }
+    val rankAt = new Array[Int](2 * m) // position of h in out(from(h)) CCW order
+    out.foreach { lst =>
+      val sorted = lst.sortBy(angle)
+      var k = 0
+      while (k < sorted.length) { rankAt(sorted(k)) = k; k += 1 }
+      lst.clear(); lst ++= sorted
+    }
+    // next(h): at node v = to(h), take twin(h) (outgoing at v) and step
+    // to the next outgoing half-edge in CLOCKWISE order (previous in the
+    // CCW-sorted list) — the standard left-face traversal rule
+    heNext = new Array[Int](2 * m)
+    i = 0
+    while (i < 2 * m) {
+      val t = twin(i)
+      val lst = out(heFrom(t))
+      val k = rankAt(t)
+      heNext(i) = lst((k - 1 + lst.length) % lst.length)
+      i += 1
+    }
+    // contours
+    contourOf = Array.fill(2 * m)(-1)
+    i = 0
+    while (i < 2 * m) {
+      if (contourOf(i) == -1) {
+        val cid = contours.length
+        val buf = mutable.ArrayBuffer.empty[Int]
+        var h = i
+        while (contourOf(h) == -1) {
+          contourOf(h) = cid
+          buf += h
+          h = heNext(h)
+        }
+        contours += buf.toArray
+        // signed area (shoelace over the walked cycle)
+        var s = 0.0
+        buf.foreach { h2 =>
+          val (x1, y1) = nodeXY(heFrom(h2)); val (x2, y2) = nodeXY(heTo(h2))
+          s += x1 * y2 - x2 * y1
+        }
+        contourArea += s / 2
+      }
+      i += 1
+    }
+    groupContoursIntoFaces()
+    heFace = new Array[Int](2 * m)
+    i = 0
+    while (i < 2 * m) { heFace(i) = contourFace(contourOf(i)); i += 1 }
+  }
+
+  /** Faces: each CCW contour (area > 0) starts a face; each CW contour
+    * is either the unbounded face's outer boundary or an inner contour
+    * (hole boundary) of the face whose CCW contour most tightly
+    * contains it. The unbounded face is face 0.
+    */
+  private def groupContoursIntoFaces(): Unit = {
+    val nc = contours.length
+    contourFace = new Array[Int](nc)
+    val ccw = (0 until nc).filter(contourArea(_) > 0)
+    // face 0 = unbounded
+    nFaces = 1 + ccw.length
+    unbounded = new Array[Boolean](nFaces)
+    unbounded(0) = true
+    faceContours.clear()
+    (0 until nFaces).foreach(_ => faceContours += mutable.ArrayBuffer.empty[Int])
+    val faceOfCcw = mutable.HashMap.empty[Int, Int]
+    ccw.zipWithIndex.foreach { case (c, k) =>
+      contourFace(c) = k + 1
+      faceOfCcw(c) = k + 1
+      faceContours(k + 1) += c
+    }
+    // ring coords of a contour
+    def contourPts(c: Int): Array[(Double, Double)] =
+      contours(c).map(h => nodeXY(heFrom(h)))
+    // a point strictly inside contour c's cycle region, for nesting
+    def probePoint(c: Int): (Double, Double) = {
+      val hs = contours(c)
+      var k = 0
+      while (k < hs.length) {
+        val h = hs(k)
+        val (x1, y1) = nodeXY(heFrom(h)); val (x2, y2) = nodeXY(heTo(h))
+        val mx = (x1 + x2) / 2; val my = (y1 + y2) / 2
+        return (mx, my)
+      }
+      nodeXY(heFrom(hs(0)))
+    }
+    // nest CW contours: smallest |area| CCW contour whose ring strictly
+    // contains a probe point of the CW contour
+    val cw = (0 until nc).filter(contourArea(_) <= 0)
+    val ccwByArea = ccw.sortBy(contourArea(_)) // ascending: tightest first
+    cw.foreach { c =>
+      val (px, py) = probePoint(c)
+      var assigned = false
+      var k = 0
+      while (!assigned && k < ccwByArea.length) {
+        val cc = ccwByArea(k)
+        if (contourArea(cc) > math.abs(contourArea(c)) - 1e-300) {
+          val ring = ringSeqn(contourPts(cc))
+          // strict containment of the probe midpoint; a midpoint can't
+          // lie on the containing contour (edges are noded & deduped)
+          if (Alg.pointInRing(ring, px, py) > 0 && contourOf.nonEmpty) {
+            // also require the CW contour not to BE the reverse walk of
+            // the same edges (a contour never contains itself: its own
+            // edge midpoints lie ON the ring, not inside)
+            contourFace(c) = faceOfCcw(cc)
+            faceContours(faceOfCcw(cc)) += c
+            assigned = true
+          }
+        }
+        k += 1
+      }
+      if (!assigned) { contourFace(c) = 0; faceContours(0) += c }
+    }
+  }
+
+  private def ringSeqn(pts: Array[(Double, Double)]): Seqn = {
+    val arr = new Array[Double]((pts.length + 1) * 2)
+    var i = 0
+    while (i < pts.length) { arr(2 * i) = pts(i)._1; arr(2 * i + 1) = pts(i)._2; i += 1 }
+    arr(2 * pts.length) = pts(0)._1; arr(2 * pts.length + 1) = pts(0)._2
+    Seqn.xy(arr)
+  }
+
+  def faceUnbounded(f: Int): Boolean = unbounded(f)
+  def leftFace(edgeIdx: Int): Int = heFace(2 * edgeIdx)
+  def rightFace(edgeIdx: Int): Int = heFace(2 * edgeIdx + 1)
+
+  /** A point strictly interior to bounded face f: point-on-surface of
+    * the face polygon (outer CCW contour + its hole contours).
+    */
+  def faceInteriorPoint(f: Int): (Double, Double) = {
+    val cs = faceContours(f)
+    val outer = cs.find(contourArea(_) > 0).get
+    val rings = mutable.ArrayBuffer[Seqn](ringSeqn(contours(outer).map(h => nodeXY(heFrom(h)))))
+    cs.filter(_ != outer).foreach { c =>
+      rings += ringSeqn(contours(c).map(h => nodeXY(heFrom(h))))
+    }
+    val poly = GPoly(rings.toArray, CT.XY)
+    PointOnSurface.compute(poly) match {
+      case p: GPoint if !p.isEmpty && Alg.pointInPolygon(poly, p.x, p.y) > 0 =>
+        (p.x, p.y)
+      case _ =>
+        // fallback: centroid of first edge triangle fan — robust enough
+        // for degenerate slivers
+        val hs = contours(outer)
+        val (x1, y1) = nodeXY(heFrom(hs(0))); val (x2, y2) = nodeXY(heTo(hs(0)))
+        ((x1 + x2) / 2, (y1 + y2) / 2)
+    }
+  }
+
+  /** Union of kept faces as a Polygon / MultiPolygon: boundary edges
+    * (kept on exactly one side) walked with the kept face on the left,
+    * then CCW cycles become shells and CW cycles holes, nested by
+    * containment.
+    */
+  def dissolve(keptFace: Array[Boolean]): Geom = {
+    val m = edges.length
+    val chosen = new Array[Boolean](2 * m)
+    var i = 0
+    while (i < m) {
+      val lf = heFace(2 * i); val rf = heFace(2 * i + 1)
+      if (keptFace(lf) != keptFace(rf)) {
+        chosen(if (keptFace(lf)) 2 * i else 2 * i + 1) = true
+      }
+      i += 1
+    }
+    // walk chosen half-edges with next restricted to chosen: rotate
+    // clockwise from twin until a chosen half-edge appears
+    val visited = new Array[Boolean](2 * m)
+    val ringsOut = mutable.ArrayBuffer.empty[(Seqn, Double)] // (ring, signed area)
+
+    // rebuild rotational structures (outgoing lists) lazily via heNext:
+    // nextChosen(h) = first chosen in the CW rotation at to(h) starting
+    // from the standard next
+    def nextChosen(h: Int): Int = {
+      var cand = heNext(h)
+      var guard = 0
+      while (!chosen(cand) && guard < 4 * m) {
+        // rotate to the next candidate around the same node: next of
+        // twin(cand) continues the clockwise sweep at to(h)
+        cand = heNext(twin(cand))
+        guard += 1
+      }
+      cand
+    }
+
+    i = 0
+    while (i < 2 * m) {
+      if (chosen(i) && !visited(i)) {
+        val pts = mutable.ArrayBuffer.empty[(Double, Double)]
+        var h = i
+        var area2 = 0.0
+        var ok = true
+        while (ok && !visited(h)) {
+          visited(h) = true
+          val (x1, y1) = nodeXY(heFrom(h)); val (x2, y2) = nodeXY(heTo(h))
+          pts += ((x1, y1))
+          area2 += x1 * y2 - x2 * y1
+          h = nextChosen(h)
+          if (!chosen(h)) ok = false
+        }
+        if (ok && pts.length >= 3) {
+          val arr = new Array[Double]((pts.length + 1) * 2)
+          var k = 0
+          while (k < pts.length) { arr(2 * k) = pts(k)._1; arr(2 * k + 1) = pts(k)._2; k += 1 }
+          arr(2 * pts.length) = pts(0)._1; arr(2 * pts.length + 1) = pts(0)._2
+          ringsOut += ((Seqn.xy(arr), area2 / 2))
+        }
+      }
+      i += 1
+    }
+
+    val shells = ringsOut.filter(_._2 > 0)
+    val holes = ringsOut.filter(_._2 <= 0)
+    if (shells.isEmpty) return GPoly(Array.empty, CT.XY)
+
+    // assign each hole to the smallest shell containing it
+    val shellRings = shells.map(_._1)
+    val shellAreas = shells.map(_._2)
+    val holeAssign = Array.fill(holes.length)(-1)
+    holes.zipWithIndex.foreach { case ((hr, _), hi) =>
+      // probe: midpoint of first hole edge
+      val px = (hr.x(0) + hr.x(1)) / 2; val py = (hr.y(0) + hr.y(1)) / 2
+      var best = -1; var bestArea = Double.MaxValue
+      shellRings.zipWithIndex.foreach { case (sr, si) =>
+        if (shellAreas(si) < bestArea && Alg.pointInRing(sr, px, py) > 0) {
+          best = si; bestArea = shellAreas(si)
+        }
+      }
+      holeAssign(hi) = best
+    }
+    val polys = shellRings.zipWithIndex.map { case (sr, si) =>
+      val hs = holes.indices.filter(holeAssign(_) == si).map(holes(_)._1)
+      (sr +: hs).toArray
+    }
+    if (polys.length == 1) GPoly(polys.head, CT.XY)
+    else GMPoly(polys.toArray, CT.XY)
+  }
+}

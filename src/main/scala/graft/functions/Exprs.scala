@@ -114,7 +114,10 @@ object GeomOps {
     "st_equals" -> (BooleanType, (a: Geom, b: Geom) => Relate.equalsTopo(a, b)),
     "st_relate" -> (StringType, (a: Geom, b: Geom) => utf8(Relate.relate(a, b))),
     "st_distance" -> (DoubleType, (a: Geom, b: Geom) => Intersects.distance(a, b).orNull),
-    "st_intersection" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.Overlay.intersection(a, b)))
+    "st_intersection" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.Overlay.intersection(a, b))),
+    "st_union" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.SetOps.union(a, b))),
+    "st_difference" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.SetOps.difference(a, b))),
+    "st_symdifference" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.SetOps.symDifference(a, b)))
   )
 }
 

@@ -94,6 +94,9 @@ object ST {
   def st_relateMatch(m: Column, p: Column): Column = col(StRelateMatch(ex(m), ex(p)))
   def st_distance(l: Column, r: Column): Column = b("st_distance")(l, r)
   def st_intersection(l: Column, r: Column): Column = b("st_intersection")(l, r)
+  def st_union(l: Column, r: Column): Column = b("st_union")(l, r)
+  def st_difference(l: Column, r: Column): Column = b("st_difference")(l, r)
+  def st_symDifference(l: Column, r: Column): Column = b("st_symdifference")(l, r)
   def st_exactEquals(l: Column, r: Column, tol: Column): Column =
     col(StExactEquals(Seq(ex(l), ex(r), ex(tol))))
 
@@ -248,9 +251,31 @@ object ST {
     spark.udf.register("st_envelope_agg", udaf(EnvelopeAgg))
     spark.udf.register("st_convexhull_agg", udaf(ConvexHullAgg))
     spark.udf.register("st_collect_agg", udaf(CollectAgg))
+    spark.udf.register("st_union_agg", udaf(UnionAgg))
   }
 
   def st_envelopeAgg(c: Column): Column = udaf(EnvelopeAgg).apply(c)
   def st_convexHullAgg(c: Column): Column = udaf(ConvexHullAgg).apply(c)
   def st_collectAgg(c: Column): Column = udaf(CollectAgg).apply(c)
+  def st_unionAgg(c: Column): Column = udaf(UnionAgg).apply(c)
+
+  /** st_union_agg: geometric union fold — union is associative and
+    * commutative, so per-partition partial unions merge into the final
+    * result exactly (reference: geom/alg_overlay.go:274-300 UnaryUnion/
+    * UnionMany; SURVEY.md section 2.4). Buffer = running union WKB.
+    */
+  object UnionAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def geom(b: Array[Byte]): Geom =
+      if (b == null || b.isEmpty) Geom.emptyGC else Wkb.read(b)
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] =
+      if (wkb == null || wkb.isEmpty) buf
+      else Wkb.write(SetOps.union(geom(buf), geom(wkb)))
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      Wkb.write(SetOps.union(geom(a), geom(b)))
+    def finish(buf: Array[Byte]): Array[Byte] =
+      if (buf.isEmpty) Wkb.write(Geom.emptyGC) else buf
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
 }

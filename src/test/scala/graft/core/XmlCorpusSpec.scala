@@ -89,6 +89,46 @@ class XmlCorpusSpec extends AnyFunSuite {
 
   private def boolExpected(op: Op): Boolean = op.expected.trim.toBoolean
 
+  /** Topological equality that also handles heterogeneous
+    * GeometryCollections (relate is undefined for GC, as in JTS):
+    * split both sides by dimension and compare per-dimension unions.
+    */
+  private def topoEqMixed(a: Geom, b: Geom): Boolean = {
+    def split(g: Geom): Map[Int, Seq[Geom]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Geom]
+      def walk(x: Geom): Unit = x match {
+        case GColl(cs, _) => cs.foreach(walk)
+        case x if !x.isEmpty => out += x
+        case _ => ()
+      }
+      walk(g)
+      out.toSeq.groupBy(_.dimension)
+    }
+    def merge(d: Int, gs: Seq[Geom]): Geom =
+      if (gs.length == 1) gs.head
+      else d match {
+        case 1 => GMLine(gs.flatMap {
+          case GLine(s) => Seq(s); case GMLine(ls, _) => ls.toSeq; case _ => Nil
+        }.toArray, CT.XY)
+        case 2 => GMPoly(gs.flatMap {
+          case GPoly(rs, _) => Seq(rs); case GMPoly(ps, _) => ps.toSeq; case _ => Nil
+        }.toArray, CT.XY)
+        case _ => GColl(gs.toArray, CT.XY)
+      }
+    val (pa, pb) = (split(a), split(b))
+    if (pa.keySet != pb.keySet) return false
+    if (pa.isEmpty) return true
+    pa.keySet.forall { d =>
+      val (ga, gb) = (merge(d, pa(d)), merge(d, pb(d)))
+      if (d == 0) {
+        // puntal: compare coordinate sets exactly
+        def pts(g: Geom): Set[(Double, Double)] =
+          Geom.dump(g).collect { case p: GPoint if !p.isEmpty => (p.x, p.y) }.toSet
+        pts(ga) == pts(gb)
+      } else Relate.equalsTopo(ga, gb)
+    }
+  }
+
   test("JTS corpus: relate matrices") {
     val files = Seq("TestRelateAA.xml", "TestRelateLA.xml", "TestRelateLL.xml",
       "TestRelatePA.xml", "TestRelatePL.xml", "TestRelatePP.xml")
@@ -187,6 +227,47 @@ class XmlCorpusSpec extends AnyFunSuite {
     info(s"boundary: pass=$pass fail=$fail skip=$skip")
     failures.foreach(f => info(s"  FAIL $f"))
     assert(pass >= 12 && fail == 0, s"boundary corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: overlay set ops") {
+    val files = Seq("TestOverlayAA.xml", "TestOverlayPP.xml", "TestOverlayPL.xml",
+      "TestOverlayPA.xml", "TestOverlayLL.xml", "TestOverlayLA.xml",
+      "TestOverlayEmpty.xml", "TestNGOverlayA.xml", "TestNGOverlayL.xml",
+      "TestNGOverlayP.xml", "TestNGOverlayEmpty.xml")
+    val opNames = Set("intersection", "union", "difference", "symdifference")
+    val (pass, fail, skip, failures) = run(files, opNames) { (op, a, b) =>
+      tryParse(op.expected).map { exp =>
+        val got = op.name match {
+          case "intersection" => SetOps.intersection(a, b)
+          case "union" if op.arg2.isEmpty => SetOps.unaryUnion(a)
+          case "union" => SetOps.union(a, b)
+          case "difference" => SetOps.difference(a, b)
+          case "symdifference" => SetOps.symDifference(a, b)
+        }
+        if (exp.isEmpty || got.isEmpty) exp.isEmpty == got.isEmpty
+        else topoEqMixed(got, exp)
+      }
+    }
+    info(s"overlay: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 114 && fail == 0, s"overlay corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: unary union") {
+    val files = Seq("TestUnaryUnion.xml", "TestUnaryUnionFloating.xml")
+    val (pass, fail, skip, failures) = run(files, Set("union")) { (op, a, _) =>
+      tryParse(op.expected).map { exp =>
+        val got = SetOps.unaryUnion(a)
+        if (exp.isEmpty || got.isEmpty) exp.isEmpty == got.isEmpty
+        else topoEqMixed(got, exp)
+      }
+    }
+    info(s"unaryUnion: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    // fail <= 1: the TestUnaryUnionFloating "fails old union, works with
+    // fallback to robust union" case needs OverlayNG's snap-rounding
+    // fallback ladder, which we don't implement yet
+    assert(pass >= 18 && fail <= 1, s"unaryUnion corpus regression: pass=$pass fail=$fail")
   }
 
   test("JTS corpus: isValid") {
