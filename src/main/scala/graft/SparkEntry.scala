@@ -322,6 +322,22 @@ object SparkEntry {
         .agg(st_area(st_unionAgg(col("strip"))).as("u_area"))
     }),
 
+    "q52_buffer_area" -> ((s, d) => {
+      // point buffer = inscribed 32-gon disc; truncate to 1e-4 so the
+      // oracle's sin() (libm) and ours (JDK) can't disagree post-floor
+      val pts = customerPts(s, d)
+      pts.select(col("c_custkey"),
+        (floor(st_area(st_buffer(col("pt"),
+          (col("c_custkey") % 8 + 1).cast("double") / 4.0)) * 10000.0) / 10000.0)
+          .as("barea"))
+    }),
+
+    "q53_buffer_line_valid" -> ((s, d) => {
+      val ol = orderLines(s, d)
+      ol.select(col("o_orderkey"),
+        st_isValid(st_buffer(col("line"), lit(0.5))).as("ok"))
+    }),
+
     "q17_simplify" -> ((s, d) => {
       val z = t(s, d, "orders")
         .withColumn("amp", (col("o_orderkey") % 8L + 1L).cast("int"))
@@ -699,6 +715,15 @@ object SparkEntry {
            |  greatest(0.0, least($nx0 + 72.0, $sx0 + $sw) - greatest($nx0, $sx0)) *
            |  greatest(0.0, least($ny0 + 34.0, $sy0 + $sh) - greatest($ny0, $sy0)) AS iarea
            |FROM nation, supplier""".stripMargin,
+
+      "q52_buffer_area" ->
+        s"""SELECT c_custkey,
+           |  floor(0.5 * 32 * ((c_custkey % 8 + 1) / 4.0) * ((c_custkey % 8 + 1) / 4.0) *
+           |        sin(2 * pi() / 32) * 10000.0) / 10000.0 AS barea
+           |FROM customer""".stripMargin,
+
+      "q53_buffer_line_valid" ->
+        "SELECT o_orderkey, CAST(TRUE AS BOOLEAN) AS ok FROM orders",
 
       "q48_union_area" ->
         s"""SELECT s_suppkey, n_nationkey,

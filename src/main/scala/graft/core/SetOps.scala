@@ -518,6 +518,42 @@ final class Noder {
 
   var edges: Seq[NodedEdge] = Nil
 
+  // ---- eps-snapping node registry (the snapping-noder idea from the
+  // reference's fallback ladder, jts OverlayNGRobust): vertices and
+  // intersection points within eps = 1e-12 * coordinate scale collapse
+  // to one node, closing the floating-point micro-cracks that
+  // independently-computed coordinates (e.g. r*cos(pi/2) = 9e-17 vs an
+  // exact 0) would otherwise open in the arrangement.
+  private var eps = 0.0
+  private val snapGrid =
+    mutable.HashMap.empty[(Long, Long), mutable.ArrayBuffer[(Double, Double)]]
+
+  private def snap(x0: Double, y0: Double): (Double, Double) = {
+    val x = x0 + 0.0; val y = y0 + 0.0 // normalize -0.0
+    if (eps <= 0) return (x, y)
+    val ix = math.floor(x / eps).toLong; val iy = math.floor(y / eps).toLong
+    var dx = -1
+    while (dx <= 1) {
+      var dy = -1
+      while (dy <= 1) {
+        val lst = snapGrid.getOrElse((ix + dx, iy + dy), null)
+        if (lst != null) {
+          var k = 0
+          while (k < lst.length) {
+            val p = lst(k)
+            if (math.abs(p._1 - x) <= eps && math.abs(p._2 - y) <= eps) return p
+            k += 1
+          }
+        }
+        dy += 1
+      }
+      dx += 1
+    }
+    val p = (x, y)
+    snapGrid.getOrElseUpdate((ix, iy), mutable.ArrayBuffer.empty) += p
+    p
+  }
+
   def addLine(s: Seqn, srcA: Boolean): Unit = {
     var i = 0
     while (i < s.n - 1) {
@@ -538,13 +574,38 @@ final class Noder {
   }
 
   def node(): Unit = {
+    // eps from coordinate scale, then canonicalize every input vertex
+    // through the snap registry (input vertices register first, so
+    // derived intersection points snap TO them, not the reverse)
+    var maxAbs = 0.0
+    segs.foreach { s =>
+      var k = 0
+      while (k < 4) { val v = math.abs(s(k)); if (v > maxAbs) maxAbs = v; k += 1 }
+    }
+    eps = maxAbs * 1e-12
+    var w = 0
+    var r = 0
+    while (r < segs.length) {
+      val s = segs(r)
+      val (x1, y1) = snap(s(0), s(1))
+      val (x2, y2) = snap(s(2), s(3))
+      if (x1 != x2 || y1 != y2) {
+        segs(w) = Array(x1, y1, x2, y2)
+        segSrcA(w) = segSrcA(r)
+        splits(w) = splits(r)
+        w += 1
+      }
+      r += 1
+    }
+    segs.takeInPlace(w); segSrcA.takeInPlace(w); splits.takeInPlace(w)
+
     val n = segs.length
     val envs = new Array[Env](n)
     var i = 0
     while (i < n) {
       val s = segs(i)
-      envs(i) = Env(math.min(s(0), s(2)), math.min(s(1), s(3)),
-        math.max(s(0), s(2)), math.max(s(1), s(3)))
+      envs(i) = Env(math.min(s(0), s(2)) - eps, math.min(s(1), s(3)) - eps,
+        math.max(s(0), s(2)) + eps, math.max(s(1), s(3)) + eps)
       i += 1
     }
     val tree = RTree.bulkLoad(envs)
@@ -597,19 +658,20 @@ final class Noder {
     val crossSrc = segSrcA(i) != segSrcA(j)
 
     if (o1 * o2 < 0 && o3 * o4 < 0) {
-      // proper crossing: one shared point, computed once
-      val (px, py) = Alg.crossingPoint(a(0), a(1), a(2), a(3), b(0), b(1), b(2), b(3))
+      // proper crossing: one shared point, computed once, snapped to
+      // any pre-existing node within eps
+      val (cx, cy) = Alg.crossingPoint(a(0), a(1), a(2), a(3), b(0), b(1), b(2), b(3))
+      val (px, py) = snap(cx, cy)
       addSplit(i, px, py); addSplit(j, px, py)
       if (crossSrc) abNodes += ((px, py))
       return
     }
     if (o1 == 0 && o2 == 0 && o3 == 0 && o4 == 0) {
       // collinear: project endpoints onto the other segment
-      var touched = false
       def tryPt(si: Int, px: Double, py: Double): Unit = {
         val s = segs(si)
         if (Alg.onSegment(s(0), s(1), s(2), s(3), px, py)) {
-          addSplit(si, px, py); touched = true
+          addSplit(si, px, py)
           if (crossSrc) abNodes += ((px, py))
         }
       }
@@ -617,17 +679,20 @@ final class Noder {
       tryPt(j, a(0), a(1)); tryPt(j, a(2), a(3))
       return
     }
-    // endpoint touching / T-junctions
-    if (o1 == 0 && Alg.onSegment(a(0), a(1), a(2), a(3), b(0), b(1))) {
+    // endpoint touching / T-junctions: eps-tolerant — a vertex within
+    // eps of the other segment nodes it (snapping-noder behavior)
+    def near(s: Array[Double], px: Double, py: Double): Boolean =
+      Alg.distPointSeg(px, py, s(0), s(1), s(2), s(3)) <= eps
+    if (near(a, b(0), b(1))) {
       addSplit(i, b(0), b(1)); if (crossSrc) abNodes += ((b(0), b(1)))
     }
-    if (o2 == 0 && Alg.onSegment(a(0), a(1), a(2), a(3), b(2), b(3))) {
+    if (near(a, b(2), b(3))) {
       addSplit(i, b(2), b(3)); if (crossSrc) abNodes += ((b(2), b(3)))
     }
-    if (o3 == 0 && Alg.onSegment(b(0), b(1), b(2), b(3), a(0), a(1))) {
+    if (near(b, a(0), a(1))) {
       addSplit(j, a(0), a(1)); if (crossSrc) abNodes += ((a(0), a(1)))
     }
-    if (o4 == 0 && Alg.onSegment(b(0), b(1), b(2), b(3), a(2), a(3))) {
+    if (near(b, a(2), a(3))) {
       addSplit(j, a(2), a(3)); if (crossSrc) abNodes += ((a(2), a(3)))
     }
   }

@@ -24,6 +24,29 @@ import graft.tiling.Cell
   */
 object GeomOps {
 
+  /** SQL numeric literals may arrive as Decimal/Int/Long (e.g. `-1.0`
+    * parses as DecimalType) — coerce instead of blind casts so the SQL
+    * registry surface accepts the same calls as the Column API.
+    */
+  def numD(v: Any): Double = v match {
+    case d: Double => d
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => other.asInstanceOf[Double]
+  }
+  def numI(v: Any): Int = v match {
+    case i: Int => i
+    case d: org.apache.spark.sql.types.Decimal => d.toInt
+    case n: Number => n.intValue()
+    case other => other.asInstanceOf[Int]
+  }
+  def numL(v: Any): Long = v match {
+    case l: Long => l
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case n: Number => n.longValue()
+    case other => other.asInstanceOf[Long]
+  }
+
   private def wkb(g: Geom): Array[Byte] = Wkb.write(g)
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -205,7 +228,7 @@ case class StPoint(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_point"
   override def nullSafeEval(x: Any, y: Any): Any =
-    Wkb.write(GPoint.xy(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+    Wkb.write(GPoint.xy(GeomOps.numD(x), GeomOps.numD(y)))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -219,7 +242,7 @@ case class StMakeEnvelope(children: Seq[Expression]) extends Expression with Cod
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
-    val Seq(x0, y0, x1, y1) = vs.map(_.asInstanceOf[Double])
+    val Seq(x0, y0, x1, y1) = vs.map(GeomOps.numD)
     Wkb.write(Env(x0, y0, x1, y1).toGeom)
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
@@ -239,29 +262,30 @@ case class GeomParamOp(op: String, left: Expression, right: Expression)
   override def nullSafeEval(gv: Any, pv: Any): Any = {
     val g = Wkb.read(gv.asInstanceOf[Array[Byte]])
     op match {
-      case "st_simplify" => Wkb.write(Algos.simplify(g, pv.asInstanceOf[Double]))
-      case "st_densify" => Wkb.write(Algos.densify(g, pv.asInstanceOf[Double]))
-      case "st_snaptogrid" => Wkb.write(Geom.snapToGrid(g, pv.asInstanceOf[Int]))
+      case "st_simplify" => Wkb.write(Algos.simplify(g, GeomOps.numD(pv)))
+      case "st_densify" => Wkb.write(Algos.densify(g, GeomOps.numD(pv)))
+      case "st_snaptogrid" => Wkb.write(Geom.snapToGrid(g, GeomOps.numI(pv)))
       case "st_geometryn" =>
-        Geom.geometryN(g, pv.asInstanceOf[Int]).map(Wkb.write).orNull
+        Geom.geometryN(g, GeomOps.numI(pv)).map(Wkb.write).orNull
       case "st_pointn" => g match {
         case GLine(s) =>
-          val n = pv.asInstanceOf[Int]
+          val n = GeomOps.numI(pv)
           if (n >= 0 && n < s.n) Wkb.write(GPoint(Array(s.x(n), s.y(n)), CT.XY)) else null
         case _ => null
       }
       case "st_interiorringn" => g match {
         case GPoly(rs, _) =>
-          val n = pv.asInstanceOf[Int]
+          val n = GeomOps.numI(pv)
           if (n >= 0 && n < rs.length - 1) Wkb.write(GLine(rs(n + 1))) else null
         case _ => null
       }
       case "st_lineinterpolatepoint" => g match {
         case GLine(s) =>
-          Algos.interpolatePoint(s, pv.asInstanceOf[Double])
+          Algos.interpolatePoint(s, GeomOps.numD(pv))
             .map { case (x, y) => Wkb.write(GPoint.xy(x, y)) }.orNull
         case _ => null
       }
+      case "st_buffer" => Wkb.write(BufferOp.buffer(g, GeomOps.numD(pv)))
       case other => throw new IllegalArgumentException(s"unknown geom param op $other")
     }
   }
@@ -281,8 +305,8 @@ case class StClipByBox(children: Seq[Expression]) extends Expression with Codege
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
     val g = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
-    val box = Env(vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
-      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double])
+    val box = Env(GeomOps.numD(vs(1)), GeomOps.numD(vs(2)),
+      GeomOps.numD(vs(3)), GeomOps.numD(vs(4)))
     Wkb.write(Algos.clipToBox(g, box))
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
@@ -315,7 +339,7 @@ case class StExactEquals(children: Seq[Expression]) extends Expression with Code
     if (vs.contains(null)) return null
     val a = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
     val b = Wkb.read(vs(1).asInstanceOf[Array[Byte]])
-    val tol = vs(2).asInstanceOf[Double]
+    val tol = GeomOps.numD(vs(2))
     ExactEquals.equalsWithTolerance(a, b, tol)
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
@@ -339,7 +363,7 @@ case class StCellOf(children: Seq[Expression]) extends Expression {
     val v0 = children(0).eval(input); if (v0 == null) return null
     val v1 = children(1).eval(input); if (v1 == null) return null
     val v2 = children(2).eval(input); if (v2 == null) return null
-    Cell.cellOf(v0.asInstanceOf[Double], v1.asInstanceOf[Double], v2.asInstanceOf[Int])
+    Cell.cellOf(GeomOps.numD(v0), GeomOps.numD(v1), GeomOps.numI(v2))
   }
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -375,7 +399,7 @@ case class StCellCover(left: Expression, right: Expression)
   override def prettyName: String = "st_cellcover"
   override def nullSafeEval(gv: Any, lv: Any): Any = {
     val g = Wkb.read(gv.asInstanceOf[Array[Byte]])
-    new GenericArrayData(Cell.coverGeom(g, lv.asInstanceOf[Int]).map(l => l: Any))
+    new GenericArrayData(Cell.coverGeom(g, GeomOps.numI(lv)).map(l => l: Any))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -389,7 +413,7 @@ case class StCellRing(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_cellring"
   override def nullSafeEval(cv: Any, kv: Any): Any =
-    new GenericArrayData(Cell.ring(cv.asInstanceOf[Long], kv.asInstanceOf[Int]).map(l => l: Any))
+    new GenericArrayData(Cell.ring(GeomOps.numL(cv), GeomOps.numI(kv)).map(l => l: Any))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -408,9 +432,9 @@ case class StCellOfEquirect(children: Seq[Expression]) extends Expression with C
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
-    val lon = vs(0).asInstanceOf[Double]
-    val lat = vs(1).asInstanceOf[Double]
-    val level = vs(2).asInstanceOf[Int]
+    val lon = GeomOps.numD(vs(0))
+    val lat = GeomOps.numD(vs(1))
+    val level = GeomOps.numI(vs(2))
     val n = (1L << level).toDouble
     def clamp(v: Long): Long = math.max(0L, math.min((1L << level) - 1, v))
     val ix = clamp(math.floor((lon + 180.0) / 360.0 * n).toLong)
@@ -481,7 +505,7 @@ case class StAsTwkb(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_astwkb"
   override def nullSafeEval(gv: Any, pv: Any): Any =
-    Twkb.write(Wkb.read(gv.asInstanceOf[Array[Byte]]), pv.asInstanceOf[Int],
+    Twkb.write(Wkb.read(gv.asInstanceOf[Array[Byte]]), GeomOps.numI(pv),
       withBBox = true)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -103,6 +103,8 @@ object ST {
   // ---------------------------------------------------- transformations
   def st_simplify(c: Column, tol: Column): Column =
     col(GeomParamOp("st_simplify", ex(c), ex(tol)))
+  def st_buffer(c: Column, d: Column): Column =
+    col(GeomParamOp("st_buffer", ex(c), ex(d)))
   def st_densify(c: Column, d: Column): Column =
     col(GeomParamOp("st_densify", ex(c), ex(d)))
   def st_snapToGrid(c: Column, dp: Column): Column =
@@ -245,7 +247,7 @@ object ST {
     reg1("st_cellgeom") { es => StCellGeom(es.head) }
     reg1("st_project") { es => StProject(es(0), es(1)) }
     for (op <- Seq("st_simplify", "st_densify", "st_snaptogrid", "st_geometryn",
-      "st_pointn", "st_interiorringn", "st_lineinterpolatepoint"))
+      "st_pointn", "st_interiorringn", "st_lineinterpolatepoint", "st_buffer"))
       reg1(op) { es => GeomParamOp(op, es(0), es(1)) }
 
     spark.udf.register("st_envelope_agg", udaf(EnvelopeAgg))

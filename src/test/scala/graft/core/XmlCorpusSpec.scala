@@ -264,10 +264,7 @@ class XmlCorpusSpec extends AnyFunSuite {
     }
     info(s"unaryUnion: pass=$pass fail=$fail skip=$skip")
     failures.foreach(f => info(s"  FAIL $f"))
-    // fail <= 1: the TestUnaryUnionFloating "fails old union, works with
-    // fallback to robust union" case needs OverlayNG's snap-rounding
-    // fallback ladder, which we don't implement yet
-    assert(pass >= 18 && fail <= 1, s"unaryUnion corpus regression: pass=$pass fail=$fail")
+    assert(pass >= 19 && fail == 0, s"unaryUnion corpus regression: pass=$pass fail=$fail")
   }
 
   test("JTS corpus: isValid") {
