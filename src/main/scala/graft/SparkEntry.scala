@@ -338,6 +338,28 @@ object SparkEntry {
         st_isValid(st_buffer(col("line"), lit(0.5))).as("ok"))
     }),
 
+    "q54_interpolated_points" -> ((s, d) => {
+      // horizontal single-segment lines: fractions k/4 are exact binary,
+      // so the 5 interpolated xs sum to 5*ax + 2.5*w exactly
+      val ol = t(s, d, "orders")
+        .withColumn("ax", (col("o_orderkey") % 1024L).cast("double"))
+        .withColumn("w", (col("o_orderkey") % 8L + 1L).cast("double"))
+        .withColumn("hline_wkt", concat(lit("LINESTRING("), col("ax"), lit(" 0,"),
+          col("ax") + col("w"), lit(" 0)")))
+      ol.select(col("o_orderkey"),
+        aggregate(
+          transform(st_dumpArray(st_interpolatedPoints(
+            st_geomFromWKT(col("hline_wkt")), lit(5))), p => ST.st_x(p)),
+          lit(0.0), (acc, x) => acc + x).as("sum_x"))
+    }),
+
+    "q55_feature_roundtrip" -> ((s, d) => {
+      val ol = orderLines(s, d)
+      ol.select(col("o_orderkey"),
+        st_featureId(st_asGeoJSONFeature(col("line"),
+          lit("""{"kind":"order"}"""), col("o_orderkey").cast("string"))).as("fid"))
+    }),
+
     "q17_simplify" -> ((s, d) => {
       val z = t(s, d, "orders")
         .withColumn("amp", (col("o_orderkey") % 8L + 1L).cast("int"))
@@ -724,6 +746,15 @@ object SparkEntry {
 
       "q53_buffer_line_valid" ->
         "SELECT o_orderkey, CAST(TRUE AS BOOLEAN) AS ok FROM orders",
+
+      "q54_interpolated_points" ->
+        s"""SELECT o_orderkey,
+           |  5 * CAST(o_orderkey % 1024 AS DOUBLE) +
+           |  2.5 * CAST(o_orderkey % 8 + 1 AS DOUBLE) AS sum_x
+           |FROM orders""".stripMargin,
+
+      "q55_feature_roundtrip" ->
+        "SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS fid FROM orders",
 
       "q48_union_area" ->
         s"""SELECT s_suppkey, n_nationkey,

@@ -308,6 +308,21 @@ object Algos {
 
   // --------------------------------------------------- linear reference
 
+  /** n evenly spaced points along a LineString as a MultiPoint:
+    * n <= 0 -> empty, n == 1 -> midpoint, n >= 2 -> start, n-2 evenly
+    * spaced intermediates, end
+    * (reference: geom/type_line_string.go InterpolateEvenlySpacedPoints).
+    */
+  def interpolateEvenly(s: Seqn, n: Int): Geom = {
+    if (n <= 0 || s.n == 0) return GMPoint(Array.empty, CT.XY)
+    val fracs =
+      if (n == 1) Seq(0.5)
+      else (0 until n).map(i => i.toDouble / (n - 1))
+    val pts = fracs.flatMap(interpolatePoint(s, _))
+      .map { case (x, y) => GPoint.xy(x, y) }.toArray
+    GMPoint(pts, CT.XY)
+  }
+
   /** Point at fraction f (clamped to [0,1]) along a LineString
     * (reference: geom/alg_linear_interpolation.go:14-45).
     */

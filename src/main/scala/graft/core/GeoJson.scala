@@ -302,4 +302,99 @@ object GeoJson {
       }
       sb.append("]}")
   }
+
+  // -------------------------------------------- Feature(Collection)s
+
+  /** One GeoJSON Feature: geometry + raw re-serialized properties JSON
+    * + optional id (reference: geom/geojson_feature_collection.go:11-29;
+    * field order of properties is not preserved, values are).
+    */
+  final case class Feature(geom: Geom, id: Option[String], properties: String)
+
+  def writeJson(j: J): String = {
+    val sb = new java.lang.StringBuilder
+    def esc(x: String): Unit = {
+      sb.append('"')
+      x.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"')
+    }
+    def go(v: J): Unit = v match {
+      case JNull => sb.append("null")
+      case JBool(b) => sb.append(b)
+      case JNum(d) => sb.append(Wkt.fmt(d))
+      case JStr(x) => esc(x)
+      case JArr(items) =>
+        sb.append('[')
+        var first = true
+        items.foreach { it => if (!first) sb.append(','); first = false; go(it) }
+        sb.append(']')
+      case JObj(fields) =>
+        sb.append('{')
+        var first = true
+        fields.toSeq.sortBy(_._1).foreach { case (k, v2) =>
+          if (!first) sb.append(','); first = false
+          esc(k); sb.append(':'); go(v2)
+        }
+        sb.append('}')
+    }
+    go(j)
+    sb.toString
+  }
+
+  def parseFeature(json: String): Feature = featureFrom(parseJson(json))
+
+  private def featureFrom(j: J): Feature = {
+    val obj = j match {
+      case o: JObj => o
+      case _ => throw new ParseException("GeoJSON Feature must be an object")
+    }
+    obj.fields.get("type") match {
+      case Some(JStr("Feature")) => ()
+      case _ => throw new ParseException("not a GeoJSON Feature")
+    }
+    val geom = obj.fields.get("geometry") match {
+      case Some(JNull) | None => Geom.emptyGC
+      case Some(g) => fromJson(g)
+    }
+    val id = obj.fields.get("id").map {
+      case JStr(x) => x
+      case JNum(d) => Wkt.fmt(d)
+      case other => writeJson(other)
+    }
+    val props = obj.fields.getOrElse("properties", JNull) match {
+      case JNull => "{}"
+      case p => writeJson(p)
+    }
+    Feature(geom, id, props)
+  }
+
+  def parseFeatureCollection(json: String): Array[Feature] =
+    parseJson(json) match {
+      case JObj(fields) if fields.get("type").contains(JStr("FeatureCollection")) =>
+        fields.get("features") match {
+          case Some(JArr(items)) => items.map(featureFrom).toArray
+          case _ => throw new ParseException("missing features array")
+        }
+      case o: JObj if o.fields.get("type").contains(JStr("Feature")) =>
+        Array(featureFrom(o))
+      case _ => throw new ParseException("not a GeoJSON FeatureCollection")
+    }
+
+  def writeFeature(f: Feature): String = {
+    val sb = new java.lang.StringBuilder
+    sb.append("{\"type\":\"Feature\"")
+    f.id.foreach { id => sb.append(",\"id\":").append(writeJson(JStr(id))) }
+    sb.append(",\"geometry\":").append(write(f.geom))
+    sb.append(",\"properties\":").append(f.properties)
+    sb.append('}')
+    sb.toString
+  }
 }

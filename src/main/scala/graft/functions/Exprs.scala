@@ -286,6 +286,10 @@ case class GeomParamOp(op: String, left: Expression, right: Expression)
         case _ => null
       }
       case "st_buffer" => Wkb.write(BufferOp.buffer(g, GeomOps.numD(pv)))
+      case "st_interpolatedpoints" => g match {
+        case GLine(sq) => Wkb.write(Algos.interpolateEvenly(sq, GeomOps.numI(pv)))
+        case _ => null
+      }
       case other => throw new IllegalArgumentException(s"unknown geom param op $other")
     }
   }
@@ -536,3 +540,63 @@ case class StTwkbEnvelope(child: Expression) extends UnaryExpression with Codege
       .map(e => Wkb.write(e.toGeom)).orNull
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** GeoJSON Feature accessors over JSON strings (reference:
+  * geom/geojson_feature_collection.go round-trip): feature geometry as
+  * WKB, id / properties as strings, and a FeatureCollection exploder
+  * returning the per-feature JSON array for use with explode().
+  */
+case class JsonFeatureOp(op: String, child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = op match {
+    case "st_featuregeometry" => BinaryType
+    case "st_features" => ArrayType(StringType)
+    case _ => StringType
+  }
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = op
+  override def nullSafeEval(v: Any): Any = {
+    val json = v.asInstanceOf[UTF8String].toString
+    op match {
+      case "st_featuregeometry" =>
+        Wkb.write(GeoJson.parseFeature(json).geom)
+      case "st_featureid" =>
+        GeoJson.parseFeature(json).id.map(UTF8String.fromString).orNull
+      case "st_featureproperties" =>
+        UTF8String.fromString(GeoJson.parseFeature(json).properties)
+      case "st_features" =>
+        new GenericArrayData(GeoJson.parseFeatureCollection(json)
+          .map(f => UTF8String.fromString(GeoJson.writeFeature(f)): Any))
+      case other => throw new IllegalArgumentException(s"unknown feature op $other")
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** st_asGeoJSONFeature(geom, propertiesJson, id) -> Feature JSON. */
+case class StAsGeoJsonFeature(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 3, "st_asgeojsonfeature(geom, props, id)")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_asgeojsonfeature"
+  override def eval(input: InternalRow): Any = {
+    val gv = children(0).eval(input)
+    if (gv == null) return null
+    val props = children(1).eval(input) match {
+      case null => "{}"
+      case u: UTF8String => u.toString
+    }
+    val id = children(2).eval(input) match {
+      case null => None
+      case u: UTF8String => Some(u.toString)
+    }
+    UTF8String.fromString(GeoJson.writeFeature(
+      GeoJson.Feature(Wkb.read(gv.asInstanceOf[Array[Byte]]), id, props)))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+

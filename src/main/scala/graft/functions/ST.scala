@@ -22,6 +22,12 @@ object ST {
   def st_geomFromWKB(c: Column): Column = col(StGeomFromWKB(ex(c), strict = true))
   def st_tryGeomFromWKB(c: Column): Column = col(StGeomFromWKB(ex(c), strict = false))
   def st_geomFromGeoJSON(c: Column): Column = col(StGeomFromGeoJson(ex(c), strict = true))
+  def st_featureGeometry(c: Column): Column = col(JsonFeatureOp("st_featuregeometry", ex(c)))
+  def st_featureId(c: Column): Column = col(JsonFeatureOp("st_featureid", ex(c)))
+  def st_featureProperties(c: Column): Column = col(JsonFeatureOp("st_featureproperties", ex(c)))
+  def st_features(c: Column): Column = col(JsonFeatureOp("st_features", ex(c)))
+  def st_asGeoJSONFeature(g: Column, props: Column, id: Column): Column =
+    col(StAsGeoJsonFeature(Seq(ex(g), ex(props), ex(id))))
   def st_asText(c: Column): Column = col(GeomUnaryOp("st_astext", ex(c)))
   def st_asGeoJSON(c: Column): Column = col(GeomUnaryOp("st_asgeojson", ex(c)))
   /** Geometry columns ARE WKB — provided for API parity. */
@@ -117,6 +123,8 @@ object ST {
     col(GeomParamOp("st_interiorringn", ex(c), ex(n)))
   def st_lineInterpolatePoint(c: Column, f: Column): Column =
     col(GeomParamOp("st_lineinterpolatepoint", ex(c), ex(f)))
+  def st_interpolatedPoints(c: Column, n: Column): Column =
+    col(GeomParamOp("st_interpolatedpoints", ex(c), ex(n)))
   def st_clipByBox(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     col(StClipByBox(Seq(ex(g), ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
   def st_project(g: Column, spec: Column): Column = col(StProject(ex(g), ex(spec)))
@@ -247,8 +255,13 @@ object ST {
     reg1("st_cellgeom") { es => StCellGeom(es.head) }
     reg1("st_project") { es => StProject(es(0), es(1)) }
     for (op <- Seq("st_simplify", "st_densify", "st_snaptogrid", "st_geometryn",
-      "st_pointn", "st_interiorringn", "st_lineinterpolatepoint", "st_buffer"))
+      "st_pointn", "st_interiorringn", "st_lineinterpolatepoint", "st_buffer",
+      "st_interpolatedpoints"))
       reg1(op) { es => GeomParamOp(op, es(0), es(1)) }
+    for (op <- Seq("st_featuregeometry", "st_featureid", "st_featureproperties",
+      "st_features"))
+      reg1(op) { es => JsonFeatureOp(op, es.head) }
+    reg1("st_asgeojsonfeature") { es => StAsGeoJsonFeature(es) }
 
     spark.udf.register("st_envelope_agg", udaf(EnvelopeAgg))
     spark.udf.register("st_convexhull_agg", udaf(ConvexHullAgg))
