@@ -90,23 +90,35 @@ object Bench {
     // which is what a cluster-level throughput number would reflect.
     val hiCores = math.min(16, cpus)
     val lowCores = math.max(2, hiCores / 4)
-    def minOfReps(s: SparkSession): Double = {
-      flagship(s, math.max(10000L, nPages / 20)) // warm-up
-      (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
-        flagship(s, nPages)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    }
-    // fresh sessions for both levels: the suite session above has
-    // accumulated codegen/broadcast state that would bias the comparison
+    // INTERLEAVED A/B sampling: the host's noise bursts last minutes, so
+    // measuring all hi reps then all lo reps samples different noise
+    // environments and the ratio swings wildly. Alternating a fresh
+    // hi-level and lo-level session per round (same JVM: codegen/JIT
+    // caches are global, so session spin-up is cheap) puts both levels
+    // in the same windows; min per level then compares best-case against
+    // best-case.
     spark.stop()
-    val sparkHi = session(hiCores)
-    val hiSecs = minOfReps(sparkHi)
-    sparkHi.stop()
-    val sparkLo = session(lowCores)
-    val loSecs = minOfReps(sparkLo)
-    sparkLo.stop()
+    val reps = 6
+    val hiTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val loTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def timed(s: SparkSession): Double = {
+      val t0 = System.nanoTime()
+      flagship(s, nPages)
+      (System.nanoTime() - t0) / 1e9
+    }
+    var warmed = false
+    for (_ <- 1 to reps) {
+      val sHi = session(hiCores)
+      if (!warmed) { flagship(sHi, math.max(10000L, nPages / 20)); warmed = true }
+      hiTimes += timed(sHi)
+      sHi.stop()
+      val sLo = session(lowCores)
+      loTimes += timed(sLo)
+      sLo.stop()
+      System.err.println(f"[bench] scaling round: hi=${hiTimes.last}%.2f s lo=${loTimes.last}%.2f s")
+    }
+    val hiSecs = hiTimes.min
+    val loSecs = loTimes.min
 
     val rateHi = nPages / hiSecs
     val rateLo = nPages / loSecs
@@ -150,8 +162,13 @@ object Bench {
          |32 cpus, so local[32] would saturate the whole machine and make
          |the JVM's GC/shuffle/scheduler threads compete with executor
          |threads — an artifact a real N->4N executor scale-up does not
-         |have. Each level uses a fresh JVM; min of 5 reps per level
-         |filters the host's multi-second contention bursts.
+         |have. The two levels are sampled INTERLEAVED (fresh alternating
+         |sessions, $reps rounds, min per level): the host's noise bursts
+         |last minutes, so sequential per-level sampling would compare
+         |different noise environments.
+         |
+         |All rounds (secs): hi=[${hiTimes.map(t => f"$t%.1f").mkString(", ")}]
+         |lo=[${loTimes.map(t => f"$t%.1f").mkString(", ")}]
          |
          |Per-query timings (sf dir $sfDir) are in the driver's
          |BENCH_r{N}.json line emitted by this main.

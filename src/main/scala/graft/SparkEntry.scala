@@ -360,6 +360,26 @@ object SparkEntry {
           lit("""{"kind":"order"}"""), col("o_orderkey").cast("string"))).as("fid"))
     }),
 
+    "q56_checkpoint_resume" -> ((s, d) => {
+      // checkpointed stage with per-bucket lineage: run once, then run
+      // again (must be a pure resume — zero recomputed buckets); the
+      // resumed run's manifest row counts are the oracle-checked output
+      import s.implicits._
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_ckpt_${math.abs(d.hashCode)}")
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      val df = t(s, d, "customer")
+        .select(col("c_custkey"), pmod(col("c_custkey"), lit(8)).cast("int").as("bucket"))
+      val r1 = Checkpointed.runKeyed(df, col("bucket"), 8, dir.toString)
+      require(r1.computed.nonEmpty, "first run must compute")
+      val r2 = Checkpointed.runKeyed(df, col("bucket"), 8, dir.toString)
+      require(r2.computed.isEmpty, "second run must resume with no recompute")
+      r2.metas.map(m => (m.bucket, m.rows)).toDF("bucket", "rows")
+        .filter(col("rows") > 0)
+    }),
+
     "q17_simplify" -> ((s, d) => {
       val z = t(s, d, "orders")
         .withColumn("amp", (col("o_orderkey") % 8L + 1L).cast("int"))
@@ -755,6 +775,10 @@ object SparkEntry {
 
       "q55_feature_roundtrip" ->
         "SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS fid FROM orders",
+
+      "q56_checkpoint_resume" ->
+        s"""SELECT CAST(c_custkey % 8 AS INTEGER) AS bucket,
+           |       count(*) AS rows FROM customer GROUP BY 1""".stripMargin,
 
       "q48_union_area" ->
         s"""SELECT s_suppkey, n_nationkey,

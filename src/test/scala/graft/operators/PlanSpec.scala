@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SparkTestSession
+import graft.functions.ST._
+
+/** Physical-plan quality gates: the properties that make these
+  * operators survive a 100-TB scale-up must hold in the plan itself,
+  * not just in wall-clock luck — filters/projections reach the parquet
+  * scan, broadcast joins never shuffle the big side, the fused PIP
+  * count aggregates map-side.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shuffles(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case s: ShuffleExchangeLike => s }
+
+  test("filter and projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") < 100)
+      .select("c_custkey", "c_nationkey")
+    val scan = df.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters") && scan.contains("LessThan(c_custkey,100)"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<c_custkey:bigint,c_nationkey:bigint>") ||
+      scan.contains("ReadSchema: struct<c_custkey"),
+      s"projection not pruned:\n$scan")
+  }
+
+  test("broadcast point-key join shuffles only the final tiny aggregate") {
+    val pts = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("cx", (col("c_custkey") * 7919L % 23040L).cast("double") / 64.0 - 180.0)
+      .withColumn("cy", (col("c_custkey") * 104729L % 10880L).cast("double") / 64.0 - 85.0)
+    val boxes = spark.read.parquet(s"$sf/nation.parquet")
+      .withColumn("nx0", (col("n_nationkey") % 5).cast("double") * 72.0 - 180.0)
+      .withColumn("ny0", floor(col("n_nationkey") / 5.0) * 34.0 - 85.0)
+      .withColumn("box", st_makeEnvelope(col("nx0"), col("ny0"),
+        col("nx0") + 72.0, col("ny0") + 34.0))
+    val joined = SpatialJoins.broadcastPointKeyJoin(pts, col("cx"), col("cy"),
+        boxes, "box", "n_nationkey", pred = "contains", outKey = "k")
+      .groupBy(col("k")).count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    val sh = shuffles(plan)
+    assert(sh.size <= 1, s"big side must not shuffle; found ${sh.size} exchanges:\n$plan")
+    // and the one allowed shuffle carries only the 25-key aggregate
+    assert(plan.toString().contains("HashAggregate"),
+      s"expected partial aggregation before the exchange:\n$plan")
+  }
+
+  test("fused PIP count runs as one aggregate, partials map-side") {
+    val pts = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("cx", (col("c_custkey") * 7919L % 23040L).cast("double") / 64.0 - 180.0)
+      .withColumn("cy", (col("c_custkey") * 104729L % 10880L).cast("double") / 64.0 - 85.0)
+    val boxes = spark.read.parquet(s"$sf/nation.parquet")
+      .withColumn("nx0", (col("n_nationkey") % 5).cast("double") * 72.0 - 180.0)
+      .withColumn("ny0", floor(col("n_nationkey") / 5.0) * 34.0 - 85.0)
+      .withColumn("box", st_makeEnvelope(col("nx0"), col("ny0"),
+        col("nx0") + 72.0, col("ny0") + 34.0))
+    // capture the plan of the aggregate the operator runs internally:
+    // same shape as broadcastPipCounts' big.agg(...)
+    val agg = graft.functions.StPipCountAgg(
+      org.apache.spark.sql.GraftBridge.expression(col("cx")),
+      org.apache.spark.sql.GraftBridge.expression(col("cy")),
+      pts.sparkSession.sparkContext.broadcast(
+        boxes.select("box").collect().map(_.getAs[Array[Byte]](0))),
+      25, interiorOnly = true)
+    val out = pts.agg(org.apache.spark.sql.GraftBridge
+      .column(agg.toAggregateExpression()).as("counts"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    val s = plan.toString()
+    assert(s.contains("ObjectHashAggregate") || s.contains("SortAggregate"),
+      s"imperative aggregate missing:\n$s")
+    assert(s.contains("partial_st_pip_count_agg") || s.contains("partial"),
+      s"no partial (map-side) phase:\n$s")
+    assert(shuffles(plan).size <= 1, s"fused agg must shuffle at most 1 row/partition:\n$s")
+  }
+
+  test("cellOf tile aggregation stays in whole-stage codegen up to the agg") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("lon", (col("id") % 360).cast("double") - 180.0)
+      .withColumn("lat", (col("id") % 170).cast("double") - 85.0)
+      .withColumn("cell", st_cellOf(col("lon"), col("lat"), lit(12)))
+      .groupBy("cell").count()
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString()
+    // AQE prints WholeStageCodegen stages as "*(n)" markers; st_cellof
+    // must sit INSIDE such a stage (same line as a *(n) Project)
+    val inCodegen = s.linesIterator.exists(l => l.contains("*(") && l.contains("st_cellof"))
+    assert(inCodegen, s"st_cellof not inside a WholeStageCodegen stage:\n$s")
+  }
+}
