@@ -71,6 +71,41 @@ object Pages {
       .drop("__h", "__h2")
   }
 
+  /** The Z-order-CLUSTERED page layout: page i's geotag comes from
+    * Morton position floor(i * 4^level / n), so consecutive page_ids
+    * land in the same or adjacent cells — the scan order an Iceberg
+    * table clustered by the cell index (OPTIMIZE ZORDER) delivers at
+    * 10^12 rows. Per-cell aggregation over this layout touches each
+    * distinct cell once per input split instead of randomly, which is
+    * what makes the tile job scale with cores on shared-memory hosts
+    * too. Pure codegen Column bit math (Morton deinterleave inlined).
+    */
+  def pagesClustered(spark: SparkSession, n: Long, level: Int = 12): DataFrame = {
+    val cells = 1L << (2 * level)
+    val side = (1L << level).toDouble
+    val df = spark.range(n).toDF("page_id")
+      .withColumn("__m",
+        (col("page_id").cast("double") / n.toDouble * cells.toDouble).cast("long"))
+      .withColumn("__h", lcg(col("page_id") % lit(2147483648L)))
+    // Morton deinterleave (compact) as Column expressions
+    def compact(c0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      var x = c0.bitwiseAND(lit(0x5555555555555555L))
+      x = x.bitwiseOR(shiftright(x, 1)).bitwiseAND(lit(0x3333333333333333L))
+      x = x.bitwiseOR(shiftright(x, 2)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = x.bitwiseOR(shiftright(x, 4)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = x.bitwiseOR(shiftright(x, 8)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x.bitwiseOR(shiftright(x, 16)).bitwiseAND(lit(0x00000000FFFFFFFFL))
+    }
+    val fx = (compact(col("__m")).cast("double") +
+      (col("__h") % lit(1024L)).cast("double") / 1024.0) / side
+    val fy = (compact(shiftright(col("__m"), 1)).cast("double") +
+      (col("__h") % lit(997L)).cast("double") / 997.0) / side
+    // inverse web mercator back to lon/lat (matches Cell.invMercX/Y)
+    val lon = fx * 360.0 - 180.0
+    val lat = degrees(atan(exp((lit(0.5) - fy) * (2 * math.Pi))) * 2 - lit(math.Pi / 2))
+    df.withColumn("lon", lon).withColumn("lat", lat).drop("__m", "__h")
+  }
+
   /** Region polygons (axis-aligned boxes around each city + a coarse
     * world grid) as a broadcast-able dimension table.
     */
