@@ -64,7 +64,10 @@ object Wkb {
     }
 
     def readCoords(n: Int): Array[Double] = {
-      val need = n * stride * 8
+      // Long arithmetic: n can be up to buf.remaining() (~2^31) for
+      // hostile inputs, so an Int multiply would overflow negative and
+      // slip past this guard into a NegativeArraySizeException/OOM.
+      val need = n.toLong * stride * 8
       if (buf.remaining() < need) throw new ParseException("truncated coordinates")
       val out = new Array[Double](n * stride)
       var i = 0

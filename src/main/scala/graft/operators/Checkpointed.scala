@@ -85,7 +85,18 @@ object Checkpointed {
     val missing = (0 until nBuckets).filterNot(have)
     if (missing.isEmpty) return StageResult(existing.sortBy(_.bucket), Nil)
 
+    // Recoverability contract: every input row must land in exactly one
+    // manifest-tracked bucket. A null or out-of-range bucket index would
+    // be silently dropped by the isin() filter below (or land in a
+    // __HIVE_DEFAULT_PARTITION__ the manifest never records), so fail
+    // fast instead.
     val withBucket = df.withColumn("__bucket", bucketCol)
+    val bad = withBucket.filter(
+      col("__bucket").isNull || col("__bucket") < 0 || col("__bucket") >= nBuckets)
+    val badN = bad.limit(1).count()
+    require(badN == 0L,
+      s"bucket column produced null or out-of-[0,$nBuckets) values — " +
+        "rows would be lost from the checkpoint manifest")
     val todo = withBucket.filter(col("__bucket").isin(missing: _*))
 
     // one filtered pass: write all missing buckets into a temp area
@@ -135,7 +146,10 @@ object Checkpointed {
     val committed = (0 until nBuckets)
       .filter(k => Files.exists(manifestDir(outDir).resolve(s"bucket-$k.json")))
       .map(k => bucketPath(outDir, k).toString)
-      .filter(p => Files.list(Paths.get(p)).findFirst().isPresent)
+      .filter { p =>
+        val s = Files.list(Paths.get(p))
+        try s.findFirst().isPresent finally s.close()
+      }
     require(committed.nonEmpty, s"no committed buckets under $outDir")
     spark.read.parquet(committed: _*)
   }

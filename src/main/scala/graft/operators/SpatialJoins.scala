@@ -9,8 +9,6 @@ import graft.core._
 import graft.functions.ST._
 import graft.tiling.Cell
 
-import scala.collection.concurrent.TrieMap
-
 /** Distributed spatial joins.
   *
   * Physical patterns from SURVEY.md §2.12/§4:
@@ -28,12 +26,28 @@ import scala.collection.concurrent.TrieMap
   */
 object SpatialJoins {
 
-  /** Executor-local cache of prepared broadcast sides, keyed by
-    * broadcast id: decode WKB + build R-tree once per JVM, not once
-    * per task (Spark has no geometry-aware cache; reference prepares
-    * one geometry for repeated predicates the same way).
+  /** Executor-local BOUNDED cache of prepared broadcast sides, keyed by
+    * broadcast id: decode WKB + build R-tree once per JVM, not once per
+    * task (Spark has no geometry-aware cache; reference prepares one
+    * geometry for repeated predicates the same way). Access-order LRU
+    * with a small fixed capacity so long-running executors that see
+    * many broadcast joins don't accumulate decoded geometry arrays for
+    * the JVM lifetime — an evicted entry just rebuilds on next use.
     */
-  private val preparedCache = TrieMap.empty[Long, (Array[Geom], Array[Env], RTree)]
+  private final class PreparedLru[V](maxEntries: Int) {
+    private val m = new java.util.LinkedHashMap[Long, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, V]): Boolean =
+        size() > maxEntries
+    }
+    // build-under-lock on purpose: concurrent tasks hitting the same new
+    // broadcast should wait for one build, not run N duplicate builds
+    def getOrElseUpdate(k: Long, v: => V): V = m.synchronized {
+      val cur = m.get(k)
+      if (cur != null) cur else { val nv = v; m.put(k, nv); nv }
+    }
+  }
+
+  private val preparedCache = new PreparedLru[(Array[Geom], Array[Env], RTree)](16)
 
   private def prepared(bc: Broadcast[Array[Array[Byte]]]): (Array[Geom], Array[Env], RTree) =
     preparedCache.getOrElseUpdate(bc.id, {
@@ -42,8 +56,7 @@ object SpatialJoins {
       (geoms, envs, RTree.bulkLoad(envs))
     })
 
-  private val preparedKeyCache =
-    TrieMap.empty[Long, (Array[Long], Array[Geom], RTree)]
+  private val preparedKeyCache = new PreparedLru[(Array[Long], Array[Geom], RTree)](16)
 
   private def preparedKeyed(
       bc: Broadcast[(Array[Long], Array[Array[Byte]])]): (Array[Long], Array[Geom], RTree) =

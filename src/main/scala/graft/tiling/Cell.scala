@@ -129,14 +129,25 @@ object Cell {
     out.toArray
   }
 
-  /** All cells at `level` whose lon/lat box intersects the envelope.
-    * Capped: if the cover would exceed maxCells, coarsen the level until
-    * it fits (keeps skewed covers bounded at 10^12-row scale).
+  /** All cells at exactly `level` whose lon/lat box intersects the
+    * envelope.
+    *
+    * The level is a CONTRACT, never silently changed: cellJoin/tileAssign
+    * equi-join on packed cell ids whose high bits encode the level, so a
+    * cover emitted at a coarser level could never match the other side's
+    * cells — every pair involving that geometry would be silently
+    * dropped. If the cover would exceed maxCells (a geometry too large
+    * for the requested level — e.g. a country polygon at level 12), this
+    * throws so the caller can pick a coarser level or raise the cap
+    * explicitly.
     */
-  def coverEnv(env: Env, level0: Int, maxCells: Int = 1024): Array[Long] = {
+  def coverEnv(env: Env, level: Int, maxCells: Int = 1024): Array[Long] = {
     if (env.isEmpty) return Array.empty
-    var level = level0
-    while (level > 0 && estimateCover(env, level) > maxCells) level -= 1
+    val est = estimateCover(env, level)
+    if (est > maxCells) throw new IllegalArgumentException(
+      s"cell cover at level $level needs $est cells (> maxCells=$maxCells); " +
+        "use a coarser level or raise maxCells — silently coarsening would " +
+        "break cell equi-joins")
     val n = 1L << level
     val ix0 = clampIdx(math.floor(mercX(env.xmin) * n).toLong, level)
     val ix1 = clampIdx(math.floor(mercX(env.xmax) * n).toLong, level)
