@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout/stderr, NOT through sbt's
+// logger: the bench/verify mains print ONE machine-readable JSON line
+// that the driver parses; sbt's default LogOutput prefixes it with
+// "[info] " which breaks the parse (BENCH_r01.json had parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -72,6 +72,10 @@ case class StPipCountAgg(
 
   @transient private lazy val visitor = new StPipCountAgg.PipVisitor
 
+  // Resolve the executor-local prepared side ONCE per task (lazy val),
+  // not via a TrieMap hash lookup on every input row in update().
+  @transient private lazy val preparedSide = StPipCountAgg.prepared(bc)
+
   // Primitive fast path when inputs are direct column reads (the common
   // plan shape): skips Expression.eval's boxed Double per row.
   @transient private lazy val lonOrd =
@@ -88,7 +92,7 @@ case class StPipCountAgg(
       val t = latExpr.eval(input); if (t == null) return buffer
       lon = l.asInstanceOf[Double]; lat = t.asInstanceOf[Double]
     }
-    val (geoms, tree) = StPipCountAgg.prepared(bc)
+    val (geoms, tree) = preparedSide
     val v = visitor
     v.geoms = geoms; v.buffer = buffer; v.lon = lon; v.lat = lat
     v.interiorOnly = interiorOnly
