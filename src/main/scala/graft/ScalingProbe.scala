@@ -9,12 +9,16 @@ import graft.operators.{Pages, SpatialJoins}
 
 /** Ad-hoc scaling probe: times the flagship job's components at a
   * given core count / page count so the serial fraction is visible.
-  * Usage: runMain graft.ScalingProbe <cores> <pages>
+  * The flagship input is a pre-written parquet table (written once,
+  * reused across probes) — scan + join + agg, like the Iceberg story.
+  * Usage: runMain graft.ScalingProbe <cores> <pages> [clustered|random]
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val nPages = args(1).toLong
+    val layout = if (args.length > 2) args(2) else "clustered"
+    val clustered = layout == "clustered"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"probe-$cores")
@@ -25,30 +29,32 @@ object ScalingProbe {
     spark.sparkContext.setLogLevel("WARN")
     ST.registerAll(spark)
 
+    val path = Pages.ensureBenchParquet(spark, nPages,
+      s"/tmp/graft_bench/pages_${layout}_$nPages", clustered)
+
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe-$cores] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
 
+    def scanOnly(): Long =
+      spark.read.parquet(path).select(sum(col("lon") + col("lat"))).count()
     def joinJob(): Long = {
-      val pages = Pages.pages(spark, nPages)
-        .select(col("page_id"), col("lon"), col("lat"))
+      val pages = spark.read.parquet(path).select(col("page_id"), col("lon"), col("lat"))
       val regions = Pages.regions(spark).withColumn("geom", st_geomFromWKT(col("wkt")))
       SpatialJoins.broadcastPipCounts(pages, col("lon"), col("lat"),
         regions, "geom", "region_id", pred = "contains").count()
     }
     def tileJob(): Long =
-      Pages.pages(spark, nPages)
+      spark.read.parquet(path)
         .withColumn("cell", st_cellOf(col("lon"), col("lat"), lit(12)))
         .groupBy(col("cell")).agg(count(lit(1)).as("n")).count()
-    def synthOnly(): Long =
-      Pages.pages(spark, nPages).select(count(lit(1))).first().getLong(0)
 
     // warm-up
     time("warmup-join")(joinJob()); time("warmup-tile")(tileJob())
     for (i <- 1 to 3) {
-      time(s"synth-$i")(synthOnly())
+      time(s"scan-$i")(scanOnly())
       time(s"join-$i")(joinJob())
       time(s"tile-$i")(tileJob())
     }

@@ -546,6 +546,7 @@ object SparkEntry {
     "q37_simhash_pairs" -> ((s, d) => {
       val corpus = dedupCorpus(s, d)
       Dedup.simhashNearDups(corpus, "text", "k", maxHamming = 3)
+        .select(col("key_a"), col("key_b"), col("hamming").cast("long").as("hamming"))
     }),
 
     "q38_fingerprint" -> ((s, d) =>
@@ -944,6 +945,73 @@ object SparkEntry {
            |  FROM sh a, sh b WHERE a.k < b.k)
            |SELECT key_a, key_b, floor(j * 1000000.0) / 1000000.0 AS jaccard
            |FROM pairs WHERE j >= 0.5""".stripMargin,
+
+      // minhash LSH banding + exact-Jaccard refine must reproduce the
+      // exact all-pairs result on the bounded corpus (recall contract
+      // verified by AnnDedupSpec) — the oracle IS the exact computation
+      "q36_minhash_neardups" ->
+        s"""WITH corpus AS ($DEDUP_CORPUS_SQL),
+           |sh AS (
+           |  SELECT k,
+           |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |      ELSE list_transform(range(1, len(toks) - 1),
+           |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sset
+           |  FROM (SELECT k, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM corpus)),
+           |pairs AS (
+           |  SELECT a.k AS key_a, b.k AS key_b,
+           |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+           |    CAST(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS DOUBLE) AS j
+           |  FROM sh a, sh b WHERE a.k < b.k)
+           |SELECT key_a, key_b, floor(j * 1000000.0) / 1000000.0 AS jaccard
+           |FROM pairs WHERE j >= 0.5""".stripMargin,
+
+      // the 60-bit md5 simhash is recomputed exactly in SQL (md5 is
+      // identical in Spark and DuckDB; 15-hex-char prefix folded to a
+      // 60-bit integer), and 15-bit-chunk blocking is exhaustive by
+      // pigeonhole, so blocked pairs == all pairs at Hamming <= 3
+      "q37_simhash_pairs" -> {
+        val hex15 = "list_reduce(list_transform(range(1,16), " +
+          "i -> strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1), (a,d) -> a*16+d)"
+        val sigTerms = (0 until 60).map(b =>
+          s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h >> $b) & 1)) >= n " +
+            s"THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" + ")
+        s"""WITH corpus AS ($DEDUP_CORPUS_SQL),
+           |th AS (
+           |  SELECT k, len(ts) AS n,
+           |    list_transform(ts, t -> $hex15) AS hs
+           |  FROM (SELECT k, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ts
+           |        FROM corpus)),
+           |sig AS (SELECT k, $sigTerms AS s FROM th)
+           |SELECT a.k AS key_a, b.k AS key_b,
+           |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+           |FROM sig a, sig b
+           |WHERE a.k < b.k AND bit_count(xor(a.s, b.s)) <= 3""".stripMargin
+      },
+
+      // same 20-bit md5-prefix token hash recurrence as
+      // TextOps.fingerprint; list_reduce's first-element seeding equals
+      // the fold-from-0 because (0*31 + h0) = h0
+      "q38_fingerprint" -> {
+        val hex5 = "list_reduce(list_transform(range(1,6), " +
+          "i -> strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1), (a,d) -> a*16+d)"
+        s"""SELECT doc_id,
+           |  CAST(list_reduce(
+           |    list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> $hex5),
+           |    (acc, h) -> (acc * 31 + h) % 2147483648) AS BIGINT) AS fp
+           |FROM documents""".stripMargin
+      },
+
+      // banded multi-probe hyperplane LSH must reproduce the exact
+      // brute-force top-k on the test corpora (AnnDedupSpec verifies);
+      // the oracle IS the exact computation
+      "q40_ann_lsh_topk" ->
+        """SELECT q_id, c_id, rank FROM (
+          |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |                             CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+          |  FROM embeddings q, embeddings c WHERE q.vec_id < 8)
+          |WHERE rank <= 5""".stripMargin,
 
       "q39_cosine_topk" ->
         """SELECT q_id, c_id, rank FROM (

@@ -141,6 +141,16 @@ object ST {
   def st_cellIx(cell: Column): Column = col(StCellIx(ex(cell)))
   def st_cellIy(cell: Column): Column = col(StCellIy(ex(cell)))
 
+  // ----------------------------------------------- vectors / simhash
+  def vec_cosine(a: Column, b: Column): Column = col(VecCosine(ex(a), ex(b)))
+  def vec_bandKeys(v: Column, planes: Int, bands: Int,
+                   seed: Long = 42L, probeBits: Int = 0): Column =
+    col(VecBandKeys(ex(v), planes, bands, seed, probeBits))
+  def simhash60(text: Column): Column = col(StSimhash60(ex(text)))
+  def minhash_bandKeys(text: Column, shingleN: Int, k: Int, bands: Int,
+                       seed: Long = 42L): Column =
+    col(TextMinhashBandKeys(ex(text), shingleN, k, bands, seed))
+
   // ------------------------------------------------------- aggregators
 
   /** Envelope union fold (reference: geom/type_envelope.go:156-167
@@ -262,6 +272,9 @@ object ST {
       "st_features"))
       reg1(op) { es => JsonFeatureOp(op, es.head) }
     reg1("st_asgeojsonfeature") { es => StAsGeoJsonFeature(es) }
+
+    reg1("vec_cosine") { es => VecCosine(es(0), es(1)) }
+    reg1("simhash60") { es => StSimhash60(es.head) }
 
     spark.udf.register("st_envelope_agg", udaf(EnvelopeAgg))
     spark.udf.register("st_convexhull_agg", udaf(ConvexHullAgg))

@@ -1,0 +1,288 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the embedding-similarity operators.
+  *
+  * Round 1 computed hyperplane signatures with nested higher-order
+  * functions (`aggregate(zip_with(...))` per plane) — HOFs don't
+  * participate in whole-stage codegen and evaluate interpreted with
+  * per-element boxing, which made the LSH queries the slowest in the
+  * suite (q41: 27.8 s at sf0.1 for ~2 200 vectors). These expressions
+  * run the planes x dim loop as tight JVM code on the array data
+  * (single virtual call per row, like the geometry ops), and fold the
+  * whole signature -> banding -> probe expansion into ONE pass so the
+  * signature is never recomputed across use sites (no exchange-barrier
+  * tricks needed).
+  */
+object VecOps {
+
+  /** splitmix64 finalizer — public-domain integer mix (Steele et al.,
+    * "Fast Splittable Pseudorandom Number Generators", OOPSLA 2014).
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic Rademacher (+1/-1) hyperplane weight for (plane, dim). */
+  def planeWeight(seed: Long, plane: Int, d: Int): Double =
+    if ((mix64(seed ^ (plane.toLong << 32) ^ d.toLong) & 1L) == 0L) 1.0 else -1.0
+
+  /** Read element i of a Float or Double array column as Double. */
+  def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  /** SQL trim semantics: strip ' ' (0x20) only — Java's String.trim
+    * also strips control chars, which would diverge from the
+    * `trim(text)` the DuckDB oracle applies.
+    */
+  def sqlTrim(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+}
+
+/** Exact cosine similarity between two vector columns (array<float> or
+  * array<double>); null if either side is null/empty or lengths differ.
+  */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val lf = isFloat(left)
+  @transient private lazy val rf = isFloat(right)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0 || y.numElements() != n) return null
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = VecOps.elem(x, i, lf); val yv = VecOps.elem(y, i, rf)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+}
+
+/** Banded hyperplane-LSH keys for a vector column, in ONE pass:
+  * project onto `planes` deterministic Rademacher hyperplanes, take
+  * sign bits, split into `bands` bands of planes/bands bits, and emit
+  * one Long key per band: (band << 48) | bandBits. With probeBits=1,
+  * additionally emits every key with one bit flipped (multi-probe for
+  * the query side of ANN top-k).
+  *
+  * Scale notes (10^12 rows): candidate generation is an equi-join on
+  * the emitted key — never an all-pairs product. Expected spurious
+  * candidates are N^2 / 2^rowsPerBand per band, so rowsPerBand must
+  * grow with corpus size (~log2 N); 8 bits/band is a test-scale
+  * setting, web scale wants planes=128+/bands=4 (32 bits/band). The
+  * key space is bands * 2^rowsPerBand — the join hash-partitions on
+  * the full key, so parallelism is not capped by a fixed bucket count
+  * (the round-1 256-bucket repartition ceiling is gone).
+  */
+case class VecBandKeys(child: Expression, planes: Int, bands: Int,
+                       seed: Long, probeBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes % bands == 0, "planes must divide into bands")
+  require(planes / bands <= 48, "band bits must fit under the band tag")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private val rows = planes / bands
+  // weights cached per (expression instance, dim) — dim is constant for
+  // a column, so this builds once per executor thread's first row
+  @transient private var wts: Array[Double] = _
+  @transient private var wtsDim: Int = -1
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    if (dim == 0) return null
+    if (wtsDim != dim) {
+      val w = new Array[Double](planes * dim)
+      var p = 0
+      while (p < planes) {
+        var d = 0
+        while (d < dim) { w(p * dim + d) = VecOps.planeWeight(seed, p, d); d += 1 }
+        p += 1
+      }
+      wts = w; wtsDim = dim
+    }
+    // dense copy once: ArrayData.getDouble has per-call overhead
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { x(i) = VecOps.elem(v, i, isFloat); i += 1 }
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      val base = p * dim
+      var d = 0
+      while (d < dim) { dot += x(d) * wts(base + d); d += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    val nOut = if (probeBits >= 1) bands * (1 + rows) else bands
+    val out = new Array[Long](nOut)
+    val mask = (1L << rows) - 1
+    var b = 0
+    var o = 0
+    while (b < bands) {
+      val bits = (sig >>> (b * rows)) & mask
+      val tag = b.toLong << 48
+      out(o) = tag | bits; o += 1
+      if (probeBits >= 1) {
+        var r = 0
+        while (r < rows) { out(o) = tag | (bits ^ (1L << r)); o += 1; r += 1 }
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): VecBandKeys = copy(child = c)
+}
+
+/** 60-bit SimHash of a text column, md5-token-hashed so the DuckDB
+  * oracle can recompute it exactly in SQL:
+  *
+  *   tokens  = distinct values of lower(trim(text)) split on \s+
+  *   h(tok)  = first 15 hex chars of md5(tok) as a 60-bit integer
+  *   bit b   = 1 iff 2 * count(tokens with h bit b set) >= n_tokens
+  *
+  * (Round 1 used 32-bit crc32 simhash with 8-bit chunk blocking — 256
+  * distinct block values, O(N^2/256) candidates at corpus scale. 60
+  * bits / 15-bit chunks gives 32 768 block values per chunk and an
+  * oracle-expressible hash; see Dedup.simhashNearDups.)
+  */
+case class StSimhash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val text = a.asInstanceOf[UTF8String].toString
+    StSimhash60.simhash60(text)
+  }
+  override protected def withNewChildInternal(c: Expression): StSimhash60 = copy(child = c)
+}
+
+/** Banded MinHash keys for a text column, in ONE native pass:
+  * distinct word-n-gram shingles -> 60-bit md5 base hash per shingle ->
+  * k permuted min-hashes (xor-mix permutations) -> `bands` band keys,
+  * each (band << 56) | (mix of the band's k/bands row values masked to
+  * 56 bits). LSH near-dup candidates are then an equi-join on the key.
+  *
+  * Round 1 built the signature with 24 interpreted `transform` +
+  * `array_min` passes over the shingle array per row plus a
+  * repartition barrier against re-evaluation; this is one pass, no
+  * barrier (q36 was 10.4 s at sf0.1).
+  */
+case class TextMinhashBandKeys(child: Expression, shingleN: Int, k: Int,
+                               bands: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(k % bands == 0, "k must divide into bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  private val rows = k / bands
+  override def nullSafeEval(a: Any): Any = {
+    val text = a.asInstanceOf[UTF8String].toString
+    val toks = VecOps.sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // distinct shingles, same definition as TextOps.wordShingles
+    val shingles = new java.util.HashSet[String]()
+    if (toks.length < shingleN) shingles.add(toks.mkString(" "))
+    else {
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i + shingleN <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleN) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        shingles.add(sb.toString)
+        i += 1
+      }
+    }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val h = StSimhash60.tokenHash60(it.next())
+      var p = 0
+      while (p < k) {
+        val v = VecOps.mix64(h ^ (seed + p * 0x9E3779B97F4A7C15L))
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = seed
+      var r = 0
+      while (r < rows) { acc = VecOps.mix64(acc ^ mins(b * rows + r)); r += 1 }
+      out(b) = (b.toLong << 56) | (acc & 0x00FFFFFFFFFFFFFFL)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TextMinhashBandKeys =
+    copy(child = c)
+}
+
+object StSimhash60 {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit token hash = integer value of the first 15 hex chars of
+    * md5(token) — i.e. the top 60 bits of the digest, byte order as
+    * hex-printed. Exactly `list_reduce` over hex digits in DuckDB.
+    */
+  def tokenHash60(tok: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = bytes 0..6 fully + high nibble of byte 7
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (bytes(i) & 0xFFL); i += 1 }
+    (h << 4) | ((bytes(7) & 0xF0L) >>> 4)
+  }
+
+  def simhash60(text: String): Long = {
+    val toks = VecOps.sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](60)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        n += 1
+        val h = tokenHash60(t)
+        var b = 0
+        while (b < 60) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (2 * counts(b) >= n) sig |= (1L << b); b += 1 }
+    sig
+  }
+}

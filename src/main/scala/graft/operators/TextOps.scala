@@ -70,18 +70,19 @@ object TextOps {
   }
 
   /** Polynomial rolling-hash fingerprint over whitespace tokens:
-    * fp = sum(tokHash_i * 31^(n-1-i)) in Long-modulo arithmetic, where
-    * tokHash = Java String.hashCode-compatible 32-bit hash. Replicable
-    * in DuckDB via the same integer recurrence.
+    * fp = fold(fp * 31 + tokHash) mod 2^31, where tokHash = integer
+    * value of the first 5 hex chars of md5(token) (20 bits). md5 is
+    * the one hash both Spark and DuckDB compute identically, so the
+    * oracle replays the exact recurrence in SQL (list_reduce over
+    * per-token hex folds — see SparkEntry.oracleSql q38).
     */
   def fingerprint(text: Column): Column = {
-    // fold tokens with fp = fp*31 + hash(token), all mod 2^31 to stay
-    // overflow-free under ANSI mode and DuckDB-replicable
     val toks = split(trim(text), "\\s+")
     aggregate(
       toks,
       lit(0L),
-      (acc, t) => (acc * 31L + crc32(to_binary(t, lit("utf-8"))) % lit(1048576L)) % lit(2147483648L)
+      (acc, t) =>
+        (acc * 31L + conv(substring(md5(t), 1, 5), 16, 10).cast("long")) % lit(2147483648L)
     )
   }
 

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SparkTestSession, ST, StSimhash60}
+
+/** The rebuilt LSH paths (banded hyperplane ANN, banded minhash,
+  * 60-bit md5 simhash) must reproduce their exact counterparts on the
+  * driver test corpora — that is the contract the driver oracles
+  * (q36/q37/q40/q41) rely on.
+  */
+class AnnDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+
+  test("tokenHash60 equals integer value of first 15 md5 hex chars") {
+    for (tok <- Seq("hello", "", "zz", "a b", "table", "42")) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val expected = java.lang.Long.parseLong(hex.take(15), 16)
+      assert(StSimhash60.tokenHash60(tok) === expected, s"token '$tok'")
+    }
+  }
+
+  test("lshTopK equals bruteForceTopK on the embeddings corpus") {
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val exact = Ann.bruteForceTopK(q, "q_vec", "q_id", emb, "vec", "vec_id", k = 5)
+      .select("q_id", "vec_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val lsh = Ann.lshTopK(q, "q_vec", "q_id", emb, "vec", "vec_id", k = 5)
+      .select("q_id", "vec_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(lsh === exact)
+  }
+
+  test("embeddingNearDups equals brute-force threshold pairs (clones corpus)") {
+    val clones = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("vec"))
+    val corpus = emb.unionAll(clones)
+    val exact = corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", ST.vec_cosine(col("a.vec"), col("b.vec")))
+      .filter(col("cos") >= 0.9999)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDups(corpus, "vec", "vec_id", threshold = 0.9999)
+      .select("key_a", "key_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(lsh.nonEmpty)
+  }
+
+  private def corpusDocs = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id").as("k"), col("text"))
+    val copies = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 400 && col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("k"),
+        concat(col("text"), lit(" zz qq xx")).as("text"))
+    docs.unionAll(copies)
+  }
+
+  test("simhashNearDups equals exact all-pairs Hamming <= 3 (pigeonhole blocking)") {
+    val sigs = Dedup.simhashDF(corpusDocs, "text", "k")
+    val exact = sigs.as("a").join(sigs.as("b"), col("a.__key") < col("b.__key"))
+      .withColumn("h", bit_count(col("a.__sim").bitwiseXOR(col("b.__sim"))))
+      .filter(col("h") <= 3)
+      .select(col("a.__key"), col("b.__key"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = Dedup.simhashNearDups(corpusDocs, "text", "k", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked === exact)
+    assert(blocked.nonEmpty) // the " zz qq xx" copies must be near in simhash space
+  }
+
+  test("minhash LSH candidates cover all exact Jaccard >= 0.5 pairs") {
+    val exact = Dedup.jaccardPairsExact(corpusDocs, "text", "k", shingleN = 3, threshold = 0.5)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(corpusDocs, "text", "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cands),
+      s"missed: ${exact.diff(cands).take(5)} (recall ${(exact & cands).size}/${exact.size})")
+    val refined = Dedup.minhashNearDups(corpusDocs, "text", "k", threshold = 0.5)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined === exact)
+  }
+}
