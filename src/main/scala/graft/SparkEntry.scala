@@ -473,10 +473,15 @@ object SparkEntry {
         ST.st_y(ST.st_project(col("pt"), lit("equirect"))).as("py"))),
 
     "q27_tile_assign" -> ((s, d) => {
-      // webmercator cells: no SQL oracle; rows-only sanity at scale
+      // equirect tiling: dyadic cell edges make every clipped area an
+      // exact double, so the whole raster<->vector assignment is
+      // oracle-checkable per tile (the mercator tileAssign variant has
+      // transcendental y-edges; its geometry is covered by spec tests)
       val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
-      SpatialJoins.tileAssign(n, "box", level = 4)
-        .select(col("n_nationkey"), col("cell"), st_area(col("tile_part")).as("part_area"))
+      SpatialJoins.tileAssignEquirect(n, "box", level = 4)
+        .select(col("n_nationkey"), col("ix"), col("iy"),
+          st_area(col("tile_part")).as("part_area"))
+        .filter(col("part_area") > 0)
     }),
 
     // --- aggregates ---------------------------------------------------
@@ -581,10 +586,36 @@ object SparkEntry {
     }),
 
     "q42_image_meta" -> ((s, d) => {
+      // synthesize REAL container headers (PNG IHDR / JPEG SOF0 / GIF
+      // LSD / WebP VP8X) with doc_id-derived dimensions, then decode
+      // them back with the header parser — the oracle recomputes the
+      // dimensions arithmetically, so the parser is checked end-to-end
+      val w = pmod(col("doc_id"), lit(1900L)) + lit(17L)
+      val h = pmod(col("doc_id") * 7L, lit(1000L)) + lit(21L)
+      def hexBE(c: Column, nBytes: Int) = lpad(hex(c), nBytes * 2, "0")
+      def hexLE16(c: Column) = concat(
+        hexBE(pmod(c, lit(256L)), 1), hexBE(floor(c / 256.0).cast("long"), 1))
+      def hexLE24(c: Column) = concat(
+        hexBE(pmod(c, lit(256L)), 1),
+        hexBE(pmod(floor(c / 256.0).cast("long"), lit(256L)), 1),
+        hexBE(floor(c / 65536.0).cast("long"), 1))
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        hexBE(w, 4), hexBE(h, 4), lit("0806000000"))
+      val jpgHex = concat(lit("FFD8FFE000104A46494600010100004800480000FFC0001108"),
+        hexBE(h, 2), hexBE(w, 2), lit("03011100021101031101FFD9"))
+      val gifHex = concat(lit("474946383961"), hexLE16(w), hexLE16(h), lit("F70000"))
+      val webpHex = concat(
+        lit("52494646240000005745425056503858" + "0A000000" + "00000000"),
+        hexLE24(w - 1), hexLE24(h - 1))
+      val payloadHex = when(pmod(col("doc_id"), lit(4L)) === 0, pngHex)
+        .when(pmod(col("doc_id"), lit(4L)) === 1, jpgHex)
+        .when(pmod(col("doc_id"), lit(4L)) === 2, gifHex)
+        .otherwise(webpHex)
       val docs = t(s, d, "documents")
-        .withColumn("payload", to_binary(col("text"), lit("utf-8")))
+        .withColumn("payload", to_binary(payloadHex, lit("hex")))
       Multimodal.withImageMeta(docs, "payload")
         .select(col("doc_id"), col("image_meta.width").as("width"),
+          col("image_meta.height").as("height"),
           col("image_meta.format").as("format"))
     }),
 
@@ -1031,6 +1062,26 @@ object SparkEntry {
           |FROM corpus a, corpus b
           |WHERE a.vec_id < b.vec_id
           |  AND list_cosine_similarity(a.vec, b.vec) >= 0.9999""".stripMargin,
+
+      "q27_tile_assign" ->
+        s"""WITH cells AS (SELECT a.range AS ix, b.range AS iy FROM range(16) a, range(16) b),
+           |n AS (SELECT n_nationkey, $nx0 AS x0, $ny0 AS y0,
+           |             $nx0 + 72.0 AS x1, $ny0 + 34.0 AS y1 FROM nation),
+           |parts AS (
+           |  SELECT n_nationkey, ix, iy,
+           |    greatest(0.0, least(x1, -180.0 + (ix+1) * 22.5) - greatest(x0, -180.0 + ix * 22.5)) *
+           |    greatest(0.0, least(y1, 85.0 - iy * 10.625) - greatest(y0, 85.0 - (iy+1) * 10.625)) AS part_area
+           |  FROM n, cells)
+           |SELECT n_nationkey, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy, part_area
+           |FROM parts WHERE part_area > 0""".stripMargin,
+
+      "q42_image_meta" ->
+        """SELECT doc_id,
+          |  CAST(doc_id % 1900 + 17 AS INTEGER) AS width,
+          |  CAST((doc_id * 7) % 1000 + 21 AS INTEGER) AS height,
+          |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+          |       WHEN 2 THEN 'gif' ELSE 'webp' END AS format
+          |FROM documents""".stripMargin,
 
       "q43_frame_sample" ->
         """SELECT doc_id, frame_idx, CAST(frame_idx * 1024 AS INTEGER) AS byte_offset FROM (

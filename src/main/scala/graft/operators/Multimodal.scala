@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque binary
   * columns + typed metadata structs.
   *
-  * The actual media decode is STUBBED (this container has no image or
-  * audio libraries): `decodeImageMeta` derives a deterministic fake
-  * header from the bytes. Everything Spark-side — schema, batching,
-  * partition sizing, mapPartitions signature — is real and tested, so
-  * swapping in a real decoder is a one-function change.
+  * Image metadata extraction parses REAL container headers from the
+  * bytes (PNG IHDR, JPEG SOF segment scan, GIF logical screen
+  * descriptor, WebP VP8X) with zero dependencies — full pixel decode
+  * would need image libraries this container doesn't ship, but header
+  * geometry is what a pipeline filters on before batch-decoding.
+  * Everything Spark-side — schema, batching, partition sizing,
+  * mapPartitions signature — is the real shape for swapping in a full
+  * decoder.
   */
 object Multimodal {
 
@@ -21,19 +24,49 @@ object Multimodal {
     StructField("format", StringType),
     StructField("n_bytes", IntegerType)))
 
-  /** STUB decode: derives (width, height, format) deterministically
-    * from the payload bytes. Real decode would parse the image header
-    * here — the call signature (bytes -> meta) is the real one.
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16)
+
+  /** Parse (width, height, format, n_bytes) from an image header.
+    * Unknown/truncated payloads yield format "unknown" and 0x0.
     */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int, String, Int) = {
-    if (bytes == null || bytes.isEmpty) return (0, 0, "empty", 0)
-    var h = 0L
-    var i = 0
-    while (i < math.min(bytes.length, 64)) { h = (h * 31 + (bytes(i) & 0xFF)) & 0x7FFFFFFFL; i += 1 }
-    val w = (h % 1920 + 1).toInt
-    val ht = (h / 1920 % 1080 + 1).toInt
-    val fmt = Array("jpeg", "png", "webp").apply((h % 3).toInt)
-    (w, ht, fmt, bytes.length)
+  def decodeImageMeta(b: Array[Byte]): (Int, Int, String, Int) = {
+    if (b == null || b.length < 10) return (0, 0, "unknown", if (b == null) 0 else b.length)
+    // PNG: 8-byte signature, then IHDR chunk: len(4) "IHDR" w(4 BE) h(4 BE)
+    if (b.length >= 24 &&
+        (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return (be32(b, 16), be32(b, 20), "png", b.length)
+    // JPEG: FFD8, then marker segments; SOF0/1/2 carries h(BE16)@+5, w@+7
+    if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var i = 2
+      while (i + 9 < b.length && (b(i) & 0xFF) == 0xFF) {
+        val m = b(i + 1) & 0xFF
+        if (m == 0xC0 || m == 0xC1 || m == 0xC2)
+          return (be16(b, i + 7), be16(b, i + 5), "jpeg", b.length)
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone markers
+        else if (m == 0xD9) return (0, 0, "jpeg", b.length) // EOI before SOF
+        else i += 2 + be16(b, i + 2)
+      }
+      return (0, 0, "jpeg", b.length)
+    }
+    // GIF: "GIF87a"/"GIF89a", then w(LE16) h(LE16)
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return (le16(b, 6), le16(b, 8), "gif", b.length)
+    // WebP: RIFF....WEBP VP8X: canvas w-1 (LE24)@24, h-1 (LE24)@27
+    if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P' &&
+        b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X')
+      return (le24(b, 24) + 1, le24(b, 27) + 1, "webp", b.length)
+    (0, 0, "unknown", b.length)
   }
 
   /** Batch image-metadata extraction via mapPartitions (the Scala
@@ -45,10 +78,10 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { iter =>
-      // a real decoder would be initialized ONCE here, per partition
+      // a full pixel decoder would be initialized ONCE here, per partition
       iter.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val (w, h, fmt, n) = fakeDecode(bytes)
+        val (w, h, fmt, n) = decodeImageMeta(bytes)
         Row.fromSeq(r.toSeq :+ Row(w, h, fmt, n))
       }
     }

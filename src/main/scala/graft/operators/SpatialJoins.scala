@@ -359,6 +359,35 @@ object SpatialJoins {
     out
   }
 
+  /** Tile assignment on the EQUIRECT grid (2^level x 2^level over
+    * [-180,180] x [85,-85]): clip each geometry to every grid cell its
+    * envelope's interior intersects, emitting (ix, iy, tile_part).
+    * Cell edges are exact dyadic rationals (360/2^level, 170/2^level),
+    * so clipped coordinates and areas of integer-coordinate inputs are
+    * exact — which is what makes this variant fully DuckDB-oracle-able
+    * (q27), unlike the web-mercator tiling whose y-edges are
+    * transcendental in latitude.
+    */
+  def tileAssignEquirect(df: DataFrame, geomCol: String, level: Int): DataFrame = {
+    val side = 1 << level
+    val cw = 360.0 / side
+    val ch = 170.0 / side
+    val ex0 = st_xmin(col(geomCol)); val ex1 = st_xmax(col(geomCol))
+    val ey0 = st_ymin(col(geomCol)); val ey1 = st_ymax(col(geomCol))
+    val ix0 = greatest(lit(0L), floor((ex0 + 180.0) / cw).cast("long"))
+    val ix1 = least(lit(side - 1L), (ceil((ex1 + 180.0) / cw) - 1).cast("long"))
+    val iy0 = greatest(lit(0L), floor((lit(85.0) - ey1) / ch).cast("long"))
+    val iy1 = least(lit(side - 1L), (ceil((lit(85.0) - ey0) / ch) - 1).cast("long"))
+    df.withColumn("ix", explode(sequence(ix0, greatest(ix0, ix1))))
+      .withColumn("iy", explode(sequence(iy0, greatest(iy0, iy1))))
+      .withColumn("__tx0", lit(-180.0) + col("ix") * cw)
+      .withColumn("__ty1", lit(85.0) - col("iy") * ch)
+      .withColumn("tile_part",
+        st_clipByBox(col(geomCol),
+          col("__tx0"), col("__ty1") - ch, col("__tx0") + cw, col("__ty1")))
+      .drop("__tx0", "__ty1")
+  }
+
   /** Tile assignment: clip each geometry to every cell it covers,
     * emitting (cell, clipped geometry) rows — the raster<->vector
     * tile-assignment query of the north rule; Sutherland–Hodgman per
