@@ -4,54 +4,123 @@ import scala.collection.mutable
 
 /** Buffer (Minkowski sum with a disc) re-expressed on top of the
   * arrangement overlay: the buffer of a geometry is the union of
-  * per-piece primitive buffers — a disc polygon per vertex and an
+  * per-piece primitive buffers — a cap/join piece per vertex and an
   * oriented rectangle per segment — dissolved by SetOps' cascaded
-  * union. Round caps/joins only (the reference's default; cap/join
-  * styles are per-piece generators and can be added the same way).
+  * union.
   *
-  * Reference semantics: geom/alg_buffer.go:24-124 (default round caps
-  * and joins, quadrant segments = 8; negative distance erodes areal
-  * geometries and empties lower-dimensional ones).
+  * Style surface mirrors the reference's option set
+  * (geom/alg_buffer.go:24-124): quadrant segments, end caps
+  * round/flat/square, joins round/mitre(limit)/bevel, single-sided.
+  * Negative distance erodes areal geometries and empties
+  * lower-dimensional ones; single-sided picks the side from the
+  * distance sign (positive = left) and forces flat caps, as the
+  * reference documents.
+  *
+  * Join pieces only fill the CONVEX side of each turn — on the concave
+  * side the two segment rectangles overlap and their union boundary is
+  * already the exact offset intersection (which is also why erosion
+  * corners stay sharp regardless of join style: the inner band
+  * boundary comes from rectangle overlap, not join fill).
   */
 object BufferOp {
 
-  def buffer(g: Geom, dist: Double, quadSegs: Int = 8): Geom = {
+  final val CapRound = 0
+  final val CapFlat = 1
+  final val CapSquare = 2
+  final val JoinRound = 0
+  final val JoinMitre = 1
+  final val JoinBevel = 2
+
+  /** JTS-compatible defaults: quadSegs 8, round caps/joins, mitre
+    * limit 5.
+    */
+  final case class Style(quadSegs: Int = 8, cap: Int = CapRound,
+                         join: Int = JoinRound, mitreLimit: Double = 5.0,
+                         singleSided: Boolean = false)
+
+  /** Parse a PostGIS-style parameter string, e.g.
+    * "quad_segs=8 endcap=flat join=mitre mitre_limit=2 side=left".
+    * side=left/right/both; left/right imply single-sided.
+    */
+  def parseStyle(params: String): (Style, Int) = {
+    var st = Style()
+    var side = 0 // 0 = both, +1 = left, -1 = right
+    for (kv <- params.trim.split("\\s+") if kv.nonEmpty) {
+      val i = kv.indexOf('=')
+      if (i <= 0) throw new IllegalArgumentException(s"bad buffer parameter '$kv'")
+      val (k, v) = (kv.substring(0, i).toLowerCase, kv.substring(i + 1).toLowerCase)
+      k match {
+        case "quad_segs" | "quadsegs" => st = st.copy(quadSegs = v.toInt)
+        case "endcap" => st = st.copy(cap = v match {
+          case "round" => CapRound; case "flat" | "butt" => CapFlat
+          case "square" => CapSquare
+          case _ => throw new IllegalArgumentException(s"bad endcap '$v'")
+        })
+        case "join" => st = st.copy(join = v match {
+          case "round" => JoinRound; case "mitre" | "miter" => JoinMitre
+          case "bevel" => JoinBevel
+          case _ => throw new IllegalArgumentException(s"bad join '$v'")
+        })
+        case "mitre_limit" | "miter_limit" => st = st.copy(mitreLimit = v.toDouble)
+        case "side" => v match {
+          case "both" => side = 0
+          case "left" => side = 1; st = st.copy(singleSided = true)
+          case "right" => side = -1; st = st.copy(singleSided = true)
+          case _ => throw new IllegalArgumentException(s"bad side '$v'")
+        }
+        case _ => throw new IllegalArgumentException(s"unknown buffer parameter '$k'")
+      }
+    }
+    (st, side)
+  }
+
+  def buffer(g: Geom, dist: Double, quadSegs: Int = 8): Geom =
+    buffer(g, dist, Style(quadSegs = quadSegs))
+
+  def buffer(g: Geom, dist: Double, st: Style): Geom = {
+    if (st.singleSided) return singleSided(g, dist, st)
     if (g.isEmpty) return GPoly(Array.empty, CT.XY)
-    if (dist == 0)
-      return if (g.dimension == 2) SetOps.unaryUnion(g) else GPoly(Array.empty, CT.XY)
+    if (dist == 0) {
+      // buffer(0) = cleaned areal result; zero-area (flat/degenerate)
+      // rings vanish, as in JTS (TestBuffer.xml degenerate cases)
+      if (g.dimension < 2) return GPoly(Array.empty, CT.XY)
+      val u = try SetOps.unaryUnion(g) catch { case _: Exception => Geom.emptyGC }
+      return if (u.dimension == 2 && Measure.area(u) > 0) u else GPoly(Array.empty, CT.XY)
+    }
     if (dist < 0) {
       if (g.dimension < 2) return GPoly(Array.empty, CT.XY)
-      return erode(g, -dist, quadSegs)
+      return erode(g, -dist, st)
     }
     val pieces = mutable.ArrayBuffer.empty[Geom]
-    collectPieces(g, dist, quadSegs, pieces)
+    collectPieces(g, dist, st, pieces)
     if (pieces.isEmpty) GPoly(Array.empty, CT.XY)
     else SetOps.unionMany(pieces.toSeq)
   }
 
-  private def collectPieces(g: Geom, d: Double, qs: Int,
+  private def collectPieces(g: Geom, d: Double, st: Style,
                             out: mutable.ArrayBuffer[Geom]): Unit = g match {
-    case p: GPoint if !p.isEmpty => out += disc(p.x, p.y, d, qs)
-    case GMPoint(ps, _) => ps.foreach(collectPieces(_, d, qs, out))
-    case GLine(s) => seqPieces(s, d, qs, out)
-    case GMLine(ls, _) => ls.foreach(seqPieces(_, d, qs, out))
+    case p: GPoint if !p.isEmpty => out += disc(p.x, p.y, d, st.quadSegs)
+    case GMPoint(ps, _) => ps.foreach(collectPieces(_, d, st, out))
+    case GLine(s) => seqPieces(s, d, st, out)
+    case GMLine(ls, _) => ls.foreach(seqPieces(_, d, st, out))
     case poly @ GPoly(rings, _) if rings.nonEmpty =>
       out += poly
-      rings.foreach(seqPieces(_, d, qs, out))
+      rings.foreach(seqPieces(_, d, st, out))
     case GMPoly(ps, ct) =>
-      ps.filter(_.nonEmpty).foreach(rs => collectPieces(GPoly(rs, ct), d, qs, out))
-    case GColl(gs, _) => gs.foreach(collectPieces(_, d, qs, out))
+      ps.filter(_.nonEmpty).foreach(rs => collectPieces(GPoly(rs, ct), d, st, out))
+    case GColl(gs, _) => gs.foreach(collectPieces(_, d, st, out))
     case _ => ()
   }
 
   /** Negative buffer of an areal geometry: interior points at distance
-    * > d from the boundary, i.e. g minus the boundary's buffer.
+    * > d from the boundary, i.e. g minus the boundary's buffer. Join
+    * style shapes the band at reflex corners (convex from inside).
     */
-  private def erode(g: Geom, d: Double, qs: Int): Geom = {
+  private def erode(g: Geom, d: Double, st: Style): Geom = {
     val boundaryPieces = mutable.ArrayBuffer.empty[Geom]
     def rings(x: Geom): Unit = x match {
-      case GPoly(rs, _) => rs.foreach(seqPieces(_, d, qs, boundaryPieces))
-      case GMPoly(ps, _) => ps.foreach(_.foreach(seqPieces(_, d, qs, boundaryPieces)))
+      case GPoly(rs, _) => rs.foreach(seqPieces(_, d, st, boundaryPieces))
+      case GMPoly(ps, _) => ps.foreach(_.foreach(seqPieces(_, d, st, boundaryPieces)))
       case GColl(cs, _) => cs.foreach(rings)
       case _ => ()
     }
@@ -62,6 +131,30 @@ object BufferOp {
       case r if r.dimension == 2 => r
       case _ => GPoly(Array.empty, CT.XY)
     }
+  }
+
+  /** Single-sided buffer: region between each lineal component and its
+    * offset curve at distance |dist| on one side (positive = left,
+    * negative = right, matching the reference's sign convention); caps
+    * forced flat. Areal inputs take the ordinary two-sided buffer;
+    * puntal inputs are empty (a point has no side).
+    */
+  private def singleSided(g: Geom, dist: Double, st: Style): Geom = {
+    if (g.isEmpty || dist == 0) return GPoly(Array.empty, CT.XY)
+    val leftSide = dist > 0
+    val d = math.abs(dist)
+    val pieces = mutable.ArrayBuffer.empty[Geom]
+    def walk(x: Geom): Unit = x match {
+      case GLine(s) => sideSeqPieces(s, d, leftSide, st, pieces)
+      case GMLine(ls, _) => ls.foreach(sideSeqPieces(_, d, leftSide, st, pieces))
+      case p @ (_: GPoly | _: GMPoly) =>
+        collectPieces(p, d, st.copy(singleSided = false), pieces)
+      case GColl(cs, _) => cs.foreach(walk)
+      case _ => ()
+    }
+    walk(g)
+    if (pieces.isEmpty) GPoly(Array.empty, CT.XY)
+    else SetOps.unionMany(pieces.toSeq)
   }
 
   /** Disc approximation: regular polygon with 4*qs vertices. */
@@ -79,26 +172,225 @@ object BufferOp {
     GPoly(Array(Seqn.xy(arr)), CT.XY)
   }
 
-  /** Per-segment rectangle + per-vertex disc pieces for a sequence. */
-  private def seqPieces(s: Seqn, d: Double, qs: Int,
-                        out: mutable.ArrayBuffer[Geom]): Unit = {
-    if (s.isEmpty) return
+  /** Circular-sector fan: centre v, radius r, sweeping the SHORT way
+    * from angle a1 to a2 (gap angles at joins are always < pi).
+    */
+  private def sector(cx: Double, cy: Double, r: Double,
+                     a1: Double, a2: Double, qs: Int): Geom = {
+    var sweep = a2 - a1
+    while (sweep <= -math.Pi) sweep += 2 * math.Pi
+    while (sweep > math.Pi) sweep -= 2 * math.Pi
+    val steps = math.max(2, math.ceil(math.abs(sweep) / (math.Pi / 2) * qs).toInt)
+    val arr = new Array[Double]((steps + 3) * 2)
+    arr(0) = cx; arr(1) = cy
     var i = 0
-    while (i < s.n) {
-      out += disc(s.x(i), s.y(i), d, qs)
+    while (i <= steps) {
+      val a = a1 + sweep * i / steps
+      arr(2 * (i + 1)) = cx + r * math.cos(a)
+      arr(2 * (i + 1) + 1) = cy + r * math.sin(a)
       i += 1
     }
-    i = 0
-    while (i < s.n - 1) {
-      val x1 = s.x(i); val y1 = s.y(i); val x2 = s.x(i + 1); val y2 = s.y(i + 1)
+    arr(2 * (steps + 2)) = cx; arr(2 * (steps + 2) + 1) = cy
+    GPoly(Array(Seqn.xy(arr)), CT.XY)
+  }
+
+  private def poly(xys: Double*): Geom = {
+    val closed = xys ++ Seq(xys(0), xys(1))
+    GPoly(Array(Seqn.of(closed: _*)), CT.XY)
+  }
+
+  /** Join piece at vertex v between incoming unit direction u1 and
+    * outgoing unit u2, on the convex (gap) side, radius d. Returns
+    * null when no piece is needed (collinear, or concave-only).
+    */
+  private def joinPiece(vx: Double, vy: Double,
+                        u1x: Double, u1y: Double, u2x: Double, u2y: Double,
+                        d: Double, st: Style): Geom = {
+    val cross = u1x * u2y - u1y * u2x
+    val dot = u1x * u2x + u1y * u2y
+    if (math.abs(cross) < 1e-12) {
+      // collinear: straight-through needs nothing; a u-turn folds the
+      // line back on itself — round fills the half-disc, mitre/bevel
+      // leave the flat fold (JTS's limited-mitre degenerates the same
+      // way for antiparallel edges)
+      if (dot < 0 && st.join == JoinRound)
+        return disc(vx, vy, d, st.quadSegs)
+      return null
+    }
+    // gap side: left of the path when turning right (cross<0), right
+    // when turning left. Outward normals n1/n2 on that side.
+    val s = if (cross < 0) 1.0 else -1.0 // +1 = rotate left, -1 = rotate right
+    val n1x = -u1y * s * d; val n1y = u1x * s * d
+    val n2x = -u2y * s * d; val n2y = u2x * s * d
+    val p1x = vx + n1x; val p1y = vy + n1y
+    val p2x = vx + n2x; val p2y = vy + n2y
+    st.join match {
+      case JoinRound =>
+        sector(vx, vy, d, math.atan2(n1y, n1x), math.atan2(n2y, n2x), st.quadSegs)
+      case JoinBevel =>
+        poly(vx, vy, p1x, p1y, p2x, p2y)
+      case JoinMitre =>
+        // mitre tip: intersection of the two offset-edge lines
+        // p1 + t*u1 = p2 + s2*u2  =>  t = cross(p2-p1, u2) / cross(u1, u2)
+        val t = ((p2x - p1x) * u2y - (p2y - p1y) * u2x) / cross
+        val mx = p1x + t * u1x; val my = p1y + t * u1y
+        val mdist = math.hypot(mx - vx, my - vy)
+        if (mdist <= st.mitreLimit * d) poly(vx, vy, p1x, p1y, mx, my, p2x, p2y)
+        else {
+          // limited mitre: clip the spike with the line perpendicular
+          // to the gap bisector at distance limit*d from v
+          val bl = math.hypot(n1x + n2x, n1y + n2y)
+          if (bl < 1e-12 * d) return poly(vx, vy, p1x, p1y, p2x, p2y)
+          val bx = (n1x + n2x) / bl; val by = (n1y + n2y) / bl
+          val lim = st.mitreLimit * d
+          val den1 = u1x * bx + u1y * by
+          val den2 = u2x * bx + u2y * by
+          if (math.abs(den1) < 1e-12 || math.abs(den2) < 1e-12)
+            return poly(vx, vy, p1x, p1y, p2x, p2y)
+          val t1 = (lim - ((p1x - vx) * bx + (p1y - vy) * by)) / den1
+          val t2 = (lim - ((p2x - vx) * bx + (p2y - vy) * by)) / den2
+          val q1x = p1x + t1 * u1x; val q1y = p1y + t1 * u1y
+          val q2x = p2x + t2 * u2x; val q2y = p2y + t2 * u2y
+          poly(vx, vy, p1x, p1y, q1x, q1y, q2x, q2y, p2x, p2y)
+        }
+    }
+  }
+
+  /** Cap piece at an open endpoint v with outward unit direction u
+    * (pointing away from the line).
+    */
+  private def capPiece(vx: Double, vy: Double, ux: Double, uy: Double,
+                       d: Double, st: Style): Geom = st.cap match {
+    case CapRound => disc(vx, vy, d, st.quadSegs)
+    case CapFlat => null
+    case CapSquare =>
+      // square extension: half-square beyond the endpoint
+      val nx = -uy * d; val ny = ux * d
+      poly(vx + nx, vy + ny,
+        vx + nx + ux * d, vy + ny + uy * d,
+        vx - nx + ux * d, vy - ny + uy * d,
+        vx - nx, vy - ny)
+    case _ => null
+  }
+
+  /** Per-segment rectangle + styled vertex pieces for a sequence. A
+    * closed sequence (ring) takes joins at every vertex incl. the
+    * closure; an open one takes caps at its two ends.
+    */
+  private def seqPieces(sq: Seqn, d: Double, st: Style,
+                        out: mutable.ArrayBuffer[Geom]): Unit = {
+    if (sq.isEmpty) return
+    val n = sq.n
+    if (n == 1) { out += disc(sq.x(0), sq.y(0), d, st.quadSegs); return }
+    val closed = sq.x(0) == sq.x(n - 1) && sq.y(0) == sq.y(n - 1)
+
+    // segment rectangles + per-segment unit directions (zero-length skipped)
+    val dirs = new Array[Double](2 * (n - 1)) // ux, uy per segment; NaN if degenerate
+    var i = 0
+    while (i < n - 1) {
+      val x1 = sq.x(i); val y1 = sq.y(i); val x2 = sq.x(i + 1); val y2 = sq.y(i + 1)
       val dx = x2 - x1; val dy = y2 - y1
       val len = math.hypot(dx, dy)
       if (len > 0) {
+        dirs(2 * i) = dx / len; dirs(2 * i + 1) = dy / len
         val nx = -dy / len * d; val ny = dx / len * d
-        out += GPoly(Array(Seqn.of(
-          x1 + nx, y1 + ny, x2 + nx, y2 + ny,
-          x2 - nx, y2 - ny, x1 - nx, y1 - ny,
-          x1 + nx, y1 + ny)), CT.XY)
+        out += poly(x1 + nx, y1 + ny, x2 + nx, y2 + ny, x2 - nx, y2 - ny, x1 - nx, y1 - ny)
+      } else { dirs(2 * i) = Double.NaN; dirs(2 * i + 1) = Double.NaN }
+      i += 1
+    }
+    // previous non-degenerate segment index for each vertex
+    def prevSeg(v: Int): Int = {
+      var j = v - 1
+      while (j >= 0 && dirs(2 * j).isNaN) j -= 1
+      if (j >= 0) j
+      else if (closed) { var k = n - 2; while (k > v && dirs(2 * k).isNaN) k -= 1
+        if (k > v && !dirs(2 * k).isNaN) k else -1 }
+      else -1
+    }
+    def nextSeg(v: Int): Int = {
+      var j = v
+      while (j < n - 1 && dirs(2 * j).isNaN) j += 1
+      if (j < n - 1) j
+      else if (closed) { var k = 0; while (k < v && dirs(2 * k).isNaN) k += 1
+        if (k < v && !dirs(2 * k).isNaN) k else -1 }
+      else -1
+    }
+    if (st.join == JoinRound && st.cap == CapRound && !st.singleSided) {
+      // fast path, identical to the classic construction: a full disc
+      // at every vertex covers all round joins and round caps at once
+      i = 0
+      val last = if (closed) n - 1 else n
+      while (i < last) { out += disc(sq.x(i), sq.y(i), d, st.quadSegs); i += 1 }
+      return
+    }
+    // joins at interior vertices (all vertices for a ring)
+    val vs = if (closed) 0 until (n - 1) else 1 until (n - 1)
+    for (v <- vs) {
+      val pi = prevSeg(v); val ni = nextSeg(v)
+      if (pi >= 0 && ni >= 0 && !(pi == ni)) {
+        val g = joinPiece(sq.x(v), sq.y(v),
+          dirs(2 * pi), dirs(2 * pi + 1), dirs(2 * ni), dirs(2 * ni + 1), d, st)
+        if (g != null) out += g
+      } else if (st.join == JoinRound && (pi >= 0 || ni >= 0)) {
+        // isolated repeated-coordinate vertex inside a line
+        out += disc(sq.x(v), sq.y(v), d, st.quadSegs)
+      }
+    }
+    if (!closed) {
+      val s0 = nextSeg(0)
+      if (s0 >= 0) {
+        val g = capPiece(sq.x(0), sq.y(0), -dirs(2 * s0), -dirs(2 * s0 + 1), d, st)
+        if (g != null) out += g
+      }
+      val sl = prevSeg(n - 1)
+      if (sl >= 0) {
+        val g = capPiece(sq.x(n - 1), sq.y(n - 1), dirs(2 * sl), dirs(2 * sl + 1), d, st)
+        if (g != null) out += g
+      }
+    }
+  }
+
+  /** One-sided pieces for a sequence: per-segment one-sided rectangles
+    * plus gap-side join fills where the path turns away from the
+    * offset side. Flat ends (the reference forces flat caps).
+    */
+  private def sideSeqPieces(sq: Seqn, d: Double, leftSide: Boolean, st: Style,
+                            out: mutable.ArrayBuffer[Geom]): Unit = {
+    if (sq.isEmpty || sq.n < 2) return
+    val n = sq.n
+    val s = if (leftSide) 1.0 else -1.0
+    val dirs = new Array[Double](2 * (n - 1))
+    var i = 0
+    while (i < n - 1) {
+      val x1 = sq.x(i); val y1 = sq.y(i); val x2 = sq.x(i + 1); val y2 = sq.y(i + 1)
+      val dx = x2 - x1; val dy = y2 - y1
+      val len = math.hypot(dx, dy)
+      if (len > 0) {
+        dirs(2 * i) = dx / len; dirs(2 * i + 1) = dy / len
+        val nx = -dy / len * s * d; val ny = dx / len * s * d
+        out += poly(x1, y1, x2, y2, x2 + nx, y2 + ny, x1 + nx, y1 + ny)
+      } else { dirs(2 * i) = Double.NaN; dirs(2 * i + 1) = Double.NaN }
+      i += 1
+    }
+    // gap fills: at vertex v, a gap opens on the offset side when the
+    // turn is AWAY from it (right turn for a left buffer, and vice
+    // versa) — exactly when the convex side of the turn is the offset
+    // side, so joinPiece's own side selection already matches.
+    var prev = -1
+    i = 0
+    while (i < n - 1) {
+      if (!dirs(2 * i).isNaN) {
+        if (prev >= 0) {
+          val cross = dirs(2 * prev) * dirs(2 * i + 1) - dirs(2 * prev + 1) * dirs(2 * i)
+          val gapOnSide = if (leftSide) cross < 0 else cross > 0
+          if (gapOnSide) {
+            val v = i // vertex between segment prev and segment i
+            val g = joinPiece(sq.x(v), sq.y(v),
+              dirs(2 * prev), dirs(2 * prev + 1), dirs(2 * i), dirs(2 * i + 1), d, st)
+            if (g != null) out += g
+          }
+        }
+        prev = i
       }
       i += 1
     }

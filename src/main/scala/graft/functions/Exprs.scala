@@ -297,6 +297,34 @@ case class GeomParamOp(op: String, left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_buffer(geom, dist, params) — styled buffer with a PostGIS-shaped
+  * parameter string ('quad_segs=8 endcap=round|flat|square
+  * join=round|mitre|bevel mitre_limit=5.0 side=both|left|right');
+  * mirrors the reference's option set (geom/alg_buffer.go:24-124).
+  * side=left/right single-sides the buffer; right flips the distance
+  * sign per the reference's convention.
+  */
+case class StBufferStyled(geom: Expression, dist: Expression, params: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = geom
+  override def second: Expression = dist
+  override def third: Expression = params
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_buffer"
+  override def nullSafeEval(gv: Any, dv: Any, pv: Any): Any = {
+    val g = Wkb.read(gv.asInstanceOf[Array[Byte]])
+    val (st, side) = BufferOp.parseStyle(pv.asInstanceOf[UTF8String].toString)
+    val d0 = GeomOps.numD(dv)
+    val d = if (side > 0) math.abs(d0) else if (side < 0) -math.abs(d0) else d0
+    Wkb.write(BufferOp.buffer(g, d, st))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(geom = f, dist = s, params = t)
+}
+
 /** st_clipByBox(geom, xmin, ymin, xmax, ymax) — Sutherland–Hodgman /
   * Liang–Barsky clip, the tile-assignment kernel.
   */

@@ -111,6 +111,8 @@ object ST {
     col(GeomParamOp("st_simplify", ex(c), ex(tol)))
   def st_buffer(c: Column, d: Column): Column =
     col(GeomParamOp("st_buffer", ex(c), ex(d)))
+  def st_buffer(c: Column, d: Column, params: Column): Column =
+    col(StBufferStyled(ex(c), ex(d), ex(params)))
   def st_densify(c: Column, d: Column): Column =
     col(GeomParamOp("st_densify", ex(c), ex(d)))
   def st_snapToGrid(c: Column, dp: Column): Column =
@@ -205,30 +207,92 @@ object ST {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** st_collect: gather geometries into Multi-or-GC form (SURVEY.md
-    * section 2.12). Buffer = list of WKBs; finish sorts for
-    * partition-order determinism.
+  /** Length-prefixed WKB list packed into one byte array — lets
+    * list-buffering aggregators use the BINARY encoder (cheap,
+    * Tungsten-native) instead of Kryo object graphs.
     */
-  object CollectAgg extends Aggregator[Array[Byte], List[Array[Byte]], Array[Byte]] {
-    def zero: List[Array[Byte]] = Nil
-    def reduce(buf: List[Array[Byte]], wkb: Array[Byte]): List[Array[Byte]] =
-      if (wkb == null) buf else wkb :: buf
-    def merge(a: List[Array[Byte]], b: List[Array[Byte]]): List[Array[Byte]] = a ::: b
-    def finish(buf: List[Array[Byte]]): Array[Byte] = {
+  private[functions] object WkbPack {
+    def append(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(buf.length + 4 + wkb.length)
+      out.put(buf)
+      out.putInt(wkb.length).put(wkb)
+      out.array()
+    }
+    def concat(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](a.length + b.length)
+      System.arraycopy(a, 0, out, 0, a.length)
+      System.arraycopy(b, 0, out, a.length, b.length)
+      out
+    }
+    def unpack(buf: Array[Byte]): List[Array[Byte]] = {
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      val out = List.newBuilder[Array[Byte]]
+      while (bb.remaining() > 0) {
+        val n = bb.getInt
+        val w = new Array[Byte](n); bb.get(w)
+        out += w
+      }
+      out.result()
+    }
+    def pack(ws: Seq[Array[Byte]]): Array[Byte] =
+      ws.foldLeft(Array.emptyByteArray)(append)
+    def count(buf: Array[Byte]): Int = {
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      var n = 0
+      while (bb.remaining() > 0) { val len = bb.getInt; bb.position(bb.position() + len); n += 1 }
+      n
+    }
+    /** Unsigned-lexicographic byte compare — deterministic order
+      * without serializing to WKT (O(prefix) vs O(total coords)).
+      */
+    val byteOrdering: Ordering[Array[Byte]] = new Ordering[Array[Byte]] {
+      def compare(x: Array[Byte], y: Array[Byte]): Int = {
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
+  }
+
+  /** st_collect: gather geometries into Multi-or-GC form (SURVEY.md
+    * section 2.12). Buffer = length-prefixed WKB pack; finish sorts on
+    * raw WKB bytes for partition-order determinism and preserves the
+    * common coordinate type (Z kept iff every input has Z, same for M —
+    * reference: geom/geometry_collection.go ctype promotion).
+    */
+  object CollectAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] =
+      if (wkb == null) buf else WkbPack.append(buf, wkb)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = WkbPack.concat(a, b)
+    def finish(buf: Array[Byte]): Array[Byte] = {
       // deterministic result independent of partition order
-      val gs = buf.map(Wkb.read).sortBy(g => Wkt.write(g))
+      val ws = WkbPack.unpack(buf).sorted(WkbPack.byteOrdering)
+      val gs = ws.map(Wkb.read)
       val out: Geom =
         if (gs.isEmpty) Geom.emptyGC
-        else if (gs.forall(_.typeCode == 1))
-          GMPoint(gs.map(_.asInstanceOf[GPoint]).toArray, CT.XY)
-        else if (gs.forall(_.typeCode == 2))
-          GMLine(gs.map(_.asInstanceOf[GLine].seq).toArray, CT.XY)
-        else if (gs.forall(_.typeCode == 3))
-          GMPoly(gs.map(_.asInstanceOf[GPoly].rings).toArray, CT.XY)
-        else GColl(gs.toArray, CT.XY)
+        else {
+          val ct = gs.map(_.ct).reduce { (a, b) =>
+            (if (CT.hasZ(a) && CT.hasZ(b)) 1 else 0) |
+              (if (CT.hasM(a) && CT.hasM(b)) 2 else 0)
+          }
+          val cs = gs.map(g => Geom.forceCT(g, ct))
+          if (cs.forall(_.typeCode == 1))
+            GMPoint(cs.map(_.asInstanceOf[GPoint]).toArray, ct)
+          else if (cs.forall(_.typeCode == 2))
+            GMLine(cs.map(_.asInstanceOf[GLine].seq).toArray, ct)
+          else if (cs.forall(_.typeCode == 3))
+            GMPoly(cs.map(_.asInstanceOf[GPoly].rings).toArray, ct)
+          else GColl(cs.toArray, ct)
+        }
       Wkb.write(out)
     }
-    def bufferEncoder: Encoder[List[Array[Byte]]] = Encoders.kryo[List[Array[Byte]]]
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -265,9 +329,13 @@ object ST {
     reg1("st_cellgeom") { es => StCellGeom(es.head) }
     reg1("st_project") { es => StProject(es(0), es(1)) }
     for (op <- Seq("st_simplify", "st_densify", "st_snaptogrid", "st_geometryn",
-      "st_pointn", "st_interiorringn", "st_lineinterpolatepoint", "st_buffer",
+      "st_pointn", "st_interiorringn", "st_lineinterpolatepoint",
       "st_interpolatedpoints"))
       reg1(op) { es => GeomParamOp(op, es(0), es(1)) }
+    reg1("st_buffer") { es =>
+      if (es.length >= 3) StBufferStyled(es(0), es(1), es(2))
+      else GeomParamOp("st_buffer", es(0), es(1))
+    }
     for (op <- Seq("st_featuregeometry", "st_featureid", "st_featureproperties",
       "st_features"))
       reg1(op) { es => JsonFeatureOp(op, es.head) }
@@ -290,19 +358,36 @@ object ST {
   /** st_union_agg: geometric union fold — union is associative and
     * commutative, so per-partition partial unions merge into the final
     * result exactly (reference: geom/alg_overlay.go:274-300 UnaryUnion/
-    * UnionMany; SURVEY.md section 2.4). Buffer = running union WKB.
+    * UnionMany; SURVEY.md section 2.4).
+    *
+    * Buffer = length-prefixed pack of pending WKBs. Inputs accumulate
+    * un-unioned until the pack holds `batch` geometries, then collapse
+    * through SetOps.unionMany's cascaded (balanced-tree) union — each
+    * input participates in O(log n) overlays, vs O(n) for the round-1
+    * row-at-a-time fold that rebuilt the whole arrangement per row
+    * (reference escalation point: operation_overlayng_overlay_ng_robust
+    * .go:38-42 cascaded union). Memory stays bounded: at most `batch`
+    * raw inputs + 1 collapsed partial per buffer.
     */
   object UnionAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-    private def geom(b: Array[Byte]): Geom =
-      if (b == null || b.isEmpty) Geom.emptyGC else Wkb.read(b)
+    private val batch = 64
+    private def collapse(buf: Array[Byte]): Array[Byte] = {
+      val gs = WkbPack.unpack(buf).map(Wkb.read)
+      WkbPack.pack(Seq(Wkb.write(SetOps.unionMany(gs))))
+    }
     def zero: Array[Byte] = Array.emptyByteArray
-    def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] =
-      if (wkb == null || wkb.isEmpty) buf
-      else Wkb.write(SetOps.union(geom(buf), geom(wkb)))
-    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-      Wkb.write(SetOps.union(geom(a), geom(b)))
+    def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] = {
+      if (wkb == null || wkb.isEmpty) return buf
+      val next = WkbPack.append(buf, wkb)
+      if (WkbPack.count(next) >= batch) collapse(next) else next
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val next = WkbPack.concat(a, b)
+      if (WkbPack.count(next) >= batch) collapse(next) else next
+    }
     def finish(buf: Array[Byte]): Array[Byte] =
-      if (buf.isEmpty) Wkb.write(Geom.emptyGC) else buf
+      if (buf.isEmpty) Wkb.write(Geom.emptyGC)
+      else Wkb.write(SetOps.unionMany(WkbPack.unpack(buf).map(Wkb.read)))
     def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }

@@ -27,7 +27,7 @@ class XmlCorpusSpec extends AnyFunSuite {
   private val bRe: Regex = "(?s)<b>\\s*(.*?)\\s*</b>".r
   private val descRe: Regex = "(?s)<desc>\\s*(.*?)\\s*</desc>".r
   private val opRe: Regex = "(?s)<op\\s+([^>]*)>\\s*(.*?)\\s*</op>".r
-  private val attrRe: Regex = "(\\w+)\\s*=\\s*\"([^\"]*)\"".r
+  private val attrRe: Regex = "(\\w+)\\s*=\\s*[\"']([^\"']*)[\"']".r
 
   private def parseFile(path: String): Seq[Case] = {
     val content = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
@@ -265,6 +265,38 @@ class XmlCorpusSpec extends AnyFunSuite {
     info(s"unaryUnion: pass=$pass fail=$fail skip=$skip")
     failures.foreach(f => info(s"  FAIL $f"))
     assert(pass >= 19 && fail == 0, s"unaryUnion corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: buffer (incl. mitred joins)") {
+    // Tolerant matcher in the spirit of JTS's BufferResultMatcher: the
+    // expected WKTs are JTS's own arc discretizations, so an
+    // independent implementation compares by symmetric-difference area
+    // relative to the expected area (arc sampling differs by up to the
+    // 32-gon sagitta ~0.5% of the radius along the boundary).
+    def matches(got: Geom, exp: Geom): Boolean = {
+      if (exp.isEmpty || got.isEmpty) return exp.isEmpty == got.isEmpty
+      val ae = Measure.area(exp)
+      val ag = Measure.area(got)
+      if (ae == 0) return ag == 0
+      val sym = Measure.area(SetOps.symDifference(got, exp))
+      sym / ae <= 0.02
+    }
+    val (p1, f1, s1, fails1) = run(Seq("TestBuffer.xml"), Set("buffer")) { (op, a, _) =>
+      tryParse(op.expected).map { exp =>
+        matches(BufferOp.buffer(a, op.arg2.toDouble), exp)
+      }
+    }
+    val (p2, f2, s2, fails2) = run(Seq("TestBufferMitredJoin.xml"),
+      Set("bufferMitredJoin")) { (op, a, _) =>
+      tryParse(op.expected).map { exp =>
+        val st = BufferOp.Style(join = BufferOp.JoinMitre)
+        matches(BufferOp.buffer(a, op.arg2.toDouble, st), exp)
+      }
+    }
+    info(s"buffer: pass=${p1 + p2} fail=${f1 + f2} skip=${s1 + s2}")
+    (fails1 ++ fails2).foreach(f => info(s"  FAIL $f"))
+    assert(p1 + p2 >= 34 && f1 + f2 == 0,
+      s"buffer corpus regression: pass=${p1 + p2} fail=${f1 + f2}")
   }
 
   test("JTS corpus: isValid") {

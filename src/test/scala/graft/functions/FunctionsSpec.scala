@@ -141,3 +141,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(pt.x - 10) < 1e-9 && math.abs(pt.y - 45) < 1e-9)
   }
 }
+
+class AggregatorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("st_collect_agg preserves Z/M and sorts deterministically across partition orders") {
+    val wkts = Seq("POINT Z(3 4 5)", "POINT Z(1 2 9)", "POINT Z(7 8 1)")
+    def collect(order: Seq[String]): String = {
+      val df = order.zipWithIndex.toDF("wkt", "i").repartition(3)
+        .withColumn("g", st_geomFromWKT($"wkt"))
+      Wkt.write(Wkb.read(
+        df.agg(st_collectAgg($"g")).collect()(0).getAs[Array[Byte]](0)))
+    }
+    val a = collect(wkts)
+    val b = collect(wkts.reverse)
+    assert(a == b)
+    assert(a.startsWith("MULTIPOINT Z"), s"Z dropped: $a")
+    // mixed ct degrades to the common type (XYZ meet XYM = XY)
+    val mixed = Seq("POINT Z(1 2 3)", "POINT M(4 5 6)").toDF("wkt")
+      .withColumn("g", st_geomFromWKT($"wkt"))
+    val m = Wkt.write(Wkb.read(
+      mixed.agg(st_collectAgg($"g")).collect()(0).getAs[Array[Byte]](0)))
+    // sort key is the raw input WKB (type code included), so the M
+    // point (code 2001) precedes the Z point (code 1001) byte-wise
+    assert(m == "MULTIPOINT((4 5),(1 2))")
+  }
+
+  test("st_union_agg cascaded batching matches pairwise union across many rows and partitionings") {
+    // 150 overlapping unit squares along a line: union area is exactly
+    // n + 1 - n*overlap ... simpler: squares [i*0.5, i*0.5+1]^1 overlap
+    // by 0.5 => union is a staircase of area 1 + 0.5*(n-1)
+    val n = 150
+    val wkts = (0 until n).map { i =>
+      val x = i * 0.5
+      s"POLYGON(($x 0,${x + 1} 0,${x + 1} 1,$x 1,$x 0))"
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = wkts.toDF("wkt").repartition(parts)
+        .withColumn("g", st_geomFromWKT($"wkt"))
+      val u = Wkb.read(df.agg(st_unionAgg($"g")).collect()(0).getAs[Array[Byte]](0))
+      assert(math.abs(graft.core.Measure.area(u) - (1 + 0.5 * (n - 1))) < 1e-9)
+      assert(u.typeCode == 3, s"expected single Polygon, got ${u.typeCode}")
+    }
+  }
+}
