@@ -229,7 +229,7 @@ object SetOps {
   private def overlay(a: Geom, b: Geom, op: Int): Geom = {
     val da = a.dimension; val db = b.dimension
     (da, db) match {
-      case (2, 2) => arealOverlay(a, b, op)
+      case (2, 2) => arealOverlayRobust(a, b, op)
       case (0, _) | (_, 0) => pointOverlay(a, b, op)
       case (1, 1) => lineLineOverlay(a, b, op)
       case (1, 2) => lineArealOverlay(a, b, op, lineIsA = true)
@@ -237,6 +237,113 @@ object SetOps {
       case _ => throw new UnsupportedOperationException(
         s"overlay for dims ($da,$db) not supported")
     }
+  }
+
+  // ------------------------------------- robustness escalation ladder
+
+  /** Snap-tolerance ladder, as a multiple of the base eps factor
+    * (reference: operation_overlayng_overlay_ng_robust.go:5-34 — float
+    * noder, then snapping at escalating tolerance, then snap-rounding).
+    * Our base attempt already IS an eps-snapping noder, so the ladder
+    * is: base eps -> x5 -> x25 -> x125 -> x625 -> grid snap-rounding.
+    */
+  private val SnapLadder = Seq(1.0, 5.0, 25.0, 125.0, 625.0)
+
+  /** Cheap result invariants that a broken arrangement violates: the
+    * output area must be consistent with the inputs' areas up to the
+    * snapping budget (a face misclassification or dropped face moves
+    * area by whole-face amounts, far beyond it). Legitimate snapping
+    * at tolerance eps moves each boundary point by <= ~eps, so the
+    * area can shift by at most ~eps x total boundary length — that,
+    * not a fixed relative factor, is the honest tolerance: extreme
+    * slivers (perimeter >> sqrt(area)) legitimately lose a larger
+    * area fraction to snapping.
+    */
+  private def arealSane(a: Geom, b: Geom, op: Int, r: Geom,
+                        epsFactor: Double): Boolean = {
+    val aA = Measure.area(a); val aB = Measure.area(b)
+    val rA = Measure.area(r)
+    def scaleOf(g: Geom): Double = {
+      val e = g.envelope
+      if (e.isEmpty) 0.0
+      else math.max(math.max(math.abs(e.xmin), math.abs(e.xmax)),
+        math.max(math.abs(e.ymin), math.abs(e.ymax)))
+    }
+    def perimeter(g: Geom): Double = g match {
+      case GPoly(rs, _) => rs.iterator.map(Measure.seqLength).sum
+      case GMPoly(ps, _) => ps.iterator.map(_.iterator.map(Measure.seqLength).sum).sum
+      case GColl(cs, _) => cs.iterator.map(perimeter).sum
+      case _ => 0.0
+    }
+    val eps = epsFactor * math.max(scaleOf(a), scaleOf(b))
+    val tol = 4 * eps * (perimeter(a) + perimeter(b)) +
+      1e-9 * math.max(aA, aB) + java.lang.Double.MIN_NORMAL
+    op match {
+      case OpInt => rA <= math.min(aA, aB) + tol
+      case OpUnion => rA >= math.max(aA, aB) - tol && rA <= aA + aB + tol
+      case OpDiff => rA <= aA + tol && rA >= aA - aB - tol
+      case OpSym => rA <= aA + aB + tol && rA >= math.abs(aA - aB) - tol
+    }
+  }
+
+  /** Test hook: one rung of the ladder at a fixed eps factor, with
+    * the same pass criteria the ladder applies — lets specs exhibit
+    * inputs where the base rung demonstrably fails and the escalation
+    * recovers. Returns None when the rung throws or produces an
+    * insane/invalid result.
+    */
+  private[core] def unionSingleRung(a: Geom, b: Geom,
+                                    epsFactor: Double): Option[Geom] =
+    try {
+      val r = arealOverlay(a, b, OpUnion, epsFactor)
+      if (arealSane(a, b, OpUnion, r, epsFactor) &&
+          (r.isEmpty || r.dimension < 2 || Validate.isValid(r))) Some(r)
+      else None
+    } catch { case _: Exception => None }
+
+  /** Areal overlay with the escalation ladder: try at base tolerance
+    * (the hot path — no extra validation cost beyond an O(n) area
+    * check); on an exception or an insane result, retry with widening
+    * snap tolerance, validating escalated results; finally snap-round
+    * the INPUTS to a precision-preserving grid (~9 significant
+    * figures at the coordinate scale) and overlay the rounded inputs.
+    */
+  private def arealOverlayRobust(a: Geom, b: Geom, op: Int): Geom = {
+    var lastEx: Throwable = null
+    var i = 0
+    while (i < SnapLadder.length) {
+      try {
+        val f = Noder.BaseEpsFactor * SnapLadder(i)
+        val r = arealOverlay(a, b, op, f)
+        val ok = arealSane(a, b, op, r, f) &&
+          (i == 0 || r.isEmpty || r.dimension < 2 || Validate.isValid(r))
+        if (ok) return r
+      } catch { case e: Exception => lastEx = e }
+      i += 1
+    }
+    // final rung: snap-rounding — quantize the inputs themselves so
+    // every coordinate is exactly representable on a common grid
+    try {
+      def scaleOf(g: Geom): Double = {
+        val e = g.envelope
+        if (e.isEmpty) 0.0
+        else math.max(math.max(math.abs(e.xmin), math.abs(e.xmax)),
+          math.max(math.abs(e.ymin), math.abs(e.ymax)))
+      }
+      val scale = math.max(scaleOf(a), scaleOf(b))
+      val decimals = math.max(0, math.min(12,
+        9 - math.ceil(math.log10(math.max(scale, 1e-30))).toInt))
+      val ga = Geom.snapToGrid(a, decimals)
+      val gb = Geom.snapToGrid(b, decimals)
+      val r = arealOverlay(ga, gb, op, Noder.BaseEpsFactor)
+      // grid snapping moved points by up to the grid pitch; judge the
+      // result at the equivalent eps factor, not the base one
+      val gridEps = math.pow(10.0, -decimals) / math.max(scale, 1e-30)
+      if (arealSane(ga, gb, op, r, math.max(gridEps, Noder.BaseEpsFactor))) return r
+    } catch { case e: Exception => lastEx = e }
+    if (lastEx != null) throw lastEx
+    throw new IllegalStateException(
+      s"overlay failed area-sanity at every snap-ladder rung (op=$op)")
   }
 
   private def swapDiffOp(op: Int): Int = op // symmetry handled inside
@@ -372,8 +479,9 @@ object SetOps {
     case OpSym => inA ^ inB
   }
 
-  private def arealOverlay(a: Geom, b: Geom, op: Int): Geom = {
-    val noder = new Noder
+  private def arealOverlay(a: Geom, b: Geom, op: Int,
+                           epsFactor: Double = Noder.BaseEpsFactor): Geom = {
+    val noder = new Noder(epsFactor)
     addRingsOf(noder, a, srcA = true)
     addRingsOf(noder, b, srcA = false)
     noder.node()
@@ -499,6 +607,11 @@ object SetOps {
   }
 }
 
+object Noder {
+  /** Default snap tolerance as a fraction of the coordinate scale. */
+  final val BaseEpsFactor = 1e-12
+}
+
 /** One noded, deduplicated, undirected edge of the overlay graph. */
 final case class NodedEdge(x1: Double, y1: Double, x2: Double, y2: Double,
                            var aSrc: Boolean, var bSrc: Boolean)
@@ -508,7 +621,7 @@ final case class NodedEdge(x1: Double, y1: Double, x2: Double, y2: Double,
   * bit-identical on both), dedupes sub-segments, and records the nodes
   * where an A-segment meets a B-segment (candidate touch points).
   */
-final class Noder {
+final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
   private val segs = mutable.ArrayBuffer.empty[Array[Double]] // x1,y1,x2,y2
   private val segSrcA = mutable.ArrayBuffer.empty[Boolean]
   private val splits = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[(Double, Double)]]
@@ -582,7 +695,7 @@ final class Noder {
       var k = 0
       while (k < 4) { val v = math.abs(s(k)); if (v > maxAbs) maxAbs = v; k += 1 }
     }
-    eps = maxAbs * 1e-12
+    eps = maxAbs * epsFactor
     var w = 0
     var r = 0
     while (r < segs.length) {
