@@ -246,34 +246,121 @@ object Overlay {
   }
 }
 
-/** Structural equality with per-ordinate tolerance
-  * (reference: geom/alg_exact_equals.go:98; the IgnoreOrder option is
-  * not yet implemented).
+/** Structural equality with per-ordinate tolerance and the reference's
+  * IgnoreOrder option (reference: geom/alg_exact_equals.go:72-96 —
+  * ignores line direction, ring start-point rotation, interior-ring
+  * order, and collection element order; alg_exact_equals.go:278-306
+  * validPermutation for the element matching).
   */
 object ExactEquals {
-  def equalsWithTolerance(a: Geom, b: Geom, tol: Double): Boolean = {
+  def equalsWithTolerance(a: Geom, b: Geom, tol: Double,
+                          ignoreOrder: Boolean = false): Boolean = {
     if (a.typeCode != b.typeCode || a.ct != b.ct) return false
     def eq(x: Double, y: Double): Boolean =
       x == y || math.abs(x - y) <= tol || (x.isNaN && y.isNaN)
-    def seqEq(s1: Seqn, s2: Seqn): Boolean =
-      s1.n == s2.n && s1.ct == s2.ct &&
-        s1.floats.indices.forall(i => eq(s1.floats(i), s2.floats(i)))
+    // XY tolerance is EUCLIDEAN (reference ToleranceXY: lengthSq of the
+    // XY delta vs tol^2 — alg_exact_equals.go:54-60); Z/M per-ordinate
+    def xyEq(x1: Double, y1: Double, x2: Double, y2: Double): Boolean = {
+      if (x1 == x2 && y1 == y2) return true
+      val dx = x1 - x2; val dy = y1 - y2
+      dx * dx + dy * dy <= tol * tol
+    }
+
+    /** Curve comparison under the optional index mappings the
+      * reference uses: identity, reversal, and (for rings) rotation —
+      * alg_exact_equals.go:127-178.
+      */
+    def seqEq(s1: Seqn, s2: Seqn, allowRotation: Boolean): Boolean = {
+      if (s1.n != s2.n || s1.ct != s2.ct) return false
+      val n = s1.n
+      val stride = CT.stride(s1.ct)
+      def ptEq(i: Int, j: Int): Boolean = {
+        if (!xyEq(s1.floats(i * stride), s1.floats(i * stride + 1),
+          s2.floats(j * stride), s2.floats(j * stride + 1))) return false
+        var k = 2
+        while (k < stride) {
+          if (!eq(s1.floats(i * stride + k), s2.floats(j * stride + k))) return false
+          k += 1
+        }
+        true
+      }
+      def sameCurve(m1: Int => Int, m2: Int => Int): Boolean = {
+        var i = 0
+        while (i < n) { if (!ptEq(m1(i), m2(i))) return false; i += 1 }
+        true
+      }
+      val ident = (i: Int) => i
+      if (sameCurve(ident, ident)) return true
+      if (!ignoreOrder || n == 0) return false
+      val rev = (i: Int) => n - i - 1
+      val closed = n >= 2 &&
+        s1.x(0) == s1.x(n - 1) && s1.y(0) == s1.y(n - 1) &&
+        s2.x(0) == s2.x(n - 1) && s2.y(0) == s2.y(n - 1)
+      if (sameCurve(ident, rev)) return true
+      if (!(allowRotation && closed) || n < 2) return false
+      // ring rotation: the duplicated closing point folds into index 0
+      var o = 1
+      while (o < n) {
+        val off = (i: Int) => (i + o) % (n - 1)
+        if (sameCurve(ident, off) || sameCurve(rev, off)) return true
+        o += 1
+      }
+      false
+    }
+
+    /** Permutation matching for collection elements
+      * (alg_exact_equals.go:278-306): identity order unless
+      * ignoreOrder, then backtracking over valid assignments.
+      */
+    def structureEq(n: Int, elemEq: (Int, Int) => Boolean): Boolean = {
+      if (!ignoreOrder) return (0 until n).forall(i => elemEq(i, i))
+      val choices = scala.collection.mutable.ArrayBuffer.range(0, n)
+      def recurse(level: Int): Boolean = {
+        if (choices.isEmpty) return true
+        var i = 0
+        while (i < choices.length) {
+          val c = choices(i)
+          if (elemEq(level, c)) {
+            val lastIdx = choices.length - 1
+            choices(i) = choices(lastIdx); choices(lastIdx) = c
+            choices.remove(lastIdx)
+            if (recurse(level + 1)) return true
+            choices += c
+            val tmp = choices(i); choices(i) = choices(choices.length - 1)
+            choices(choices.length - 1) = tmp
+          }
+          i += 1
+        }
+        false
+      }
+      recurse(0)
+    }
+
+    def polyEq(r1: Array[Seqn], r2: Array[Seqn]): Boolean =
+      r1.length == r2.length && (r1.isEmpty ||
+        (seqEq(r1(0), r2(0), allowRotation = true) &&
+          structureEq(r1.length - 1, (i, j) =>
+            seqEq(r1(i + 1), r2(j + 1), allowRotation = true))))
+
     (a, b) match {
       case (p1: GPoint, p2: GPoint) =>
         p1.isEmpty == p2.isEmpty &&
-          (p1.isEmpty || p1.coords.indices.forall(i => eq(p1.coords(i), p2.coords(i))))
-      case (GLine(s1), GLine(s2)) => seqEq(s1, s2)
-      case (GPoly(r1, _), GPoly(r2, _)) =>
-        r1.length == r2.length && r1.indices.forall(i => seqEq(r1(i), r2(i)))
+          (p1.isEmpty ||
+            (xyEq(p1.coords(0), p1.coords(1), p2.coords(0), p2.coords(1)) &&
+              (2 until p1.coords.length).forall(i => eq(p1.coords(i), p2.coords(i)))))
+      case (GLine(s1), GLine(s2)) => seqEq(s1, s2, allowRotation = false)
+      case (GPoly(r1, _), GPoly(r2, _)) => polyEq(r1, r2)
       case (GMPoint(p1, _), GMPoint(p2, _)) =>
-        p1.length == p2.length && p1.indices.forall(i => equalsWithTolerance(p1(i), p2(i), tol))
+        p1.length == p2.length && structureEq(p1.length, (i, j) =>
+          equalsWithTolerance(p1(i), p2(j), tol, ignoreOrder))
       case (GMLine(l1, _), GMLine(l2, _)) =>
-        l1.length == l2.length && l1.indices.forall(i => seqEq(l1(i), l2(i)))
-      case (GMPoly(p1, ct1), GMPoly(p2, ct2)) =>
-        p1.length == p2.length && p1.indices.forall(i =>
-          equalsWithTolerance(GPoly(p1(i), ct1), GPoly(p2(i), ct2), tol))
+        l1.length == l2.length && structureEq(l1.length, (i, j) =>
+          seqEq(l1(i), l2(j), allowRotation = false))
+      case (GMPoly(p1, _), GMPoly(p2, _)) =>
+        p1.length == p2.length && structureEq(p1.length, (i, j) => polyEq(p1(i), p2(j)))
       case (GColl(g1, _), GColl(g2, _)) =>
-        g1.length == g2.length && g1.indices.forall(i => equalsWithTolerance(g1(i), g2(i), tol))
+        g1.length == g2.length && structureEq(g1.length, (i, j) =>
+          equalsWithTolerance(g1(i), g2(j), tol, ignoreOrder))
       case _ => false
     }
   }

@@ -272,11 +272,174 @@ object Relate {
   // --------------------------------------------------------- relate API
 
   def relate(a: Geom, b: Geom): String = {
+    if (dimsOf(a).size > 1 || dimsOf(b).size > 1) return relateMixedGC(a, b)
     val pa = decompose(a)
     val pb = decompose(b)
     if (pa.isEmpty || pb.isEmpty) return relateEmpty(pa, pb)
     if (pa.dim > pb.dim) return transpose(relateParts(pb, pa))
     relateParts(pa, pb)
+  }
+
+  // ------------------------------------- mixed-dimension GC (union semantics)
+
+  private def dimsOf(g: Geom): Set[Int] = {
+    val dims = mutable.Set.empty[Int]
+    def walk(x: Geom): Unit = x match {
+      case p: GPoint => if (!p.isEmpty) dims += 0
+      case GLine(s) => if (!s.isEmpty) dims += 1
+      case GPoly(rs, _) => if (rs.nonEmpty) dims += 2
+      case GMPoint(ps, _) => ps.foreach(walk)
+      case GMLine(ls, _) => if (ls.exists(!_.isEmpty)) dims += 1
+      case GMPoly(ps, _) => if (ps.exists(_.nonEmpty)) dims += 2
+      case GColl(gs, _) => gs.foreach(walk)
+    }
+    walk(g)
+    dims.toSet
+  }
+
+  /** Homogeneous per-dimension components of a (normalized) geometry:
+    * (areal, lineal, puntal), each present only if non-empty.
+    */
+  private def sideComponents(g: Geom): (Option[Geom], Option[Geom], Option[Geom]) = {
+    val pts = mutable.ArrayBuffer.empty[GPoint]
+    val lines = mutable.ArrayBuffer.empty[Seqn]
+    val polys = mutable.ArrayBuffer.empty[Array[Seqn]]
+    def walk(x: Geom): Unit = x match {
+      case p: GPoint => if (!p.isEmpty) pts += p
+      case GLine(s) => if (!s.isEmpty) lines += s
+      case GPoly(rs, _) => if (rs.nonEmpty) polys += rs
+      case GMPoint(ps, _) => ps.foreach(walk)
+      case GMLine(ls, _) => ls.filter(!_.isEmpty).foreach(lines += _)
+      case GMPoly(ps, _) => ps.filter(_.nonEmpty).foreach(polys += _)
+      case GColl(gs, _) => gs.foreach(walk)
+    }
+    walk(g)
+    val areal: Option[Geom] =
+      if (polys.isEmpty) None
+      else if (polys.length == 1) Some(GPoly(polys.head, CT.XY))
+      else Some(GMPoly(polys.toArray, CT.XY))
+    val lineal: Option[Geom] =
+      if (lines.isEmpty) None
+      else if (lines.length == 1) Some(GLine(lines.head))
+      else Some(GMLine(lines.toArray, CT.XY))
+    val puntal: Option[Geom] =
+      if (pts.isEmpty) None
+      else if (pts.length == 1) Some(pts.head)
+      else Some(GMPoint(pts.toArray, CT.XY))
+    (areal, lineal, puntal)
+  }
+
+  private def rankOf(c: Char): Int = c match {
+    case 'F' => 0; case '0' => 1; case '1' => 2; case _ => 3
+  }
+  private def cmax(x: Char, y: Char): Char = if (rankOf(x) >= rankOf(y)) x else y
+
+  /** Is point p in the closure of the (areal, lineal, puntal) side? */
+  private def inClosure(px: Double, py: Double,
+                        s: (Option[Geom], Option[Geom], Option[Geom])): Boolean =
+    s._1.exists(ar => Alg.pointInAreal(ar, px, py) >= 0) ||
+      s._2.exists(l => Intersects.intersects(GPoint.xy(px, py), l)) ||
+      s._3.exists(p => Intersects.intersects(GPoint.xy(px, py), p))
+
+  /** dim char of (point set of areal x) \ closure(side). */
+  private def uncoveredArealDim(x: Geom,
+                                s: (Option[Geom], Option[Geom], Option[Geom])): Char =
+    s._1 match {
+      case Some(ar) if covers(ar, x) => 'F'
+      case _ => '2'
+    }
+
+  /** dim char of (point set of lineal x) \ closure(side) — finite
+    * leftover points don't count (they're dimension 0 against a
+    * 1-dim feature only via explicit puntal features, handled
+    * separately).
+    */
+  private def uncoveredLinealDim(x: Geom,
+                                 s: (Option[Geom], Option[Geom], Option[Geom])): Char = {
+    var res = x
+    s._1.foreach(ar => res = SetOps.difference(res, ar))
+    if (res.isEmpty || res.dimension < 1) return 'F'
+    s._2.foreach(l => res = SetOps.difference(res, l))
+    if (res.isEmpty || res.dimension < 1) 'F' else '1'
+  }
+
+  private def uncoveredPuntalDim(x: Geom,
+                                 s: (Option[Geom], Option[Geom], Option[Geom])): Char = {
+    val anyUncovered = Geom.dump(x).exists {
+      case p: GPoint if !p.isEmpty => !inClosure(p.x, p.y, s)
+      case _ => false
+    }
+    if (anyUncovered) '0' else 'F'
+  }
+
+  /** DE-9IM for inputs where at least one side is a mixed-dimension
+    * GeometryCollection, using UNION SEMANTICS like the reference's
+    * RelateNG (internal/jtsport/jts/operation_relateng_relate_ng.go:16-20):
+    * each side is first normalized through unaryUnion into disjoint
+    * areal/lineal/puntal components (this also resolves overlapping
+    * polygons and collinear overlaps inside one collection), then
+    *  - the Interior/Boundary 2x2 block is the entrywise max over the
+    *    pairwise homogeneous matrices (interiors and boundaries of the
+    *    normalized components are pairwise disjoint), and
+    *  - the Exterior row/column are resolved by explicit coverage tests
+    *    of each component's features against the WHOLE other side
+    *    (exterior is an intersection across components, so it cannot be
+    *    combined entrywise).
+    * Known divergence (measure-zero): where a lineal component touches
+    * the areal boundary of its own collection at a non-endpoint node,
+    * the reference classifies the touch point as Interior (interior
+    * dominance); here it can additionally surface as a dim-0 Boundary
+    * intersection.
+    */
+  private def relateMixedGC(a: Geom, b: Geom): String = {
+    val na = if (dimsOf(a).size > 1) SetOps.unionMany(Seq(a)) else a
+    val nb = if (dimsOf(b).size > 1) SetOps.unionMany(Seq(b)) else b
+    if (dimsOf(na).size <= 1 && dimsOf(nb).size <= 1) return relate(na, nb)
+
+    val sa = sideComponents(na)
+    val sb = sideComponents(nb)
+    val cas = Seq(sa._1, sa._2, sa._3).flatten
+    val cbs = Seq(sb._1, sb._2, sb._3).flatten
+    val m = Array.fill(9)('F')
+    m(EE) = '2'
+
+    // Int/Bnd block: union of disjoint interiors/boundaries -> max
+    for (ca <- cas; cb <- cbs) {
+      val im = relate(ca, cb)
+      var i = 0
+      while (i < 2) {
+        var j = 0
+        while (j < 2) { m(i * 3 + j) = cmax(m(i * 3 + j), im(i * 3 + j)); j += 1 }
+        i += 1
+      }
+    }
+
+    // Exterior column: rows = U's interior/boundary features not
+    // covered by closure(B)
+    def extColumn(s: (Option[Geom], Option[Geom], Option[Geom]),
+                  other: (Option[Geom], Option[Geom], Option[Geom]),
+                  mm: Array[Char], rowI: Int, rowB: Int): Unit = {
+      s._1.foreach { ar =>
+        mm(rowI) = cmax(mm(rowI), uncoveredArealDim(ar, other))
+        mm(rowB) = cmax(mm(rowB), uncoveredLinealDim(Geom.boundary(ar), other))
+      }
+      s._2.foreach { l =>
+        mm(rowI) = cmax(mm(rowI), uncoveredLinealDim(l, other))
+        val ends = lineBoundary(l match {
+          case GLine(sq) => Array(sq)
+          case GMLine(ls, _) => ls
+          case _ => Array.empty[Seqn]
+        })
+        if (ends.exists { case (px, py) => !inClosure(px, py, other) })
+          mm(rowB) = cmax(mm(rowB), '0')
+      }
+      s._3.foreach { p =>
+        mm(rowI) = cmax(mm(rowI), uncoveredPuntalDim(p, other))
+      }
+    }
+    extColumn(sa, sb, m, IE, BE)
+    extColumn(sb, sa, m, EI, EB)
+    new String(m)
   }
 
   /** Empty-input fast path (reference: geom/alg_relate.go:33-63). */

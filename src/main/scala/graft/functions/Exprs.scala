@@ -362,7 +362,8 @@ case class StRelateMatch(left: Expression, right: Expression)
 
 /** st_exactEquals(a, b, tolerance) (reference: geom/alg_exact_equals.go:98). */
 case class StExactEquals(children: Seq[Expression]) extends Expression with CodegenFallback {
-  require(children.length == 3, "st_exactEquals(a,b,tol)")
+  require(children.length == 3 || children.length == 4,
+    "st_exactEquals(a, b, tol[, ignoreOrder])")
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def prettyName: String = "st_exactequals"
@@ -372,7 +373,8 @@ case class StExactEquals(children: Seq[Expression]) extends Expression with Code
     val a = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
     val b = Wkb.read(vs(1).asInstanceOf[Array[Byte]])
     val tol = GeomOps.numD(vs(2))
-    ExactEquals.equalsWithTolerance(a, b, tol)
+    val ignoreOrder = vs.length == 4 && vs(3).asInstanceOf[Boolean]
+    ExactEquals.equalsWithTolerance(a, b, tol, ignoreOrder)
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(children = cs)
