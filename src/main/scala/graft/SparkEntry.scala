@@ -380,6 +380,66 @@ object SparkEntry {
         .filter(col("rows") > 0)
     }),
 
+    "q57_typed_ctors" -> ((s, d) => {
+      // geometries built from coordinate-array columns (the reference's
+      // NewXxxFromCoords ctor families); all measures are exact doubles
+      val n = t(s, d, "nation")
+        .withColumn("w", ((col("n_nationkey") % 5) + 1).cast("double") * 10.0)
+        .withColumn("h", ((col("n_nationkey") % 7) + 1).cast("double") * 5.0)
+      def pt(x: Column, y: Column) = array(x, y)
+      val ring = array(pt(lit(0.0), lit(0.0)), pt(col("w"), lit(0.0)),
+        pt(col("w"), col("h")), pt(lit(0.0), col("h")), pt(lit(0.0), lit(0.0)))
+      val lShape = array(pt(lit(0.0), lit(0.0)), pt(col("w"), lit(0.0)),
+        pt(col("w"), col("h")))
+      n.select(col("n_nationkey"),
+        st_area(st_makePolygon(array(ring))).as("poly_area"),
+        st_length(st_makeLine(lShape)).as("line_len"),
+        ST.st_x(st_makePoint(col("w"), col("h"))).as("px"))
+    }),
+
+    "q58_buffer_styles" -> ((s, d) => {
+      // styled buffers whose areas are exact closed forms: an L-shaped
+      // line with integer legs and a half-integer distance d gives
+      //   flat caps + mitre joins:   2d(L1+L2)
+      //   square caps + mitre joins: 2d(L1+L2) + 4d^2
+      //   flat caps + bevel joins:   2d(L1+L2) - d^2/2
+      // (right-angle bend; every vertex coordinate and shoelace term is
+      // an exact double)
+      val o = t(s, d, "orders")
+        .withColumn("l1", (col("o_orderkey") % 16L + 4L).cast("double"))
+        .withColumn("l2", (col("o_orderkey") % 8L + 2L).cast("double"))
+        .withColumn("bd", ((col("o_orderkey") % 3L) + 1L).cast("double") / 2.0)
+        .withColumn("lwkt", concat(lit("LINESTRING(0 0,"), col("l1").cast("int"), lit(" 0,"),
+          col("l1").cast("int"), lit(" "), col("l2").cast("int"), lit(")")))
+        .withColumn("line", st_geomFromWKT(col("lwkt")))
+      o.select(col("o_orderkey"),
+        st_area(st_buffer(col("line"), col("bd"),
+          lit("endcap=flat join=mitre"))).as("flat_mitre"),
+        st_area(st_buffer(col("line"), col("bd"),
+          lit("endcap=square join=mitre"))).as("square_mitre"),
+        st_area(st_buffer(col("line"), col("bd"),
+          lit("endcap=flat join=bevel"))).as("flat_bevel"))
+    }),
+
+    "q59_exact_equals_order" -> ((s, d) => {
+      // IgnoreOrder semantics end to end: a reversed line is unequal
+      // under strict structural equality but equal when order is ignored
+      val ol = orderLines(s, d)
+      ol.select(col("o_orderkey"),
+        st_exactEquals(col("line"), st_reverse(col("line")), lit(0.0)).as("strict_eq"),
+        st_exactEquals(col("line"), st_reverse(col("line")), lit(0.0), lit(true)).as("order_eq"))
+    }),
+
+    "q60_foreign_members" -> ((s, d) => {
+      // GeoJSON Feature foreign members survive parse (keys re-sorted)
+      val o = t(s, d, "orders")
+        .withColumn("fjson", concat(
+          lit("""{"type":"Feature","source":"crawl","rank":"""), col("o_orderkey"),
+          lit(""","geometry":{"type":"Point","coordinates":[1,2]},"properties":{}}""")))
+      o.select(col("o_orderkey"),
+        expr("st_featureforeignmembers(fjson)").as("fm"))
+    }),
+
     "q17_simplify" -> ((s, d) => {
       val z = t(s, d, "orders")
         .withColumn("amp", (col("o_orderkey") % 8L + 1L).cast("int"))
@@ -811,6 +871,33 @@ object SparkEntry {
       "q56_checkpoint_resume" ->
         s"""SELECT CAST(c_custkey % 8 AS INTEGER) AS bucket,
            |       count(*) AS rows FROM customer GROUP BY 1""".stripMargin,
+
+      "q57_typed_ctors" ->
+        """SELECT n_nationkey, w * h AS poly_area, w + h AS line_len, w AS px
+          |FROM (SELECT n_nationkey,
+          |        CAST((n_nationkey % 5) + 1 AS DOUBLE) * 10.0 AS w,
+          |        CAST((n_nationkey % 7) + 1 AS DOUBLE) * 5.0 AS h
+          |      FROM nation)""".stripMargin,
+
+      "q58_buffer_styles" ->
+        """SELECT o_orderkey,
+          |  2 * bd * (l1 + l2) AS flat_mitre,
+          |  2 * bd * (l1 + l2) + 4 * bd * bd AS square_mitre,
+          |  2 * bd * (l1 + l2) - bd * bd / 2 AS flat_bevel
+          |FROM (SELECT o_orderkey,
+          |        CAST(o_orderkey % 16 + 4 AS DOUBLE) AS l1,
+          |        CAST(o_orderkey % 8 + 2 AS DOUBLE) AS l2,
+          |        CAST(o_orderkey % 3 + 1 AS DOUBLE) / 2.0 AS bd
+          |      FROM orders)""".stripMargin,
+
+      "q59_exact_equals_order" ->
+        """SELECT o_orderkey, CAST(FALSE AS BOOLEAN) AS strict_eq,
+          |       CAST(TRUE AS BOOLEAN) AS order_eq FROM orders""".stripMargin,
+
+      "q60_foreign_members" ->
+        """SELECT o_orderkey,
+          |  '{"rank":' || CAST(o_orderkey AS VARCHAR) || ',"source":"crawl"}' AS fm
+          |FROM orders""".stripMargin,
 
       "q48_union_area" ->
         s"""SELECT s_suppkey, n_nationkey,

@@ -306,10 +306,13 @@ object GeoJson {
   // -------------------------------------------- Feature(Collection)s
 
   /** One GeoJSON Feature: geometry + raw re-serialized properties JSON
-    * + optional id (reference: geom/geojson_feature_collection.go:11-29;
-    * field order of properties is not preserved, values are).
+    * + optional id + foreign members — every top-level field other
+    * than type/geometry/id/properties, kept as a re-serialized JSON
+    * object (reference: geom/geojson_feature_collection.go:11-29,76-94;
+    * field order is not preserved, values are).
     */
-  final case class Feature(geom: Geom, id: Option[String], properties: String)
+  final case class Feature(geom: Geom, id: Option[String], properties: String,
+                           foreignMembers: String = "{}")
 
   def writeJson(j: J): String = {
     val sb = new java.lang.StringBuilder
@@ -373,7 +376,11 @@ object GeoJson {
       case JNull => "{}"
       case p => writeJson(p)
     }
-    Feature(geom, id, props)
+    val foreign = obj.fields.view
+      .filterKeys(k => k != "type" && k != "geometry" && k != "id" && k != "properties")
+      .toMap
+    val fm = if (foreign.isEmpty) "{}" else writeJson(JObj(foreign))
+    Feature(geom, id, props, fm)
   }
 
   def parseFeatureCollection(json: String): Array[Feature] =
@@ -394,6 +401,19 @@ object GeoJson {
     f.id.foreach { id => sb.append(",\"id\":").append(writeJson(JStr(id))) }
     sb.append(",\"geometry\":").append(write(f.geom))
     sb.append(",\"properties\":").append(f.properties)
+    val fm = f.foreignMembers.trim
+    if (fm.nonEmpty && fm != "{}") {
+      // foreign members may not shadow the standard fields
+      // (reference: geojson_feature_collection.go:126-130)
+      parseJson(fm) match {
+        case JObj(fields) =>
+          for (forbidden <- Seq("type", "geometry", "id", "properties"))
+            if (fields.contains(forbidden))
+              throw new ParseException(s"forbidden foreign member '$forbidden'")
+          if (fields.nonEmpty) sb.append(',').append(writeJson(JObj(fields)).drop(1).dropRight(1))
+        case _ => throw new ParseException("foreign members must be a JSON object")
+      }
+    }
     sb.append('}')
     sb.toString
   }

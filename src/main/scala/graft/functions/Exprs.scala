@@ -233,6 +233,123 @@ case class StPoint(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_makePoint(x, y[, z[, m]]): 2 args = XY, 3 = XYZ, 4 = XYZM
+  * (PostGIS argument shape); st_makePointM(x, y, m) covers XYM.
+  * Spark-native analogue of the reference's NewPointXY..NewPointXYZM
+  * (reference: geom/ctor_from_coords.go:9-44).
+  */
+case class StMakePoint(op: String, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(if (op == "st_makepointm") children.length == 3
+          else children.length >= 2 && children.length <= 4,
+    "st_makepoint(x,y[,z[,m]]) / st_makepointm(x,y,m)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = op
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val ds = vs.map(GeomOps.numD).toArray
+    val ct =
+      if (op == "st_makepointm") CT.XYM
+      else ds.length match { case 2 => CT.XY; case 3 => CT.XYZ; case _ => CT.XYZM }
+    Wkb.write(GPoint(ds, ct))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** Typed constructors from coordinate-array columns — the Spark-native
+  * analogue of the reference's NewLineStringXY..NewMultiPolygonXYZM
+  * constructor families (reference: geom/ctor_from_coords.go:46-340).
+  *
+  *   st_makeline(array<array<double>>[, 'XY'|'XYZ'|'XYM'|'XYZM'])
+  *   st_makemultipoint(array<array<double>>[, ct])
+  *   st_makepolygon(array<array<array<double>>>[, ct])   (rings)
+  *   st_makemultiline(array<array<array<double>>>[, ct])
+  *   st_makemultipolygon(array<array<array<array<double>>>>[, ct])
+  *
+  * Each innermost array must carry exactly stride(ct) ordinates. Like
+  * the reference ctors, no validity check is applied (validate with
+  * st_isvalid).
+  */
+case class StMakeGeom(op: String, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 1 || children.length == 2,
+    s"$op(coords[, coordType])")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = op
+
+  private def numElem(ad: ArrayData, i: Int, et: DataType): Double = et match {
+    case DoubleType => ad.getDouble(i)
+    case FloatType => ad.getFloat(i).toDouble
+    case IntegerType => ad.getInt(i).toDouble
+    case LongType => ad.getLong(i).toDouble
+    case _ => GeomOps.numD(ad.get(i, et))
+  }
+
+  private def seqn(ad: ArrayData, et: DataType, ct: Int): Seqn = {
+    val ArrayType(leaf, _) = et: @unchecked
+    val stride = CT.stride(ct)
+    val n = ad.numElements()
+    val flat = new Array[Double](n * stride)
+    var i = 0
+    while (i < n) {
+      val pt = ad.getArray(i)
+      if (pt == null || pt.numElements() != stride)
+        throw new IllegalArgumentException(
+          s"$op: coordinate $i has ${if (pt == null) 0 else pt.numElements()} " +
+            s"ordinates, expected $stride for ${CT.name(ct)}")
+      var k = 0
+      while (k < stride) { flat(i * stride + k) = numElem(pt, k, leaf); k += 1 }
+      i += 1
+    }
+    new Seqn(flat, ct)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val av = children(0).eval(input)
+    if (av == null) return null
+    val ct = if (children.length < 2) CT.XY else children(1).eval(input) match {
+      case null => CT.XY
+      case u => u.toString.toUpperCase match {
+        case "XY" => CT.XY; case "XYZ" => CT.XYZ
+        case "XYM" => CT.XYM; case "XYZM" => CT.XYZM
+        case other => throw new IllegalArgumentException(s"bad coord type '$other'")
+      }
+    }
+    val ad = av.asInstanceOf[ArrayData]
+    val ArrayType(inner, _) = children(0).dataType: @unchecked
+    val g: Geom = op match {
+      case "st_makeline" => GLine(seqn(ad, inner, ct))
+      case "st_makemultipoint" =>
+        val s = seqn(ad, inner, ct)
+        val stride = CT.stride(ct)
+        GMPoint(Array.tabulate(s.n) { i =>
+          GPoint(Array.tabulate(stride)(k => s.floats(i * stride + k)), ct)
+        }, ct)
+      case "st_makepolygon" =>
+        val ArrayType(ring, _) = inner: @unchecked
+        GPoly(Array.tabulate(ad.numElements())(i => seqn(ad.getArray(i), ring, ct)), ct)
+      case "st_makemultiline" =>
+        val ArrayType(line, _) = inner: @unchecked
+        GMLine(Array.tabulate(ad.numElements())(i => seqn(ad.getArray(i), line, ct)), ct)
+      case "st_makemultipolygon" =>
+        val ArrayType(poly, _) = inner: @unchecked
+        val ArrayType(ring, _) = poly: @unchecked
+        GMPoly(Array.tabulate(ad.numElements()) { i =>
+          val pad = ad.getArray(i)
+          Array.tabulate(pad.numElements())(j => seqn(pad.getArray(j), ring, ct))
+        }, ct)
+      case other => throw new IllegalArgumentException(s"unknown ctor $other")
+    }
+    Wkb.write(g)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** Axis box polygon constructor (like PostGIS ST_MakeEnvelope). */
 case class StMakeEnvelope(children: Seq[Expression]) extends Expression with CodegenFallback {
   require(children.length == 4, "st_makeEnvelope(xmin,ymin,xmax,ymax)")
@@ -595,6 +712,8 @@ case class JsonFeatureOp(op: String, child: Expression)
         GeoJson.parseFeature(json).id.map(UTF8String.fromString).orNull
       case "st_featureproperties" =>
         UTF8String.fromString(GeoJson.parseFeature(json).properties)
+      case "st_featureforeignmembers" =>
+        UTF8String.fromString(GeoJson.parseFeature(json).foreignMembers)
       case "st_features" =>
         new GenericArrayData(GeoJson.parseFeatureCollection(json)
           .map(f => UTF8String.fromString(GeoJson.writeFeature(f)): Any))
@@ -605,10 +724,13 @@ case class JsonFeatureOp(op: String, child: Expression)
     copy(child = c)
 }
 
-/** st_asGeoJSONFeature(geom, propertiesJson, id) -> Feature JSON. */
+/** st_asGeoJSONFeature(geom, propertiesJson, id[, foreignMembersJson])
+  * -> Feature JSON.
+  */
 case class StAsGeoJsonFeature(children: Seq[Expression])
     extends Expression with CodegenFallback {
-  require(children.length == 3, "st_asgeojsonfeature(geom, props, id)")
+  require(children.length == 3 || children.length == 4,
+    "st_asgeojsonfeature(geom, props, id[, foreignMembers])")
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "st_asgeojsonfeature"
@@ -623,8 +745,12 @@ case class StAsGeoJsonFeature(children: Seq[Expression])
       case null => None
       case u: UTF8String => Some(u.toString)
     }
+    val fm = if (children.length < 4) "{}" else children(3).eval(input) match {
+      case null => "{}"
+      case u: UTF8String => u.toString
+    }
     UTF8String.fromString(GeoJson.writeFeature(
-      GeoJson.Feature(Wkb.read(gv.asInstanceOf[Array[Byte]]), id, props)))
+      GeoJson.Feature(Wkb.read(gv.asInstanceOf[Array[Byte]]), id, props, fm)))
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(children = cs)

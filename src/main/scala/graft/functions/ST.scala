@@ -38,6 +38,20 @@ object ST {
 
   // ------------------------------------------------------ constructors
   def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
+  def st_makePoint(ords: Column*): Column =
+    col(StMakePoint("st_makepoint", ords.map(ex)))
+  def st_makePointM(x: Column, y: Column, m: Column): Column =
+    col(StMakePoint("st_makepointm", Seq(ex(x), ex(y), ex(m))))
+  def st_makeLine(coords: Column, ct: Column = lit("XY")): Column =
+    col(StMakeGeom("st_makeline", Seq(ex(coords), ex(ct))))
+  def st_makeMultiPoint(coords: Column, ct: Column = lit("XY")): Column =
+    col(StMakeGeom("st_makemultipoint", Seq(ex(coords), ex(ct))))
+  def st_makePolygon(rings: Column, ct: Column = lit("XY")): Column =
+    col(StMakeGeom("st_makepolygon", Seq(ex(rings), ex(ct))))
+  def st_makeMultiLine(lines: Column, ct: Column = lit("XY")): Column =
+    col(StMakeGeom("st_makemultiline", Seq(ex(lines), ex(ct))))
+  def st_makeMultiPolygon(polys: Column, ct: Column = lit("XY")): Column =
+    col(StMakeGeom("st_makemultipolygon", Seq(ex(polys), ex(ct))))
   def st_makeEnvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     col(StMakeEnvelope(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
 
@@ -103,6 +117,8 @@ object ST {
   def st_union(l: Column, r: Column): Column = b("st_union")(l, r)
   def st_difference(l: Column, r: Column): Column = b("st_difference")(l, r)
   def st_symDifference(l: Column, r: Column): Column = b("st_symdifference")(l, r)
+  def st_exactEquals(l: Column, r: Column, tol: Column, ignoreOrder: Column): Column =
+    col(StExactEquals(Seq(ex(l), ex(r), ex(tol), ex(ignoreOrder))))
   def st_exactEquals(l: Column, r: Column, tol: Column): Column =
     col(StExactEquals(Seq(ex(l), ex(r), ex(tol))))
 
@@ -314,6 +330,11 @@ object ST {
     reg1("st_geomfromgeojson") { es => StGeomFromGeoJson(es.head, strict = true) }
     reg1("st_point") { es => StPoint(es(0), es(1)) }
     reg1("st_makeenvelope") { es => StMakeEnvelope(es) }
+    reg1("st_makepoint") { es => StMakePoint("st_makepoint", es) }
+    reg1("st_makepointm") { es => StMakePoint("st_makepointm", es) }
+    for (op <- Seq("st_makeline", "st_makemultipoint", "st_makepolygon",
+      "st_makemultiline", "st_makemultipolygon"))
+      reg1(op) { es => StMakeGeom(op, es) }
     reg1("st_clipbybox") { es => StClipByBox(es) }
     reg1("st_relatematch") { es => StRelateMatch(es(0), es(1)) }
     reg1("st_exactequals") { es => StExactEquals(es) }
@@ -337,7 +358,7 @@ object ST {
       else GeomParamOp("st_buffer", es(0), es(1))
     }
     for (op <- Seq("st_featuregeometry", "st_featureid", "st_featureproperties",
-      "st_features"))
+      "st_featureforeignmembers", "st_features"))
       reg1(op) { es => JsonFeatureOp(op, es.head) }
     reg1("st_asgeojsonfeature") { es => StAsGeoJsonFeature(es) }
 

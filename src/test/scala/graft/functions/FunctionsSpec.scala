@@ -186,3 +186,72 @@ class AggregatorSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Typed constructors from coordinate arrays + GeoJSON foreign members
+  * (reference: geom/ctor_from_coords.go:9-340,
+  * geom/geojson_feature_collection.go:76-139).
+  */
+class CtorAndFeatureSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.Row
+
+  private def wktOf(df: org.apache.spark.sql.DataFrame): String =
+    Wkt.write(Wkb.read(df.collect()(0).getAs[Array[Byte]](0)))
+
+  test("st_makePoint XY/XYZ/XYZM and st_makePointM") {
+    val df = Seq(1).toDF("i")
+    assert(wktOf(df.select(st_makePoint(lit(1.0), lit(2.0)))) == "POINT(1 2)")
+    assert(wktOf(df.select(st_makePoint(lit(1.0), lit(2.0), lit(3.0)))) == "POINT Z (1 2 3)")
+    assert(wktOf(df.select(st_makePoint(lit(1), lit(2), lit(3), lit(4)))) == "POINT ZM (1 2 3 4)")
+    assert(wktOf(df.select(st_makePointM(lit(1.0), lit(2.0), lit(9.0)))) == "POINT M (1 2 9)")
+  }
+
+  test("st_makeLine / st_makeMultiPoint from array columns, XY and XYZ") {
+    val df = Seq(1).toDF("i")
+    val xy = array(array(lit(0.0), lit(0.0)), array(lit(3.0), lit(4.0)))
+    assert(wktOf(df.select(st_makeLine(xy))) == "LINESTRING(0 0,3 4)")
+    val xyz = array(array(lit(0.0), lit(0.0), lit(5.0)), array(lit(3.0), lit(4.0), lit(6.0)))
+    assert(wktOf(df.select(st_makeLine(xyz, lit("XYZ")))) == "LINESTRING Z (0 0 5,3 4 6)")
+    assert(wktOf(df.select(st_makeMultiPoint(xy))) == "MULTIPOINT((0 0),(3 4))")
+    // SQL registry path + measurement on the constructed geometry
+    ST.registerAll(spark)
+    val len = spark.sql(
+      "SELECT st_length(st_makeline(array(array(0.0d,0.0d),array(3.0d,4.0d))))").collect()(0).getDouble(0)
+    assert(len == 5.0)
+  }
+
+  test("st_makePolygon with hole from nested arrays") {
+    val df = Seq(1).toDF("i")
+    def ring(pts: (Double, Double)*) =
+      array(pts.map(p => array(lit(p._1), lit(p._2))): _*)
+    val rings = array(
+      ring((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+      ring((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)))
+    val out = df.select(st_area(st_makePolygon(rings)).as("a")).collect()(0).getDouble(0)
+    assert(out == 96.0)
+    // ordinate-count mismatch is an error, not silent truncation
+    intercept[Exception] {
+      df.select(st_makeLine(array(array(lit(1.0))))).collect()
+    }
+  }
+
+  test("GeoJSON feature foreign members round-trip") {
+    val fjson = """{"type":"Feature","id":"x1","bbox":[0,0,2,2],"custom":{"k":1},
+      "geometry":{"type":"Point","coordinates":[1,2]},"properties":{"p":7}}"""
+    val f = graft.core.GeoJson.parseFeature(fjson)
+    assert(f.id.contains("x1"))
+    assert(f.foreignMembers.contains("\"bbox\"") && f.foreignMembers.contains("\"custom\""))
+    val written = graft.core.GeoJson.writeFeature(f)
+    val f2 = graft.core.GeoJson.parseFeature(written)
+    assert(f2.foreignMembers == f.foreignMembers && f2.properties == f.properties)
+    // forbidden foreign member rejected at write time
+    intercept[Exception] {
+      graft.core.GeoJson.writeFeature(f.copy(foreignMembers = """{"geometry":1}"""))
+    }
+    // expression surface
+    val got = Seq(fjson).toDF("j")
+      .select(expr("st_featureforeignmembers(j)")).collect()(0).getString(0)
+    assert(got.contains("\"custom\":{\"k\":1}"))
+  }
+}
