@@ -1,0 +1,61 @@
+package graft
+
+import scala.sys.process._
+
+/** One forked benchmark "executor": a JVM whose thread pools (GC,
+  * netty, codegen) are sized for exactly `cores` cpus via
+  * -XX:ActiveProcessorCount, with heap proportional to cores — the
+  * shape a real Spark executor has. Runs the flagship job on both
+  * layouts (untimed warm-up first, the fork starts with a cold JIT)
+  * and prints one `SAMPLE <layout> <secs>` line per timed run.
+  */
+object BenchChild {
+
+  /** Fork a child at `cores`, return (randomSecs, clusteredSecs). */
+  def fork(cores: Int, innerReps: Int, pathR: String,
+           pathC: String): (Seq[Double], Seq[Double]) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // pass through module opens + -D props from this JVM; drop heap
+    // and processor-count flags (the child sets its own)
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        (a.startsWith("-D") && !a.startsWith("-Dspark.ui")))
+    val heapG = math.max(4, (cores * 1.5).toInt)
+    val cmd = Seq(javaBin, "-cp", cp, s"-Xmx${heapG}g", s"-Xms${heapG}g",
+      s"-XX:ActiveProcessorCount=$cores", "-Dspark.ui.enabled=false") ++
+      inherited ++
+      Seq("graft.BenchChild", cores.toString, innerReps.toString, pathR, pathC)
+    val out = new StringBuilder
+    val code = Process(cmd).!(ProcessLogger(
+      line => { out.append(line).append('\n'); () },
+      line => System.err.println(s"[child-$cores] $line")))
+    require(code == 0, s"bench child (cores=$cores) exited $code")
+    val samples = out.toString.linesIterator
+      .filter(_.startsWith("SAMPLE "))
+      .map(_.split(" "))
+      .map(a => (a(1), a(2).toDouble)).toSeq
+    (samples.collect { case ("random", s) => s },
+      samples.collect { case ("clustered", s) => s })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val innerReps = args(1).toInt
+    val pathR = args(2)
+    val pathC = args(3)
+    val spark = Bench.session(cores)
+    // cold JIT in this fork: one untimed warm-up per layout
+    Bench.flagship(spark, pathC)
+    Bench.flagship(spark, pathR)
+    for (_ <- 1 to innerReps) {
+      for ((layout, path) <- Seq("random" -> pathR, "clustered" -> pathC)) {
+        val t0 = System.nanoTime()
+        Bench.flagship(spark, path)
+        println(f"SAMPLE $layout ${(System.nanoTime() - t0) / 1e9}%.3f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -41,6 +41,9 @@ object ScalingProbe {
 
     def scanOnly(): Long =
       spark.read.parquet(path).select(sum(col("lon") + col("lat"))).count()
+    def scan3(): Long =
+      spark.read.parquet(path)
+        .select(sum(col("lon") + col("lat") + col("page_id"))).count()
     def joinJob(): Long = {
       val pages = spark.read.parquet(path).select(col("page_id"), col("lon"), col("lat"))
       val regions = Pages.regions(spark).withColumn("geom", st_geomFromWKT(col("wkt")))
@@ -56,6 +59,7 @@ object ScalingProbe {
     time("warmup-join")(joinJob()); time("warmup-tile")(tileJob())
     for (i <- 1 to 3) {
       time(s"scan-$i")(scanOnly())
+      time(s"scan3-$i")(scan3())
       time(s"join-$i")(joinJob())
       time(s"tile-$i")(tileJob())
     }

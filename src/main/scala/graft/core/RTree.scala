@@ -62,6 +62,42 @@ final class RTree private (
     }
   }
 
+  /** Point query without the Env wrapper — the per-row hot path of the
+    * fused PIP-count aggregate calls this 10^12 times at scale, so it
+    * must not allocate.
+    */
+  def pointSearch(x: Double, y: Double)(cb: Int => Boolean): Boolean = {
+    if (isEmpty) return true
+    searchPt(root, x, y, cb)
+  }
+
+  private def searchPt(n: Int, x: Double, y: Double, cb: Int => Boolean): Boolean = {
+    if (!(boxes(n * 4) <= x && x <= boxes(n * 4 + 2) &&
+          boxes(n * 4 + 1) <= y && y <= boxes(n * 4 + 3))) return true
+    val fc = firstChild(n)
+    if (fc < 0) {
+      val start = -fc - 1
+      var i = 0
+      while (i < childCount(n)) {
+        val rid = recIds(start + i)
+        val b = (start + i) * 4
+        if (leafBoxes(b) <= x && x <= leafBoxes(b + 2) &&
+            leafBoxes(b + 1) <= y && y <= leafBoxes(b + 3)) {
+          if (!cb(rid)) return false
+        }
+        i += 1
+      }
+      true
+    } else {
+      var i = 0
+      while (i < childCount(n)) {
+        if (!searchPt(fc + i, x, y, cb)) return false
+        i += 1
+      }
+      true
+    }
+  }
+
   private def boxBoxDist(b: Int, e: Env, arr: Array[Double]): Double = {
     val dx = math.max(0.0, math.max(arr(b) - e.xmax, e.xmin - arr(b + 2)))
     val dy = math.max(0.0, math.max(arr(b + 1) - e.ymax, e.ymin - arr(b + 3)))

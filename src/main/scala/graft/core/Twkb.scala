@@ -62,14 +62,34 @@ object Twkb {
     * headers.
     */
   def write(g: Geom, precXY: Int, withBBox: Boolean = false,
-            withSize: Boolean = false): Array[Byte] = {
+            withSize: Boolean = false, ids: Array[Long] = null): Array[Byte] = {
     require(precXY >= -8 && precXY <= 7, "twkb precision must be in [-8, 7]")
     val scale = math.pow(10, precXY)
     val g2 = Geom.force2D(g)
+    if (ids != null) {
+      require(g2.typeCode >= 4 && g2.typeCode <= 7,
+        "TWKB ID lists require a Multi/Collection type (twkb spec)")
+      val nItems = g2 match {
+        case GMPoint(ps, _) => ps.count(!_.isEmpty)
+        case GMLine(ls, _) => ls.length
+        case GMPoly(ps, _) => ps.length
+        case GColl(gs, _) => gs.length
+        case _ => 0
+      }
+      require(ids.length == nItems, s"ids.length=${ids.length} != items=$nItems")
+    }
 
     val body = new ArrayBuffer[Byte]()
     var lastX = 0L; var lastY = 0L
     def q(v: Double): Long = math.round(v * scale)
+    // the optional ID list sits between the top-level item count and
+    // the items (twkb spec; reference twkb_parser.go:43-54) — consumed
+    // exactly once by the outermost multi/collection count
+    var pendingIds: Array[Long] = ids
+    def writeIdsIfPending(): Unit = if (pendingIds != null) {
+      pendingIds.foreach(writeSigned(body, _))
+      pendingIds = null
+    }
 
     def writeSeqPts(s: Seqn, dropClosing: Boolean): Unit = {
       val n = if (dropClosing && s.n > 1 &&
@@ -96,18 +116,22 @@ object Twkb {
       case GMPoint(pts, _) =>
         val full = pts.filter(!_.isEmpty)
         writeUnsigned(body, full.length.toLong)
+        writeIdsIfPending()
         full.foreach(writeBody)
       case GMLine(ls, _) =>
         writeUnsigned(body, ls.length.toLong)
+        writeIdsIfPending()
         ls.foreach(writeSeqPts(_, dropClosing = false))
       case GMPoly(ps, _) =>
         writeUnsigned(body, ps.length.toLong)
+        writeIdsIfPending()
         ps.foreach { rs =>
           writeUnsigned(body, rs.length.toLong)
           rs.foreach(writeSeqPts(_, dropClosing = true))
         }
       case GColl(gs, _) =>
         writeUnsigned(body, gs.length.toLong)
+        writeIdsIfPending()
         gs.foreach { child =>
           val sub = write(child, precXY, withBBox = false, withSize = false)
           body ++= sub
@@ -122,6 +146,7 @@ object Twkb {
     var meta = 0
     if (withBBox && !isEmpty) meta |= 0x01
     if (withSize) meta |= 0x02
+    if (ids != null) meta |= 0x04
     if (isEmpty) meta |= 0x10
     out += meta.toByte
 
@@ -260,5 +285,55 @@ object Twkb {
     val x0 = r.signed(); val dx = r.signed()
     val y0 = r.signed(); val dy = r.signed()
     Some(Env(x0 / scale, y0 / scale, (x0 + dx) / scale, (y0 + dy) / scale))
+  }
+
+  /** Shared header walk for the partial readers: consumes type, meta,
+    * ext, size, bbox; returns (hasIds, hasSize, totalSizeFromStart).
+    */
+  private def skipHeaders(r: Reader): (Boolean, Boolean, Long) = {
+    r.byte() // type + precision
+    val metaHdr = r.byte()
+    var zCount = 0
+    if ((metaHdr & 0x08) != 0) {
+      val ext = r.byte()
+      zCount = (if ((ext & 0x01) != 0) 1 else 0) + (if ((ext & 0x02) != 0) 1 else 0)
+    }
+    var total = -1L
+    if ((metaHdr & 0x02) != 0) {
+      val rest = r.unsigned()
+      total = r.pos + rest // size counts the bytes AFTER the size varint
+    }
+    if ((metaHdr & 0x01) != 0) {
+      var d = 0
+      while (d < 2 + zCount) { r.signed(); r.signed(); d += 1 }
+    }
+    ((metaHdr & 0x04) != 0, (metaHdr & 0x02) != 0, total)
+  }
+
+  /** Parse just the optional ID list without decoding coordinates
+    * (reference: geom/twkb_parser.go:30-55 UnmarshalTWKBIDList). The
+    * list sits between the top-level item count and the items; None if
+    * the TWKB carries no ID list.
+    */
+  def readIdList(bytes: Array[Byte]): Option[Array[Long]] = {
+    val r = new Reader(bytes)
+    val (hasIds, _, _) = skipHeaders(r)
+    if (!hasIds) return None
+    val n = r.unsigned().toInt
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = r.signed(); i += 1 }
+    Some(out)
+  }
+
+  /** Parse just the size header: total TWKB byte length from its
+    * start, for scanning concatenated TWKBs or distributing full
+    * parses (reference: geom/twkb_parser.go:76-91 UnmarshalTWKBSize).
+    * None if the TWKB carries no size header.
+    */
+  def readSize(bytes: Array[Byte]): Option[Long] = {
+    val r = new Reader(bytes)
+    val (_, hasSize, total) = skipHeaders(r)
+    if (hasSize) Some(total) else None
   }
 }

@@ -688,6 +688,34 @@ case class StTwkbEnvelope(child: Expression) extends UnaryExpression with Codege
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** st_twkbIdList: the TWKB's optional ID list without a full decode
+  * (reference: geom/twkb_parser.go:30-55); null when absent.
+  */
+case class StTwkbIdList(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_twkbidlist"
+  override def nullSafeEval(v: Any): Any =
+    Twkb.readIdList(v.asInstanceOf[Array[Byte]])
+      .map(ids => new GenericArrayData(ids.map(x => x: Any))).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_twkbSize: total TWKB byte length from the optional size header
+  * — scan concatenated TWKBs without decoding (reference:
+  * geom/twkb_parser.go:76-91); null when absent.
+  */
+case class StTwkbSize(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_twkbsize"
+  override def nullSafeEval(v: Any): Any =
+    Twkb.readSize(v.asInstanceOf[Array[Byte]]).map(x => x: java.lang.Long).orNull
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** GeoJSON Feature accessors over JSON strings (reference:
   * geom/geojson_feature_collection.go round-trip): feature geometry as
   * WKB, id / properties as strings, and a FeatureCollection exploder

@@ -96,7 +96,7 @@ case class StPipCountAgg(
     val v = visitor
     v.geoms = geoms; v.buffer = buffer; v.lon = lon; v.lat = lat
     v.interiorOnly = interiorOnly
-    tree.rangeSearch(Env(lon, lat, lon, lat))(v)
+    tree.pointSearch(lon, lat)(v)
     buffer
   }
 

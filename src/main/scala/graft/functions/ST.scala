@@ -35,6 +35,8 @@ object ST {
   def st_asTWKB(c: Column, prec: Column): Column = col(StAsTwkb(ex(c), ex(prec)))
   def st_geomFromTWKB(c: Column): Column = col(StGeomFromTwkb(ex(c)))
   def st_twkbEnvelope(c: Column): Column = col(StTwkbEnvelope(ex(c)))
+  def st_twkbIdList(c: Column): Column = col(StTwkbIdList(ex(c)))
+  def st_twkbSize(c: Column): Column = col(StTwkbSize(ex(c)))
 
   // ------------------------------------------------------ constructors
   def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
@@ -341,6 +343,8 @@ object ST {
     reg1("st_astwkb") { es => StAsTwkb(es(0), es(1)) }
     reg1("st_geomfromtwkb") { es => StGeomFromTwkb(es.head) }
     reg1("st_twkbenvelope") { es => StTwkbEnvelope(es.head) }
+    reg1("st_twkbidlist") { es => StTwkbIdList(es.head) }
+    reg1("st_twkbsize") { es => StTwkbSize(es.head) }
     reg1("st_cellof") { es => StCellOf(es) }
     reg1("st_cellofequirect") { es => StCellOfEquirect(es) }
     reg1("st_cellix") { es => StCellIx(es.head) }

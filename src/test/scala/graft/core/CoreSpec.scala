@@ -440,6 +440,35 @@ class TwkbSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Wkt.write(Twkb.read(sb)) == "LINESTRING(0 0,10 10)")
   }
 
+  test("twkb id-list and size headers (write + partial read)") {
+    val mp = g("MULTIPOINT(1 1,2 2,3 3)")
+    val ids = Array(100L, -7L, 4200000000L)
+    val b = Twkb.write(mp, 0, withBBox = true, withSize = true, ids = ids)
+    // partial readers see the headers without decoding coordinates
+    assert(Twkb.readIdList(b).map(_.toSeq) == Some(ids.toSeq))
+    assert(Twkb.readSize(b) == Some(b.length.toLong))
+    assert(Twkb.readEnvelope(b) == Some(Env(1, 1, 3, 3)))
+    // the full decode still round-trips (ids skipped in geometry)
+    assert(Wkt.write(Twkb.read(b)) == "MULTIPOINT((1 1),(2 2),(3 3))")
+    // absent headers -> None
+    val plain = Twkb.write(mp, 0)
+    assert(Twkb.readIdList(plain).isEmpty && Twkb.readSize(plain).isEmpty)
+    // size supports scanning a concatenation of TWKBs
+    val b2 = Twkb.write(g("POINT(9 9)"), 0, withSize = true)
+    val cat = b ++ b2
+    val n1 = Twkb.readSize(cat).get.toInt
+    assert(n1 == b.length)
+    assert(Wkt.write(Twkb.read(cat.drop(n1))) == "POINT(9 9)")
+    // multiline + collection carriers too
+    val ml = g("MULTILINESTRING((0 0,1 1),(2 2,3 3))")
+    val mb = Twkb.write(ml, 0, ids = Array(5L, 6L))
+    assert(Twkb.readIdList(mb).map(_.toSeq) == Some(Seq(5L, 6L)))
+    assert(Wkt.write(Twkb.read(mb)) == "MULTILINESTRING((0 0,1 1),(2 2,3 3))")
+    intercept[IllegalArgumentException] {
+      Twkb.write(g("POINT(1 1)"), 0, ids = Array(1L))
+    }
+  }
+
   test("twkb is much smaller than wkb for polygons") {
     val poly = g("POLYGON((0 0,40 0,40 40,0 40,0 0),(10 10,20 10,20 20,10 20,10 10))")
     val wkb = Wkb.write(poly)
