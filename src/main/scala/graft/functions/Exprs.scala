@@ -556,6 +556,33 @@ case class StCellCover(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_refCell(geomA, geomB, level): the cell (at `level`) containing
+  * the REFERENCE POINT of the pair — the min corner of the envelope
+  * intersection. The standard duplicate-elimination device for
+  * cell-partitioned spatial joins: a candidate pair sharing k cover
+  * cells is reported only in the one cell that contains its reference
+  * point, so no post-join Distinct is needed (semantics-preserving
+  * for multiset inputs). Null when the envelopes don't intersect.
+  */
+case class StRefCell(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 3, "st_refcell(a, b, level)")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_refcell"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val ea = Wkb.read(vs(0).asInstanceOf[Array[Byte]]).envelope
+    val eb = Wkb.read(vs(1).asInstanceOf[Array[Byte]]).envelope
+    if (!ea.intersects(eb)) return null
+    Cell.cellOf(math.max(ea.xmin, eb.xmin), math.max(ea.ymin, eb.ymin),
+      GeomOps.numI(vs(2)))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_cellRing(cell, k) -> Array[Long] neighbors for kNN expansion. */
 case class StCellRing(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+import graft.functions.ST._
+
+/** The Join(st_intersects) -> cell equi-join logical rewrite must be
+  * result-identical to the nested-loop plan (including multiset
+  * semantics — no Distinct involved) while eliminating the
+  * BroadcastNestedLoopJoin.
+  */
+class CellJoinRuleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def polys(seed: Int, n: Int, name: String) = {
+    val rows = (0 until n).map { i =>
+      val x = ((i * 37 + seed * 11) % 60).toDouble - 30
+      val y = ((i * 53 + seed * 7) % 40).toDouble - 20
+      val w = (i % 9 + 2).toDouble
+      (i.toLong + seed * 1000, s"POLYGON(($x $y,${x + w} $y,${x + w} ${y + w},$x ${y + w},$x $y))")
+    }
+    rows.toDF(s"${name}_id", s"${name}_wkt")
+      .withColumn(s"${name}_g", st_geomFromWKT(col(s"${name}_wkt")))
+      .select(s"${name}_id", s"${name}_g")
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("rewrite is result-identical to the nested-loop join and removes BNLJ") {
+    val a = polys(1, 60, "a")
+    val b = polys(2, 60, "b")
+    def joined = a.join(b, st_intersects(col("a_g"), col("b_g")))
+
+    // baseline: rule off
+    spark.conf.unset("spark.graft.celljoin.level")
+    val expected = pairsOf(joined).sorted
+    assert(expected.nonEmpty, "test data must produce matches")
+    val baselinePlan = joined.queryExecution.executedPlan.toString()
+    assert(baselinePlan.contains("BroadcastNestedLoopJoin") ||
+      baselinePlan.contains("CartesianProduct"))
+
+    // rule on
+    val rule = new CellJoinRule(spark)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ rule
+    try {
+      spark.conf.set("spark.graft.celljoin.level", "6")
+      val got = pairsOf(joined)
+      assert(got.sorted == expected, s"pair mismatch: got ${got.size} vs ${expected.size}")
+      assert(got.distinct.size == got.size, "reference-point dedup must leave no duplicates")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rewrite did not remove the nested loop:\n$plan")
+      assert(plan.contains("st_cellcover"), s"expected cell cover in plan:\n$plan")
+
+      // multiset semantics: duplicate input rows stay duplicated
+      val a2 = a.unionAll(a.limit(5))
+      val gotDup = a2.join(b, st_intersects(col("a_g"), col("b_g"))).count()
+      spark.conf.unset("spark.graft.celljoin.level")
+      val expDup = a2.join(b, st_intersects(col("a_g"), col("b_g"))).count()
+      assert(gotDup == expDup, s"multiset mismatch: $gotDup vs $expDup")
+    } finally {
+      spark.experimental.extraOptimizations = before
+      spark.conf.unset("spark.graft.celljoin.level")
+    }
+  }
+
+  test("rule leaves non-spatial and non-inner joins untouched") {
+    val rule = new CellJoinRule(spark)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ rule
+    try {
+      spark.conf.set("spark.graft.celljoin.level", "6")
+      val a = polys(1, 10, "a")
+      val b = polys(2, 10, "b")
+      // equi-join: unchanged
+      val eq = a.join(b, col("a_id") === col("b_id") - 1000)
+      assert(eq.count() == 10)
+      // left outer with spatial condition: not rewritten (Inner only)
+      val lo = a.join(b, st_intersects(col("a_g"), col("b_g")), "left_outer")
+      assert(lo.queryExecution.executedPlan.toString().contains("BroadcastNestedLoopJoin"))
+    } finally {
+      spark.experimental.extraOptimizations = before
+      spark.conf.unset("spark.graft.celljoin.level")
+    }
+  }
+}
