@@ -440,6 +440,34 @@ object SparkEntry {
         expr("st_featureforeignmembers(fjson)").as("fm"))
     }),
 
+    "q61_single_sided_buffer" -> ((s, d) => {
+      // single-sided buffer of a horizontal segment: exactly d x w on
+      // the chosen side (flat ends forced, reference sign convention)
+      val o = t(s, d, "orders")
+        .withColumn("ax", (col("o_orderkey") % 1024L).cast("double"))
+        .withColumn("w", (col("o_orderkey") % 8L + 1L).cast("double"))
+        .withColumn("bd", ((col("o_orderkey") % 3L) + 1L).cast("double") / 2.0)
+        .withColumn("line", st_geomFromWKT(concat(lit("LINESTRING("),
+          col("ax").cast("long"), lit(" 0,"),
+          (col("ax") + col("w")).cast("long"), lit(" 0)"))))
+      o.select(col("o_orderkey"),
+        st_area(st_buffer(col("line"), col("bd"), lit("side=left"))).as("left_area"),
+        st_area(st_buffer(col("line"), col("bd"), lit("side=right"))).as("right_area"))
+    }),
+
+    "q62_gc_relate" -> ((s, d) => {
+      // mixed-dimension GC relate (union semantics) end to end: point
+      // probes against GC(polygon, dangling line); the oracle
+      // classifies the probe arithmetically
+      val gcWkt = "GEOMETRYCOLLECTION(POLYGON((0 0,10 0,10 10,0 10,0 0))," +
+        "LINESTRING(10 5,15 5))"
+      val o = t(s, d, "orders")
+        .withColumn("px", (col("o_orderkey") % 20L).cast("double"))
+        .withColumn("py", (col("o_orderkey") * 3L % 12L).cast("double"))
+      o.select(col("o_orderkey"),
+        st_relate(st_geomFromWKT(lit(gcWkt)), st_point(col("px"), col("py"))).as("im"))
+    }),
+
     "q17_simplify" -> ((s, d) => {
       val z = t(s, d, "orders")
         .withColumn("amp", (col("o_orderkey") % 8L + 1L).cast("int"))
@@ -888,6 +916,28 @@ object SparkEntry {
           |        CAST(o_orderkey % 16 + 4 AS DOUBLE) AS l1,
           |        CAST(o_orderkey % 8 + 2 AS DOUBLE) AS l2,
           |        CAST(o_orderkey % 3 + 1 AS DOUBLE) / 2.0 AS bd
+          |      FROM orders)""".stripMargin,
+
+      "q61_single_sided_buffer" ->
+        """SELECT o_orderkey, bd * w AS left_area, bd * w AS right_area
+          |FROM (SELECT o_orderkey,
+          |        CAST(o_orderkey % 8 + 1 AS DOUBLE) AS w,
+          |        CAST(o_orderkey % 3 + 1 AS DOUBLE) / 2.0 AS bd
+          |      FROM orders)""".stripMargin,
+
+      "q62_gc_relate" ->
+        """SELECT o_orderkey,
+          |  CASE
+          |    WHEN (px = 0 OR px = 10) AND py BETWEEN 0 AND 10 THEN 'FF20F1FF2'
+          |    WHEN (py = 0 OR py = 10) AND px BETWEEN 0 AND 10 THEN 'FF20F1FF2'
+          |    WHEN px BETWEEN 1 AND 9 AND py BETWEEN 1 AND 9 THEN '0F2FF1FF2'
+          |    WHEN py = 5 AND px BETWEEN 11 AND 14 THEN '0F2FF1FF2'
+          |    WHEN py = 5 AND px = 15 THEN 'FF20F1FF2'
+          |    ELSE 'FF2FF10F2'
+          |  END AS im
+          |FROM (SELECT o_orderkey,
+          |        CAST(o_orderkey % 20 AS INTEGER) AS px,
+          |        CAST(o_orderkey * 3 % 12 AS INTEGER) AS py
           |      FROM orders)""".stripMargin,
 
       "q59_exact_equals_order" ->
