@@ -382,14 +382,39 @@ object Simplicity {
       Some(full.distinct.length == full.length)
     case GLine(s) => Some(lineIsSimple(s))
     case GMLine(ls, _) => Some(mlsIsSimple(ls.filter(!_.isEmpty)))
-    case _: GPoly | _: GMPoly => Some(true)
-    case _: GColl => None
+    // polygonal: simple iff every ring is simple as a closed curve
+    // (JTS IsSimpleOp semantics; invalid bowties/degenerate rings are
+    // not simple even though valid polygons always are)
+    case GPoly(rs, _) => Some(rs.forall(lineIsSimple))
+    case GMPoly(ps, _) => Some(ps.forall(_.forall(lineIsSimple)))
+    // GC: simple iff every element is simple (JTS IsSimpleOp applies
+    // element-wise; inter-element interactions are not considered)
+    case GColl(gs, _) =>
+      val subs = gs.map(isSimple)
+      if (subs.contains(None)) None else Some(subs.forall(_.contains(true)))
+  }
+
+  /** Collapse consecutive duplicate points — repeated points don't
+    * affect simplicity (JTS ignores them).
+    */
+  private def dedupConsecutive(s: Seqn): Seqn = {
+    val out = new scala.collection.mutable.ArrayBuffer[Double](2 * s.n)
+    var i = 0
+    while (i < s.n) {
+      if (i == 0 || s.x(i) != s.x(i - 1) || s.y(i) != s.y(i - 1)) {
+        out += s.x(i); out += s.y(i)
+      }
+      i += 1
+    }
+    Seqn.xy(out.toArray)
   }
 
   /** A LineString is simple iff no self intersections besides adjacent
     * segment endpoints, allowing the closing point of a closed line.
+    * Consecutive repeated points are collapsed first.
     */
-  def lineIsSimple(s: Seqn): Boolean = {
+  def lineIsSimple(s0: Seqn): Boolean = {
+    val s = dedupConsecutive(s0)
     val n = s.n - 1 // segments
     if (n <= 0) return true
     val closed = s.x(0) == s.x(s.n - 1) && s.y(0) == s.y(s.n - 1)
@@ -443,11 +468,36 @@ object Simplicity {
               sb.x(j), sb.y(j), sb.x(j + 1), sb.y(j + 1))) {
               if (Alg.segmentsCross(sa.x(i), sa.y(i), sa.x(i + 1), sa.y(i + 1),
                 sb.x(j), sb.y(j), sb.x(j + 1), sb.y(j + 1))) return false
-              // any touch point must be a boundary endpoint of BOTH lines
-              val ends = Seq(
-                (sa.x(0), sa.y(0)), (sa.x(sa.n - 1), sa.y(sa.n - 1)))
-              val endsB = Seq(
-                (sb.x(0), sb.y(0)), (sb.x(sb.n - 1), sb.y(sb.n - 1)))
+              // collinear overlap in more than a point -> non-simple
+              val colinear =
+                Alg.orient(sa.x(i), sa.y(i), sa.x(i + 1), sa.y(i + 1), sb.x(j), sb.y(j)) == 0 &&
+                Alg.orient(sa.x(i), sa.y(i), sa.x(i + 1), sa.y(i + 1), sb.x(j + 1), sb.y(j + 1)) == 0
+              if (colinear) {
+                var inside = 0
+                for ((px, py) <- Seq((sb.x(j), sb.y(j)), (sb.x(j + 1), sb.y(j + 1)),
+                  (sa.x(i), sa.y(i)), (sa.x(i + 1), sa.y(i + 1))))
+                  if (Alg.onSegment(sa.x(i), sa.y(i), sa.x(i + 1), sa.y(i + 1), px, py) &&
+                      Alg.onSegment(sb.x(j), sb.y(j), sb.x(j + 1), sb.y(j + 1), px, py))
+                    inside += 1
+                // two shared endpoints of the overlap region that are
+                // distinct points = a positive-length shared piece
+                val shared = Seq((sb.x(j), sb.y(j)), (sb.x(j + 1), sb.y(j + 1)),
+                  (sa.x(i), sa.y(i)), (sa.x(i + 1), sa.y(i + 1))).distinct.filter {
+                  case (px, py) =>
+                    Alg.onSegment(sa.x(i), sa.y(i), sa.x(i + 1), sa.y(i + 1), px, py) &&
+                      Alg.onSegment(sb.x(j), sb.y(j), sb.x(j + 1), sb.y(j + 1), px, py)
+                }
+                if (shared.length >= 2) return false
+              }
+              // any touch point must be a boundary endpoint of BOTH
+              // lines; a CLOSED line has no boundary at all (mod-2),
+              // so any touch with it is non-simple
+              val aClosed = sa.x(0) == sa.x(sa.n - 1) && sa.y(0) == sa.y(sa.n - 1)
+              val bClosed = sb.x(0) == sb.x(sb.n - 1) && sb.y(0) == sb.y(sb.n - 1)
+              val ends = if (aClosed) Seq.empty
+                else Seq((sa.x(0), sa.y(0)), (sa.x(sa.n - 1), sa.y(sa.n - 1)))
+              val endsB = if (bClosed) Seq.empty
+                else Seq((sb.x(0), sb.y(0)), (sb.x(sb.n - 1), sb.y(sb.n - 1)))
               val touches = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
               for ((px, py) <- Seq((sb.x(j), sb.y(j)), (sb.x(j + 1), sb.y(j + 1))))
                 if (Alg.onSegment(sa.x(i), sa.y(i), sa.x(i + 1), sa.y(i + 1), px, py))

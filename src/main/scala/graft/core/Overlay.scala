@@ -374,26 +374,28 @@ object ExactEquals {
 object PointOnSurface {
   def compute(g: Geom): Geom = {
     if (g.isEmpty) return GPoint.empty
-    if (g.dimension == 2) arealPOS(g).map { case (x, y) => GPoint.xy(x, y) }
-      .getOrElse(GPoint.empty)
-    else {
-      val c = Measure.centroid(g).getOrElse(return GPoint.empty)
-      var best: (Double, Double) = null
-      var bestD = Double.PositiveInfinity
-      val candidates = g.dimension match {
-        case 0 => Algos.collectXYs(g)
-        case _ =>
-          // linear: midpoints of segments and vertices are candidates;
-          // the reference uses a nearest-to-centroid accumulator over
-          // vertices (alg_point_on_surface.go:8-37)
-          Algos.collectXYs(g)
+    if (g.dimension == 2) {
+      arealPOS(g) match {
+        case Some((x, y)) => return GPoint.xy(x, y)
+        case None => () // zero-area areal (degenerate/empty polygons):
+                        // fall through to the vertex-based lower-dim path
       }
-      for ((x, y) <- candidates) {
-        val d = Alg.distPointPoint(x, y, c._1, c._2)
-        if (d < bestD) { bestD = d; best = (x, y) }
-      }
-      if (best == null) GPoint.empty else GPoint.xy(best._1, best._2)
     }
+    // lineal/puntal (and degenerate-areal fallback): vertex nearest the
+    // centroid; the reference uses a nearest-to-centroid accumulator
+    // over vertices (alg_point_on_surface.go:8-37)
+    val candidates = Algos.collectXYs(g)
+    if (candidates.isEmpty) return GPoint.empty
+    val c = Measure.centroid(g)
+      .filter(p => !p._1.isNaN && !p._2.isNaN)
+      .getOrElse(candidates.head)
+    var best: (Double, Double) = null
+    var bestD = Double.PositiveInfinity
+    for ((x, y) <- candidates) {
+      val d = Alg.distPointPoint(x, y, c._1, c._2)
+      if (d < bestD) { bestD = d; best = (x, y) }
+    }
+    GPoint.xy(best._1, best._2)
   }
 
   private def arealPOS(g: Geom): Option[(Double, Double)] = {

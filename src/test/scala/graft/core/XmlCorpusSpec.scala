@@ -299,6 +299,87 @@ class XmlCorpusSpec extends AnyFunSuite {
       s"buffer corpus regression: pass=${p1 + p2} fail=${f1 + f2}")
   }
 
+  test("JTS corpus: equalsExact") {
+    val (pass, fail, skip, failures) = run(Seq("TestEqualsExact.xml"),
+      Set("equalsExact")) { (op, a, b) =>
+      Some(ExactEquals.equalsWithTolerance(a, b, 0.0) == boolExpected(op))
+    }
+    info(s"equalsExact: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 15 && fail == 0, s"equalsExact corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: isSimple") {
+    val (pass, fail, skip, failures) = run(Seq("TestSimple.xml"), Set("isSimple")) {
+      (op, a, _) => Simplicity.isSimple(a).map(_ == boolExpected(op))
+    }
+    info(s"isSimple: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 42 && fail == 0, s"isSimple corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: interior point (PointOnSurface contract)") {
+    // The reference does NOT port JTS InteriorPoint (its own runner
+    // skips this file); its PointOnSurface is a different algorithm
+    // that may pick a different — equally valid — point. So the gate
+    // here is the CONTRACT (the result is a point ON the geometry;
+    // empty iff the input is empty), with exact-JTS agreement reported
+    // as info.
+    var exactMatches = 0
+    val (pass, fail, skip, failures) = run(Seq("TestInteriorPoint.xml"),
+      Set("getInteriorPoint")) { (op, a, _) =>
+      tryParse(op.expected).map { ep =>
+        val got = PointOnSurface.compute(a)
+        ep match {
+          case p: GPoint if !p.isEmpty => got match {
+            case gp: GPoint if !gp.isEmpty =>
+              if (math.abs(gp.x - p.x) <= 1e-9 && math.abs(gp.y - p.y) <= 1e-9)
+                exactMatches += 1
+              Intersects.intersects(gp, a)
+            case _ => false
+          }
+          case _ => got.isEmpty == ep.isEmpty
+        }
+      }
+    }
+    info(s"interiorPoint: pass=$pass fail=$fail skip=$skip (exact-JTS: $exactMatches)")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 20 && fail == 0, s"interiorPoint corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: GC overlay (NG union semantics)") {
+    val opNames = Set("intersectionNG", "unionNG", "differenceNG", "symdifferenceNG")
+    val (pass, fail, skip, failures) = run(Seq("TestNGOverlayGC.xml"), opNames) {
+      (op, a, b) =>
+        tryParse(op.expected).map { exp =>
+          val got = op.name match {
+            case "intersectionNG" => SetOps.intersection(a, b)
+            case "unionNG" => SetOps.union(a, b)
+            case "differenceNG" => SetOps.difference(a, b)
+            case _ => SetOps.symDifference(a, b)
+          }
+          if (exp.isEmpty || got.isEmpty) exp.isEmpty == got.isEmpty
+          else topoEqMixed(got, exp)
+        }
+    }
+    info(s"gcOverlay: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 4 && fail == 0, s"GC overlay corpus regression: pass=$pass fail=$fail")
+  }
+
+  test("JTS corpus: prepared predicates with GeometryCollections") {
+    val preds = Map[String, (Geom, Geom) => Boolean](
+      "intersects" -> Relate.intersects, "contains" -> Relate.contains,
+      "covers" -> Relate.covers)
+    val (pass, fail, skip, failures) = run(
+      Seq("TestPreparedPredicatesWithGeometryCollection.xml"), preds.keySet) {
+      (op, a, b) => Some(preds(op.name)(a, b) == boolExpected(op))
+    }
+    info(s"gcPredicates: pass=$pass fail=$fail skip=$skip")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 11 && fail == 0, s"GC predicate corpus regression: pass=$pass fail=$fail")
+  }
+
   test("JTS corpus: isValid") {
     val files = Seq("TestValid.xml", "TestValid2.xml")
     val (pass, fail, skip, failures) = run(files, Set("isValid")) { (op, a, _) =>
