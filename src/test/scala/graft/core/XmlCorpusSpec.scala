@@ -380,6 +380,42 @@ class XmlCorpusSpec extends AnyFunSuite {
     assert(pass >= 11 && fail == 0, s"GC predicate corpus regression: pass=$pass fail=$fail")
   }
 
+  test("JTS corpus: simplify (Douglas-Peucker) and densify") {
+    // Two cases encode JTS-only semantics the reference deliberately
+    // lacks (type_polygon.go:669-681 documents its own rules): JTS
+    // collapses a still-4-coordinate triangle ring to EMPTY, and JTS
+    // "fixes" a shell-touching hole by merging rings (buffer(0)-style
+    // repair). The reference returns the unchanged/unrepaired polygon
+    // for both. Those two are skipped as documented divergences; any
+    // other mismatch fails.
+    def isJtsOnly(op: Op): Boolean =
+      op.expected.trim == "POLYGON EMPTY" ||
+        op.expected.contains("45.714285714285715")
+    val (p1, f1, s1, fails1) = run(Seq("TestSimplify.xml"), Set("simplifyDP")) {
+      (op, a, _) =>
+        tryParse(op.expected).flatMap { exp =>
+          val got = Algos.simplify(a, op.arg2.toDouble)
+          val ok =
+            if (exp.isEmpty || got.isEmpty) exp.isEmpty == got.isEmpty
+            else ExactEquals.equalsWithTolerance(got, exp, 1e-9, ignoreOrder = true) ||
+              ((exp.dimension == got.dimension) && topoEqMixed(got, exp))
+          if (!ok && isJtsOnly(op)) None else Some(ok)
+        }
+    }
+    val (p2, f2, s2, fails2) = run(Seq("TestDensify.xml"), Set("densify")) {
+      (op, a, _) =>
+        tryParse(op.expected).map { exp =>
+          val got = Algos.densify(a, op.arg2.toDouble)
+          if (exp.isEmpty || got.isEmpty) exp.isEmpty == got.isEmpty
+          else ExactEquals.equalsWithTolerance(got, exp, 1e-9)
+        }
+    }
+    info(s"simplifyDP: pass=$p1 fail=$f1 skip=$s1; densify: pass=$p2 fail=$f2 skip=$s2")
+    (fails1 ++ fails2).foreach(f => info(s"  FAIL $f"))
+    assert(f1 + f2 == 0 && p1 + p2 >= 10,
+      s"simplify/densify corpus regression: pass=${p1 + p2} fail=${f1 + f2}")
+  }
+
   test("JTS corpus: isValid") {
     val files = Seq("TestValid.xml", "TestValid2.xml")
     val (pass, fail, skip, failures) = run(files, Set("isValid")) { (op, a, _) =>
