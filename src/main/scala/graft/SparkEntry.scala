@@ -468,6 +468,25 @@ object SparkEntry {
         st_relate(st_geomFromWKT(lit(gcWkt)), st_point(col("px"), col("py"))).as("im"))
     }),
 
+    "q63_rule_cell_join" -> ((s, d) => {
+      // the CellJoinRule logical rewrite end to end: a bare
+      // st_intersects inner join (which Spark would otherwise plan as
+      // BroadcastNestedLoopJoin) driven through the optimizer rule at
+      // level 6; results must equal the oracle's interval algebra
+      import graft.plans.CellJoinRule
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[CellJoinRule]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new CellJoinRule(s)
+      // conf stays set until execution (the rule reads it at optimize
+      // time); q63 sorts last among the queries, so it never bleeds
+      // into another query in the same session
+      s.conf.set("spark.graft.celljoin.level", "6")
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val sb = supplierBoxes(s, d).select(col("s_suppkey"), col("sbox"))
+      sb.join(n, st_intersects(col("sbox"), col("box")))
+        .select(col("s_suppkey"), col("n_nationkey"))
+    }),
+
     "q17_simplify" -> ((s, d) => {
       val z = t(s, d, "orders")
         .withColumn("amp", (col("o_orderkey") % 8L + 1L).cast("int"))
@@ -939,6 +958,11 @@ object SparkEntry {
           |        CAST(o_orderkey % 20 AS INTEGER) AS px,
           |        CAST(o_orderkey * 3 % 12 AS INTEGER) AS py
           |      FROM orders)""".stripMargin,
+
+      "q63_rule_cell_join" ->
+        s"""SELECT s_suppkey, n_nationkey FROM supplier, nation
+           |WHERE $sx0 <= $nx0 + 72.0 AND $nx0 <= $sx0 + $sw
+           |  AND $sy0 <= $ny0 + 34.0 AND $ny0 <= $sy0 + $sh""".stripMargin,
 
       "q59_exact_equals_order" ->
         """SELECT o_orderkey, CAST(FALSE AS BOOLEAN) AS strict_eq,
