@@ -13,7 +13,7 @@ object BenchChild {
 
   /** Fork a child at `cores`, return (randomSecs, clusteredSecs). */
   def fork(cores: Int, innerReps: Int, pathR: String,
-           pathC: String): (Seq[Double], Seq[Double]) = {
+           pathC: String, pathWarm: String): (Seq[Double], Seq[Double]) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     // pass through module opens + -D props from this JVM; drop heap
@@ -26,7 +26,7 @@ object BenchChild {
     val cmd = Seq(javaBin, "-cp", cp, s"-Xmx${heapG}g", s"-Xms${heapG}g",
       s"-XX:ActiveProcessorCount=$cores", "-Dspark.ui.enabled=false") ++
       inherited ++
-      Seq("graft.BenchChild", cores.toString, innerReps.toString, pathR, pathC)
+      Seq("graft.BenchChild", cores.toString, innerReps.toString, pathR, pathC, pathWarm)
     val out = new StringBuilder
     val code = Process(cmd).!(ProcessLogger(
       line => { out.append(line).append('\n'); () },
@@ -45,10 +45,16 @@ object BenchChild {
     val innerReps = args(1).toInt
     val pathR = args(2)
     val pathC = args(3)
+    val pathWarm = args(4)
     val spark = Bench.session(cores)
-    // cold JIT in this fork: one untimed warm-up per layout
-    Bench.flagship(spark, pathC)
-    Bench.flagship(spark, pathR)
+    // cold JIT in this fork: untimed warm-up on the SMALL (2M-row)
+    // table. The flagship's plan/codegen is identical regardless of
+    // layout or size, and the per-row kernels see millions of
+    // iterations, so C2 compiles everything hot — at a fraction of the
+    // wall cost of round 2's two full-size untimed passes (which is
+    // what blew the driver's bench budget).
+    Bench.flagship(spark, pathWarm)
+    Bench.flagship(spark, pathWarm)
     for (_ <- 1 to innerReps) {
       for ((layout, path) <- Seq("random" -> pathR, "clustered" -> pathC)) {
         val t0 = System.nanoTime()

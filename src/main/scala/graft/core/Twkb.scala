@@ -320,6 +320,11 @@ object Twkb {
     val (hasIds, _, _) = skipHeaders(r)
     if (!hasIds) return None
     val n = r.unsigned().toInt
+    // hostile-input guard (same class as Wkb.readCoords): each id varint
+    // is at least 1 byte, so a count beyond the remaining bytes — or a
+    // negative one from a truncated-to-int varint — cannot be honest
+    if (n < 0 || n > bytes.length - r.pos)
+      throw new ParseException(s"TWKB id list count $n exceeds remaining bytes")
     val out = new Array[Long](n)
     var i = 0
     while (i < n) { out(i) = r.signed(); i += 1 }

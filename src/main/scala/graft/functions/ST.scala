@@ -230,36 +230,67 @@ object ST {
     * Tungsten-native) instead of Kryo object graphs.
     */
   private[functions] object WkbPack {
+    // Layout: [usedBytes:int][count:int][len:int][wkb]...[len:int][wkb]
+    // with slack capacity after `used` — append grows the backing array
+    // by doubling and mutates in place when capacity allows (legal:
+    // Aggregator.reduce returns the buffer), so a group of m geometries
+    // costs O(total bytes) amortized, not the O(m^2) a full copy per
+    // row costs. Slack survives Encoders.BINARY serialization (spill)
+    // harmlessly: readers honor `used`, and merge emits exact-size.
+    private def readInt(b: Array[Byte], p: Int): Int =
+      ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
+        ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+    private def writeInt(b: Array[Byte], p: Int, v: Int): Unit = {
+      b(p) = (v >>> 24).toByte; b(p + 1) = (v >>> 16).toByte
+      b(p + 2) = (v >>> 8).toByte; b(p + 3) = v.toByte
+    }
+    private def used(buf: Array[Byte]): Int = if (buf.length == 0) 0 else readInt(buf, 0)
     def append(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(buf.length + 4 + wkb.length)
-      out.put(buf)
-      out.putInt(wkb.length).put(wkb)
-      out.array()
+      val u = used(buf)
+      val c = count(buf)
+      val need = 8 + u + 4 + wkb.length
+      val out =
+        if (buf.length >= need) buf
+        else {
+          val cap = math.max(need, math.max(64, buf.length * 2))
+          val n = new Array[Byte](cap)
+          if (buf.length > 0) System.arraycopy(buf, 0, n, 0, 8 + u)
+          n
+        }
+      writeInt(out, 8 + u, wkb.length)
+      System.arraycopy(wkb, 0, out, 12 + u, wkb.length)
+      writeInt(out, 0, u + 4 + wkb.length)
+      writeInt(out, 4, c + 1)
+      out
     }
     def concat(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](a.length + b.length)
-      System.arraycopy(a, 0, out, 0, a.length)
-      System.arraycopy(b, 0, out, a.length, b.length)
+      if (a.length == 0) return b
+      if (b.length == 0) return a
+      val ua = used(a); val ub = used(b)
+      val out = new Array[Byte](8 + ua + ub)
+      writeInt(out, 0, ua + ub)
+      writeInt(out, 4, count(a) + count(b))
+      System.arraycopy(a, 8, out, 8, ua)
+      System.arraycopy(b, 8, out, 8 + ua, ub)
       out
     }
     def unpack(buf: Array[Byte]): List[Array[Byte]] = {
-      val bb = java.nio.ByteBuffer.wrap(buf)
       val out = List.newBuilder[Array[Byte]]
-      while (bb.remaining() > 0) {
-        val n = bb.getInt
-        val w = new Array[Byte](n); bb.get(w)
+      if (buf.length == 0) return out.result()
+      val end = 8 + used(buf)
+      var p = 8
+      while (p < end) {
+        val n = readInt(buf, p)
+        val w = new Array[Byte](n)
+        System.arraycopy(buf, p + 4, w, 0, n)
         out += w
+        p += 4 + n
       }
       out.result()
     }
     def pack(ws: Seq[Array[Byte]]): Array[Byte] =
       ws.foldLeft(Array.emptyByteArray)(append)
-    def count(buf: Array[Byte]): Int = {
-      val bb = java.nio.ByteBuffer.wrap(buf)
-      var n = 0
-      while (bb.remaining() > 0) { val len = bb.getInt; bb.position(bb.position() + len); n += 1 }
-      n
-    }
+    def count(buf: Array[Byte]): Int = if (buf.length == 0) 0 else readInt(buf, 4)
     /** Unsigned-lexicographic byte compare — deterministic order
       * without serializing to WKT (O(prefix) vs O(total coords)).
       */

@@ -101,6 +101,7 @@ case class VecBandKeys(child: Expression, planes: Int, bands: Int,
     extends UnaryExpression with CodegenFallback {
   require(planes % bands == 0, "planes must divide into bands")
   require(planes / bands <= 48, "band bits must fit under the band tag")
+  require(planes <= 4096, "planes capped at 4096")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   @transient private lazy val isFloat =
@@ -128,23 +129,32 @@ case class VecBandKeys(child: Expression, planes: Int, bands: Int,
     val x = new Array[Double](dim)
     var i = 0
     while (i < dim) { x(i) = VecOps.elem(v, i, isFloat); i += 1 }
-    var sig = 0L
+    // multi-word signature: planes > 64 (the documented web-scale
+    // config is planes=128+/bands=4) must not alias mod 64
+    val sig = new Array[Long]((planes + 63) >>> 6)
     var p = 0
     while (p < planes) {
       var dot = 0.0
       val base = p * dim
       var d = 0
       while (d < dim) { dot += x(d) * wts(base + d); d += 1 }
-      if (dot >= 0) sig |= (1L << p)
+      if (dot >= 0) sig(p >>> 6) |= (1L << (p & 63))
       p += 1
+    }
+    // extract `rows` bits (rows <= 48 < 64) starting at plane index lo,
+    // possibly spanning a word boundary
+    def bitsAt(lo: Int): Long = {
+      val w = lo >>> 6; val off = lo & 63
+      var bits = sig(w) >>> off
+      if (off + rows > 64 && w + 1 < sig.length) bits |= sig(w + 1) << (64 - off)
+      bits & ((1L << rows) - 1)
     }
     val nOut = if (probeBits >= 1) bands * (1 + rows) else bands
     val out = new Array[Long](nOut)
-    val mask = (1L << rows) - 1
     var b = 0
     var o = 0
     while (b < bands) {
-      val bits = (sig >>> (b * rows)) & mask
+      val bits = bitsAt(b * rows)
       val tag = b.toLong << 48
       out(o) = tag | bits; o += 1
       if (probeBits >= 1) {

@@ -340,7 +340,10 @@ object SpatialJoins {
         if (fullCover) cand.select(col(qKey).as("__sk")).distinct()
         else cand.groupBy(col(qKey).as("__sk"))
           .agg(count(lit(1)).as("__n"), max(col("__d2")).as("__kd2"))
-          .filter(col("__n") >= k && col("__kd2") <= lit(bound2))
+          // STRICT <: a target just outside the Chebyshev-r block can
+          // sit at exactly r*cellMin; ties at the bound must force
+          // another ring so the (__d2, tKey) tie-break stays complete
+          .filter(col("__n") >= k && col("__kd2") < lit(bound2))
           .select("__sk")
       val resolvedRows = cand
         .join(resolvedKeys, cand(qKey) === col("__sk"), "left_semi")
