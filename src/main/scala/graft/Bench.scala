@@ -147,8 +147,17 @@ object Bench {
       val nWarm = math.min(nPages, 2000000L)
       val pathW = Pages.ensureBenchParquet(sPrep, nWarm,
         s"/tmp/graft_bench/pages_warm_$nWarm", clustered = false)
+      // pull both tables through the OS page cache ONCE (full-parallel,
+      // untimed): otherwise the first full-size sample of the first
+      // child pays cold-disk reads (observed 200 s vs 20 s warm), which
+      // contaminates the min at whichever level runs first and with it
+      // the efficiency ratio
+      // (count() alone would use the rowgroup-metadata fast path and
+      // read no data pages — aggregate the actual flagship columns)
+      sPrep.read.parquet(pathC).agg(sum("page_id"), sum("lon"), sum("lat")).collect()
+      sPrep.read.parquet(pathR).agg(sum("page_id"), sum("lon"), sum("lat")).collect()
       sPrep.stop()
-      System.err.println(f"[bench] prep done at ${elapsed()}%.0f s")
+      System.err.println(f"[bench] prep + cache warm done at ${elapsed()}%.0f s")
 
       // INTERLEAVED A/B sampling: the host's noise bursts last minutes,
       // so measuring all hi reps then all lo reps samples different

@@ -746,7 +746,190 @@ object SparkEntry {
       t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
         count(lit(1)).as("cnt"),
         min(col("l_quantity")).as("qmin"),
-        max(col("l_extendedprice")).as("pmax")))
+        max(col("l_extendedprice")).as("pmax"))),
+
+    // --- round-3 oracle rows for the formerly spec-only operators ----
+
+    "q64_twkb_roundtrip" -> ((s, d) => {
+      // TWKB codec end to end: exact round-trip at precision 0 on
+      // integer triangles, size-header consistency, per-item ID list,
+      // and Z survival at precision 1 (reference: geom/twkb_write.go,
+      // twkb_parser.go:30-91)
+      val p = partTris(s, d)
+        .withColumn("zval", (col("p_partkey") % 32L).cast("double") / 2.0)
+        .withColumn("sized", expr("st_astwkbopts(tri, 0, true, false)"))
+        .withColumn("mp", expr(
+          "st_makemultipoint(array(array(cast(ax as double), cast(ay as double))," +
+            "array(cast(bx as double), cast(ay as double))," +
+            "array(cast(ax as double), cast(cyy as double))))"))
+        .withColumn("idb", expr(
+          "st_astwkbopts(mp, 0, false, false, array(p_partkey, p_partkey + 1, p_partkey + 2))"))
+      p.select(col("p_partkey"),
+        expr("st_exactequals(st_geomfromtwkb(st_astwkb(tri, 0)), tri, 0.0)").as("rt_ok"),
+        (expr("st_twkbsize(sized)") === expr("octet_length(sized)")).as("size_ok"),
+        expr("size(st_twkbidlist(idb))").cast("long").as("idn"),
+        expr("element_at(st_twkbidlist(idb), 1)").as("id0"),
+        expr("st_z(st_geomfromtwkb(st_astwkb(st_makepoint(cast(ax as double), cast(ay as double), zval), 1)))").as("z_rt"))
+    }),
+
+    "q65_orientation" -> ((s, d) => {
+      // forceCW/forceCCW + isCW/isCCW with coordinate evidence: the
+      // constructed triangle ring is CCW; forcing CW reverses it, so
+      // the boundary's second vertex moves from (bx, ay) to (ax, ay+v)
+      val p = partTris(s, d)
+        .withColumn("fcw", expr("st_forcepolygoncw(tri)"))
+      p.select(col("p_partkey"),
+        expr("st_ispolygonccw(tri)").as("ccw0"),
+        expr("st_ispolygoncw(fcw)").as("cw1"),
+        expr("st_x(st_pointn(st_boundary(fcw), 1))").as("p2x"),
+        expr("st_y(st_pointn(st_boundary(fcw), 1))").as("p2y"))
+    }),
+
+    "q66_reverse_flip_snap" -> ((s, d) => {
+      // reverse / flipCoordinates via start-point evidence; snapToGrid
+      // on odd-128th inputs (never half-way at 1 decimal, so JVM rint
+      // and DuckDB round agree exactly)
+      val o = orderLines(s, d)
+        .withColumn("px", ((col("o_orderkey") % 1024L) * 2 + 1).cast("double") / 128.0)
+      o.select(col("o_orderkey"),
+        expr("st_x(st_startpoint(st_reverse(line)))").as("rev_x"),
+        expr("st_y(st_startpoint(st_flipcoordinates(line)))").as("flip_y"),
+        expr("st_x(st_snaptogrid(st_point(px, 0.0), 1))").as("snap_x"))
+    }),
+
+    "q67_force_dims" -> ((s, d) => {
+      // ForceCoordinatesType family: added dims populate with 0; Z
+      // survives force4d (reference: geom/type_geometry.go:632-658)
+      val c = customerPts(s, d)
+        .withColumn("zz", (col("c_custkey") % 8L).cast("double") / 2.0)
+        .withColumn("p3", expr("st_makepoint(cx, cy, zz)"))
+      c.select(col("c_custkey"),
+        expr("st_coorddim(st_force2d(p3))").as("d2"),
+        expr("st_coorddim(st_force3dm(p3))").as("d3m"),
+        expr("st_coorddim(st_force4d(p3))").as("d4"),
+        expr("st_z(st_force4d(p3))").as("z4"),
+        expr("st_m(st_force4d(p3))").as("m4"))
+    }),
+
+    "q68_point_on_surface" -> ((s, d) => {
+      // pointOnSurface containment contract per geometry family
+      // (reference: geom/alg_point_on_surface.go): the chosen point
+      // must lie in/on the input
+      val p = partTris(s, d)
+        .withColumn("mp", expr(
+          "st_makemultipoint(array(array(cast(ax as double), cast(ay as double))," +
+            "array(cast(bx as double), cast(cyy as double))))"))
+      p.select(col("p_partkey"),
+        expr("st_contains(tri, st_pointonsurface(tri))").as("pos_in_poly"),
+        expr("st_intersects(mp, st_pointonsurface(mp))").as("pos_in_mp"))
+    }),
+
+    "q69_mbr" -> ((s, d) => {
+      // rotating-calipers minimum-area rectangle: a 3-4-5 rotated
+      // square with integer vertices is its own MBR (area 25), while
+      // the axis envelope is 7 x 7 (reference: geom/alg_rotating_calipers.go)
+      val sb = t(withST(s), d, "supplier")
+        .withColumn("tx", (col("s_suppkey") % 100L).cast("int"))
+        .withColumn("ty", (col("s_suppkey") * 3L % 100L).cast("int"))
+        .withColumn("rect", st_geomFromWKT(concat(
+          lit("POLYGON(("),
+          col("tx"), lit(" "), col("ty"), lit(","),
+          col("tx") + 4, lit(" "), col("ty") + 3, lit(","),
+          col("tx") + 1, lit(" "), col("ty") + 7, lit(","),
+          col("tx") - 3, lit(" "), col("ty") + 4, lit(","),
+          col("tx"), lit(" "), col("ty"), lit("))"))))
+      sb.select(col("s_suppkey"),
+        (floor(expr("st_area(st_minimumareaboundingrectangle(rect))") * 1000.0 + 0.5) / 1000.0)
+          .as("mbr_area"),
+        expr("st_area(st_envelope(rect))").as("env_area"))
+    }),
+
+    "q70_is_simple" -> ((s, d) => {
+      // isSimple: even keys get a self-crossing bowtie, odd keys an
+      // x-monotone polyline (reference: geom/alg_simplicity.go)
+      val o = t(withST(s), d, "orders")
+        .withColumn("lw", when(col("o_orderkey") % 2 === 0,
+          lit("LINESTRING(0 0,2 2,2 0,0 2)"))
+          .otherwise(lit("LINESTRING(0 0,1 1,2 0)")))
+      o.select(col("o_orderkey"),
+        expr("st_issimple(st_geomfromwkt(lw))").as("simple"))
+    }),
+
+    "q71_predicate_tail" -> ((s, d) => {
+      // the predicate tail over the q06 box matrix: disjoint,
+      // coveredBy, topological equals, relateMatch
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val sb = supplierBoxes(s, d)
+        .select(col("s_suppkey"), col("sbox"), col("sx0"), col("sy0"),
+          col("sx1"), col("sy1"))
+      sb.crossJoin(n).select(col("n_nationkey"), col("s_suppkey"),
+        expr("st_disjoint(sbox, box)").as("r_disjoint"),
+        expr("st_coveredby(box, sbox)").as("r_coveredby"),
+        expr("st_equals(sbox, st_makeenvelope(sx0, sy0, sx1, sy1))").as("r_eq_self"),
+        expr("st_relatematch(st_relate(sbox, box), 'T********')").as("r_match_ii"))
+    }),
+
+    "q72_crosses" -> ((s, d) => {
+      // crosses on perpendicular lines: interior/interior 0-dim
+      // intersection, endpoints excluded
+      val c = t(withST(s), d, "customer")
+        .withColumn("x", (col("c_custkey") % 16L).cast("double") - 3.0)
+        .withColumn("y", (col("c_custkey") * 3L % 16L).cast("double") - 8.0)
+        .withColumn("ha", expr("st_makeline(array(array(0.0, y), array(10.0, y)))"))
+        .withColumn("vb", expr("st_makeline(array(array(x, -5.0), array(x, 5.0)))"))
+      c.select(col("c_custkey"), expr("st_crosses(ha, vb)").as("r_crosses"))
+    }),
+
+    "q73_projections" -> ((s, d) => {
+      // the 8 remaining projections vs DuckDB trig (Snyder spherical /
+      // ellipsoidal forms, reference carto/proj_*.go): whole-meter
+      // floors — both engines agree to ~1e-7 m, 7 orders under the grid
+      val c = customerPts(s, d).filter(col("c_custkey") % 10 === 0)
+      def fx(spec: String) = floor(ST.st_x(expr(s"st_project(pt, '$spec')"))).cast("long")
+      def fy(spec: String) = floor(ST.st_y(expr(s"st_project(pt, '$spec')"))).cast("long")
+      c.select(col("c_custkey"),
+        fx("sinusoidal").as("sin_x"), fy("sinusoidal").as("sin_y"),
+        fx("lambertcyl").as("lam_x"), fy("lambertcyl").as("lam_y"),
+        fx("lcc:33:45:-96:23").as("lcc_x"), fy("lcc:33:45:-96:23").as("lcc_y"),
+        fx("albers:29.5:45.5:-96:23").as("alb_x"), fy("albers:29.5:45.5:-96:23").as("alb_y"),
+        fx("eqdc:20:60:0:40").as("eqd_x"), fy("eqdc:20:60:0:40").as("eqd_y"),
+        fx("ortho:-74:40").as("ort_x"), fy("ortho:-74:40").as("ort_y"),
+        fx("aeqd:0:90").as("aeq_x"), fy("aeqd:0:90").as("aeq_y"),
+        fx("utm:33N").as("utm_x"), fy("utm:33N").as("utm_y"))
+    }),
+
+    "q74_summary" -> ((s, d) => {
+      val p = partTris(s, d)
+      p.select(col("p_partkey"),
+        expr("st_summary(tri)").as("tri_sum"),
+        expr("st_summary(st_force3dz(st_makepoint(1.0, 2.0)))").as("pt_sum"))
+    }),
+
+    "q75_rule_contains_join" -> ((s, d) => {
+      // CellJoinRule extended to the directional predicates: a bare
+      // st_contains inner join rewritten to the cell join at level 6
+      import graft.plans.CellJoinRule
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[CellJoinRule]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new CellJoinRule(s)
+      s.conf.set("spark.graft.celljoin.level", "6")
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val sb = supplierBoxes(s, d).select(col("s_suppkey"), col("sbox"))
+      n.join(sb, st_contains(col("box"), col("sbox")))
+        .select(col("n_nationkey"), col("s_suppkey"))
+    }),
+
+    "q76_dwithin_join" -> ((s, d) => {
+      // broadcast within-distance join: R-tree rangeSearch over the
+      // padded probe envelope + exact refine (all coordinates are
+      // 64th fractions, so squared distances are exact doubles)
+      val c = customerPts(s, d)
+      val sb = supplierBoxes(s, d)
+      SpatialJoins.broadcastDWithinJoin(
+        c, col("cx"), col("cy"), sb, "sx0", "sy0", "s_suppkey",
+        radius = 2.0, outKey = "s_suppkey")
+        .select(col("c_custkey"), col("s_suppkey"))
+    })
   )
 
   // --------------------------------------------------------- oracle SQL
@@ -1257,7 +1440,196 @@ object SparkEntry {
       "q45_lineitem_agg" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
           |       min(l_quantity) AS qmin, max(l_extendedprice) AS pmax
-          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q64_twkb_roundtrip" ->
+        """SELECT p_partkey, true AS rt_ok, true AS size_ok,
+          |  CAST(3 AS BIGINT) AS idn, CAST(p_partkey AS BIGINT) AS id0,
+          |  CAST(p_partkey % 32 AS DOUBLE) / 2.0 AS z_rt
+          |FROM part""".stripMargin,
+
+      "q65_orientation" ->
+        s"""SELECT p_partkey, true AS ccw0, true AS cw1,
+           |  CAST(ax AS DOUBLE) AS p2x, CAST(ay + v AS DOUBLE) AS p2y
+           |FROM (SELECT p_partkey, $TRI_VARS_SQL FROM part)""".stripMargin,
+
+      "q66_reverse_flip_snap" ->
+        s"""SELECT o_orderkey,
+           |  CAST(ax + 2 * w AS DOUBLE) AS rev_x,
+           |  CAST(ax AS DOUBLE) AS flip_y,
+           |  round(((CAST(o_orderkey % 1024 AS DOUBLE) * 2 + 1) / 128.0) * 10) / 10.0 AS snap_x
+           |FROM (SELECT o_orderkey, $OL_VARS_SQL FROM orders)""".stripMargin,
+
+      "q67_force_dims" ->
+        """SELECT c_custkey, 2 AS d2, 3 AS d3m, 4 AS d4,
+          |  CAST(c_custkey % 8 AS DOUBLE) / 2.0 AS z4, 0.0 AS m4
+          |FROM customer""".stripMargin,
+
+      "q68_point_on_surface" ->
+        """SELECT p_partkey, true AS pos_in_poly, true AS pos_in_mp
+          |FROM part""".stripMargin,
+
+      "q69_mbr" ->
+        """SELECT s_suppkey, 25.0 AS mbr_area, 49.0 AS env_area
+          |FROM supplier""".stripMargin,
+
+      "q70_is_simple" ->
+        """SELECT o_orderkey, (o_orderkey % 2 = 1) AS simple FROM orders""".stripMargin,
+
+      "q71_predicate_tail" ->
+        s"""WITH n AS (SELECT n_nationkey, $nx0 AS x0, $ny0 AS y0,
+           |                  $nx0 + 72.0 AS x1, $ny0 + 34.0 AS y1 FROM nation),
+           |     s AS (SELECT s_suppkey, $sx0 AS x0, $sy0 AS y0,
+           |                  $sx0 + $sw AS x1, $sy0 + $sh AS y1 FROM supplier)
+           |SELECT n.n_nationkey, s.s_suppkey,
+           |  NOT (s.x0 <= n.x1 AND n.x0 <= s.x1 AND s.y0 <= n.y1 AND n.y0 <= s.y1) AS r_disjoint,
+           |  (n.x0 >= s.x0 AND n.x1 <= s.x1 AND n.y0 >= s.y0 AND n.y1 <= s.y1) AS r_coveredby,
+           |  true AS r_eq_self,
+           |  (s.x0 < n.x1 AND n.x0 < s.x1 AND s.y0 < n.y1 AND n.y0 < s.y1) AS r_match_ii
+           |FROM n, s""".stripMargin,
+
+      "q72_crosses" ->
+        """SELECT c_custkey,
+          |  (x > 0 AND x < 10 AND y > -5 AND y < 5) AS r_crosses
+          |FROM (SELECT c_custkey,
+          |        CAST(c_custkey % 16 AS DOUBLE) - 3.0 AS x,
+          |        CAST((c_custkey * 3) % 16 AS DOUBLE) - 8.0 AS y
+          |      FROM customer)""".stripMargin,
+
+      "q73_projections" ->
+        s"""WITH base AS (
+           |  SELECT c_custkey,
+           |    ($CX_SQL) / 180.0 * pi() AS lam, ($CY_SQL) / 180.0 * pi() AS phi,
+           |    (2 * 6378137.0 + 6356752.314245) / 3.0 AS R
+           |  FROM customer WHERE c_custkey % 10 = 0),
+           |lcc AS (
+           |  SELECT *,
+           |    33.0 / 180.0 * pi() AS p1, 45.0 / 180.0 * pi() AS p2,
+           |    -96.0 / 180.0 * pi() AS l0, 23.0 / 180.0 * pi() AS p0
+           |  FROM base),
+           |lcc2 AS (
+           |  SELECT *,
+           |    ln(cos(p1) / cos(p2)) /
+           |      ln(tan(pi() / 4 + p2 / 2) / tan(pi() / 4 + p1 / 2)) AS n
+           |  FROM lcc),
+           |lcc3 AS (
+           |  SELECT *, cos(p1) * pow(tan(pi() / 4 + p1 / 2), n) / n AS F
+           |  FROM lcc2),
+           |lcc4 AS (
+           |  SELECT *, R * F / pow(tan(pi() / 4 + p0 / 2), n) AS rho0,
+           |            R * F / pow(tan(pi() / 4 + phi / 2), n) AS rho
+           |  FROM lcc3),
+           |alb AS (
+           |  SELECT c_custkey, lam, phi, R,
+           |    (sin(29.5 / 180.0 * pi()) + sin(45.5 / 180.0 * pi())) / 2 AS n,
+           |    cos(29.5 / 180.0 * pi()) * cos(29.5 / 180.0 * pi()) +
+           |      2 * ((sin(29.5 / 180.0 * pi()) + sin(45.5 / 180.0 * pi())) / 2) *
+           |      sin(29.5 / 180.0 * pi()) AS c,
+           |    -96.0 / 180.0 * pi() AS l0, 23.0 / 180.0 * pi() AS p0
+           |  FROM base),
+           |alb2 AS (
+           |  SELECT *, R * sqrt(c - 2 * n * sin(p0)) / n AS rho0,
+           |            R * sqrt(c - 2 * n * sin(phi)) / n AS rho,
+           |            n * (lam - l0) AS theta
+           |  FROM alb),
+           |eqd AS (
+           |  SELECT c_custkey, lam, phi, R,
+           |    (cos(20.0 / 180.0 * pi()) - cos(60.0 / 180.0 * pi())) /
+           |      (60.0 / 180.0 * pi() - 20.0 / 180.0 * pi()) AS n,
+           |    0.0 AS l0, 40.0 / 180.0 * pi() AS p0,
+           |    20.0 / 180.0 * pi() AS p1
+           |  FROM base),
+           |eqd2 AS (
+           |  SELECT *, cos(p1) / n + p1 AS G FROM eqd),
+           |eqd3 AS (
+           |  SELECT *, R * (G - p0) AS rho0, R * (G - phi) AS rho,
+           |            n * (lam - l0) AS theta
+           |  FROM eqd2),
+           |ort AS (
+           |  SELECT c_custkey, lam, phi, R,
+           |    -74.0 / 180.0 * pi() AS l0, 40.0 / 180.0 * pi() AS p0
+           |  FROM base),
+           |aeq AS (
+           |  SELECT c_custkey, lam, phi, R,
+           |    0.0 AS l0, 90.0 / 180.0 * pi() AS p0
+           |  FROM base),
+           |aeq2 AS (
+           |  SELECT *, acos(greatest(-1.0, least(1.0,
+           |    sin(p0) * sin(phi) + cos(p0) * cos(phi) * cos(lam - l0)))) AS cc
+           |  FROM aeq),
+           |aeq3 AS (
+           |  SELECT *, CASE WHEN cc = 0 THEN 1.0 ELSE cc / sin(cc) END AS kp
+           |  FROM aeq2),
+           |utm AS (
+           |  SELECT c_custkey, lam, phi,
+           |    (33 - 1) * 6 - 180 + 3.0 AS l0deg,
+           |    6378137.0 AS aa, 0.9996 AS k0, 0.00669438 AS e2, 500000.0 AS e0
+           |  FROM base),
+           |utm2 AS (
+           |  SELECT *, l0deg / 180.0 * pi() AS l0,
+           |    e2 / (1 - e2) AS ep2, e2 * e2 AS e4, e2 * e2 * e2 AS e6,
+           |    aa / sqrt(1 - e2 * sin(phi) * sin(phi)) AS nN,
+           |    tan(phi) * tan(phi) AS t
+           |  FROM utm),
+           |utm3 AS (
+           |  SELECT *, ep2 * cos(phi) * cos(phi) AS c,
+           |    (lam - l0) * cos(phi) AS a1,
+           |    aa * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi -
+           |      (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * sin(2 * phi) +
+           |      (15 * e4 / 256 + 45 * e6 / 1024) * sin(4 * phi) -
+           |      (35 * e6 / 3072) * sin(6 * phi)) AS m
+           |  FROM utm2),
+           |utm4 AS (
+           |  SELECT *, a1 * a1 AS a2, a1 * a1 * a1 AS a3,
+           |    a1 * a1 * a1 * a1 AS a4, a1 * a1 * a1 * a1 * a1 AS a5,
+           |    a1 * a1 * a1 * a1 * a1 * a1 AS a6
+           |  FROM utm3)
+           |SELECT b.c_custkey,
+           |  CAST(floor(b.R * b.lam * cos(b.phi)) AS BIGINT) AS sin_x,
+           |  CAST(floor(b.R * b.phi) AS BIGINT) AS sin_y,
+           |  CAST(floor(b.R * b.lam) AS BIGINT) AS lam_x,
+           |  CAST(floor(b.R * sin(b.phi)) AS BIGINT) AS lam_y,
+           |  CAST(floor(l.rho * sin(l.n * (l.lam - l.l0))) AS BIGINT) AS lcc_x,
+           |  CAST(floor(l.rho0 - l.rho * cos(l.n * (l.lam - l.l0))) AS BIGINT) AS lcc_y,
+           |  CAST(floor(a.rho * sin(a.theta)) AS BIGINT) AS alb_x,
+           |  CAST(floor(a.rho0 - a.rho * cos(a.theta)) AS BIGINT) AS alb_y,
+           |  CAST(floor(e.rho * sin(e.theta)) AS BIGINT) AS eqd_x,
+           |  CAST(floor(e.rho0 - e.rho * cos(e.theta)) AS BIGINT) AS eqd_y,
+           |  CAST(floor(o.R * cos(o.phi) * sin(o.lam - o.l0)) AS BIGINT) AS ort_x,
+           |  CAST(floor(o.R * (cos(o.p0) * sin(o.phi) -
+           |    sin(o.p0) * cos(o.phi) * cos(o.lam - o.l0))) AS BIGINT) AS ort_y,
+           |  CAST(floor(q.R * q.kp * cos(q.phi) * sin(q.lam - q.l0)) AS BIGINT) AS aeq_x,
+           |  CAST(floor(q.R * q.kp * (cos(q.p0) * sin(q.phi) -
+           |    sin(q.p0) * cos(q.phi) * cos(q.lam - q.l0))) AS BIGINT) AS aeq_y,
+           |  CAST(floor(u.e0 + u.k0 * u.nN * (u.a1 + (1 - u.t + u.c) * u.a3 / 6 +
+           |    (5 - 18 * u.t + u.t * u.t + 72 * u.c - 58 * u.ep2) * u.a5 / 120)) AS BIGINT) AS utm_x,
+           |  CAST(floor(0.0 + u.k0 * (u.m + u.nN * tan(u.phi) * (u.a2 / 2 +
+           |    (5 - u.t + 9 * u.c + 4 * u.c * u.c) * u.a4 / 24 +
+           |    (61 - 58 * u.t + u.t * u.t + 600 * u.c - 330 * u.ep2) * u.a6 / 720))) AS BIGINT) AS utm_y
+           |FROM base b
+           |JOIN lcc4 l USING (c_custkey)
+           |JOIN alb2 a USING (c_custkey)
+           |JOIN eqd3 e USING (c_custkey)
+           |JOIN ort o USING (c_custkey)
+           |JOIN aeq3 q USING (c_custkey)
+           |JOIN utm4 u USING (c_custkey)""".stripMargin,
+
+      "q74_summary" ->
+        """SELECT p_partkey, 'Polygon[XY] with 4 points' AS tri_sum,
+          |  'Point[XYZ] with 1 points' AS pt_sum
+          |FROM part""".stripMargin,
+
+      "q75_rule_contains_join" ->
+        s"""WITH n AS (SELECT n_nationkey, $nx0 AS x0, $ny0 AS y0,
+           |                  $nx0 + 72.0 AS x1, $ny0 + 34.0 AS y1 FROM nation),
+           |     s AS (SELECT s_suppkey, $sx0 AS x0, $sy0 AS y0,
+           |                  $sx0 + $sw AS x1, $sy0 + $sh AS y1 FROM supplier)
+           |SELECT n.n_nationkey, s.s_suppkey FROM n, s
+           |WHERE s.x0 >= n.x0 AND s.x1 <= n.x1 AND s.y0 >= n.y0 AND s.y1 <= n.y1""".stripMargin,
+
+      "q76_dwithin_join" ->
+        s"""SELECT c_custkey, s_suppkey FROM customer, supplier
+           |WHERE ($cx - $sx0) * ($cx - $sx0) + ($cy - $sy0) * ($cy - $sy0) <= 4.0""".stripMargin
     )
   }
 }

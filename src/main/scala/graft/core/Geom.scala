@@ -304,6 +304,33 @@ object Geom {
   /** Strip Z/M, force 2D (reference: geom/type_geometry.go:632-658). */
   def force2D(g: Geom): Geom = forceCT(g, CT.XY)
 
+  /** (min, max) of ordinate j (2=z-or-m, 3=m) across every coordinate;
+    * (0,0) when there are none. Callers must pass a geometry whose
+    * every sequence carries ordinate j (e.g. after forceCT).
+    */
+  def ordRange(g: Geom, j: Int): (Double, Double) = {
+    var lo = Double.PositiveInfinity; var hi = Double.NegativeInfinity
+    def seq(s: Seqn): Unit = {
+      var i = 0
+      while (i < s.n) {
+        val v = s.ord(i, j)
+        if (v < lo) lo = v; if (v > hi) hi = v
+        i += 1
+      }
+    }
+    def go(g: Geom): Unit = g match {
+      case GPoint(c, ct)  => if (c.nonEmpty) seq(new Seqn(c, ct))
+      case GLine(s)       => seq(s)
+      case GPoly(rs, _)   => rs.foreach(seq)
+      case GMPoint(ps, _) => ps.foreach(go)
+      case GMLine(ls, _)  => ls.foreach(seq)
+      case GMPoly(ps, _)  => ps.foreach(_.foreach(seq))
+      case GColl(gs, _)   => gs.foreach(go)
+    }
+    go(g)
+    if (lo > hi) (0.0, 0.0) else (lo, hi)
+  }
+
   def forceCT(g: Geom, nct: Int): Geom = g match {
     case GPoint(c, ct) =>
       if (c.isEmpty) GPoint(c, nct)

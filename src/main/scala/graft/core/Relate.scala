@@ -385,11 +385,16 @@ object Relate {
     *    of each component's features against the WHOLE other side
     *    (exterior is an intersection across components, so it cannot be
     *    combined entrywise).
-    * Known divergence (measure-zero): where a lineal component touches
-    * the areal boundary of its own collection at a non-endpoint node,
-    * the reference classifies the touch point as Interior (interior
-    * dominance); here it can additionally surface as a dim-0 Boundary
-    * intersection.
+    * Interior dominance (RelateNG): a point that lies in the interior
+    * of ANY component of a side is Interior of that side — in
+    * particular a node where a lineal component tangentially touches
+    * its own collection's areal boundary at a non-endpoint. The
+    * entrywise max over pairwise matrices can surface such a node as a
+    * spurious dim-0 Boundary intersection (the areal component's
+    * boundary still passes through it); a witness-based post-pass
+    * recomputes the affected 0-dimensional Boundary entries with
+    * dominance-aware point location (round 2 documented this as the
+    * engine's one knowing divergence; round 3 removed it).
     */
   private def relateMixedGC(a: Geom, b: Geom): String = {
     val na = if (dimsOf(a).size > 1) SetOps.unionMany(Seq(a)) else a
@@ -437,9 +442,104 @@ object Relate {
         mm(rowI) = cmax(mm(rowI), uncoveredPuntalDim(p, other))
       }
     }
+    // interior-dominance correction: 0-dim Boundary-block entries whose
+    // only witnesses are dominated nodes (in the interior of a sibling
+    // lineal component) must not count as Boundary
+    val dA = dominatedNodes(sa)
+    val dB = dominatedNodes(sb)
+    fixDominatedBoundary(dA, sa, sb, cbs, m, BI, BB)
+    fixDominatedBoundary(dB, sb, sa, cas, m, IB, BB)
+
     extColumn(sa, sb, m, IE, BE)
     extColumn(sb, sa, m, EI, EB)
     new String(m)
+  }
+
+  private def linealSeqs(g: Geom): Array[Seqn] = g match {
+    case GLine(sq)     => Array(sq)
+    case GMLine(ls, _) => ls
+    case _             => Array.empty[Seqn]
+  }
+
+  /** Dominance-aware point location against a normalized side
+    * (RelateNG interior dominance): 'I' when p lies in ANY component's
+    * interior — areal interior, lineal non-boundary (mod-2) point, or
+    * a puntal point — else 'B' when on any component's boundary, else
+    * 'E'.
+    */
+  private def locateDominant(px: Double, py: Double,
+      s: (Option[Geom], Option[Geom], Option[Geom])): Char = {
+    var res = 'E'
+    s._1.foreach { ar =>
+      val loc = Alg.pointInAreal(ar, px, py)
+      if (loc == 1) return 'I'
+      if (loc == 0) res = 'B'
+    }
+    s._2 match {
+      case Some(l) if Intersects.intersects(GPoint.xy(px, py), l) =>
+        if (lineBoundary(linealSeqs(l)).contains((px, py))) res = 'B'
+        else return 'I'
+      case _ => ()
+    }
+    s._3 match {
+      case Some(p) if Intersects.intersects(GPoint.xy(px, py), p) => 'I'
+      case _ => res
+    }
+  }
+
+  /** Nodes of a side where its lineal component tangentially touches
+    * its own areal boundary at a NON-endpoint — interior under
+    * dominance, excluded from the side's boundary.
+    */
+  private def dominatedNodes(
+      s: (Option[Geom], Option[Geom], Option[Geom])): Set[(Double, Double)] =
+    (s._1, s._2) match {
+      case (Some(ar), Some(l)) =>
+        val ends = lineBoundary(linealSeqs(l))
+        Geom.dump(Overlay.intersection(Geom.boundary(ar), l)).collect {
+          case p: GPoint if !p.isEmpty && !ends.contains((p.x, p.y)) => (p.x, p.y)
+        }.toSet
+      case _ => Set.empty
+    }
+
+  /** Recompute the 0-dimensional Boundary entries of `thisSide`'s
+    * boundary row/column from explicit finite witnesses, skipping
+    * dominated nodes. 1-dim entries are untouched (a finite dominated
+    * set cannot change them).
+    */
+  private def fixDominatedBoundary(
+      dThis: Set[(Double, Double)],
+      sThis: (Option[Geom], Option[Geom], Option[Geom]),
+      sOther: (Option[Geom], Option[Geom], Option[Geom]),
+      otherComponents: Seq[Geom],
+      m: Array[Char], biIdx: Int, bbIdx: Int): Unit = {
+    if (dThis.isEmpty) return
+    if (m(biIdx) != '0' && m(bbIdx) != '0') return
+    val cands = mutable.LinkedHashSet.empty[(Double, Double)]
+    sThis._1.foreach { ar =>
+      val bnd = Geom.boundary(ar)
+      for (cb <- otherComponents)
+        Geom.dump(Overlay.intersection(bnd, cb)).foreach {
+          case p: GPoint if !p.isEmpty => cands += ((p.x, p.y))
+          case GLine(sq) if sq.n > 0 =>
+            // endpoints of 1-dim pieces: where this boundary enters /
+            // leaves the other component's closure
+            cands += ((sq.x(0), sq.y(0)))
+            cands += ((sq.x(sq.n - 1), sq.y(sq.n - 1)))
+          case _ => ()
+        }
+    }
+    sThis._2.foreach(l => cands ++= lineBoundary(linealSeqs(l)))
+    var bi = false; var bb = false
+    for (w <- cands if locateDominant(w._1, w._2, sThis) == 'B') {
+      locateDominant(w._1, w._2, sOther) match {
+        case 'I' => bi = true
+        case 'B' => bb = true
+        case _   => ()
+      }
+    }
+    if (m(biIdx) == '0' && !bi) m(biIdx) = 'F'
+    if (m(bbIdx) == '0' && !bb) m(bbIdx) = 'F'
   }
 
   /** Empty-input fast path (reference: geom/alg_relate.go:33-63). */

@@ -70,6 +70,15 @@ object GeomOps {
     "st_ymax" -> (DoubleType, g => { val e = g.envelope; if (e.isEmpty) null else e.ymax }),
     "st_x" -> (DoubleType, { case p: GPoint if !p.isEmpty => p.x; case _ => null }),
     "st_y" -> (DoubleType, { case p: GPoint if !p.isEmpty => p.y; case _ => null }),
+    // Z/M accessors (reference: geom/type_point.go XYZ/XYM lookups)
+    "st_z" -> (DoubleType, {
+      case p: GPoint if !p.isEmpty && CT.hasZ(p.ct) => p.coords(2); case _ => null
+    }),
+    "st_m" -> (DoubleType, {
+      case p: GPoint if !p.isEmpty && CT.hasM(p.ct) =>
+        p.coords(if (CT.hasZ(p.ct)) 3 else 2)
+      case _ => null
+    }),
     "st_envelope" -> (BinaryType, g => wkb(g.envelope.toGeom)),
     "st_boundary" -> (BinaryType, g => wkb(Geom.boundary(g))),
     "st_centroid" -> (BinaryType, g => wkb(Measure.centroid(g) match {
@@ -79,6 +88,11 @@ object GeomOps {
     "st_convexhull" -> (BinaryType, g => wkb(Algos.convexHull(g))),
     "st_reverse" -> (BinaryType, g => wkb(Geom.reverse(g))),
     "st_force2d" -> (BinaryType, g => wkb(Geom.force2D(g))),
+    // ForceCoordinatesType family: added dims populate with 0
+    // (reference: geom/type_geometry.go:632-658, type_sequence.go:125-151)
+    "st_force3dz" -> (BinaryType, g => wkb(Geom.forceCT(g, CT.XYZ))),
+    "st_force3dm" -> (BinaryType, g => wkb(Geom.forceCT(g, CT.XYM))),
+    "st_force4d" -> (BinaryType, g => wkb(Geom.forceCT(g, CT.XYZM))),
     "st_flipcoordinates" -> (BinaryType, g => wkb(Geom.flip(g))),
     "st_forcepolygoncw" -> (BinaryType, g => wkb(Algos.forceOrientation(g, shellCW = true))),
     "st_forcepolygonccw" -> (BinaryType, g => wkb(Algos.forceOrientation(g, shellCW = false))),
@@ -687,6 +701,34 @@ case class StAsTwkb(left: Expression, right: Expression)
       withBBox = true)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** st_astwkbopts(g, precXY, withSize, withBBox[, ids]) — the writer
+  * with the reference's full option surface (twkb_write.go:17-52):
+  * size header, bbox header, and per-item ID list for Multi types.
+  */
+case class StAsTwkbFull(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 4 || children.length == 5,
+    "st_astwkbopts(g, prec, withSize, withBBox[, ids])")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_astwkbopts"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.take(4).contains(null)) return null
+    val g = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
+    val ids =
+      if (children.length == 5 && vs(4) != null)
+        vs(4).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      else null
+    Twkb.write(g, GeomOps.numI(vs(1)),
+      withBBox = vs(3).asInstanceOf[Boolean],
+      withSize = vs(2).asInstanceOf[Boolean],
+      ids = ids)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
 }
 
 /** st_geomFromTWKB(bytes) -> WKB geometry (reference: geom/twkb_parser.go:17). */

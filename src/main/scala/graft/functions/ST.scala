@@ -33,6 +33,10 @@ object ST {
   /** Geometry columns ARE WKB — provided for API parity. */
   def st_asBinary(c: Column): Column = c
   def st_asTWKB(c: Column, prec: Column): Column = col(StAsTwkb(ex(c), ex(prec)))
+  def st_asTWKBOpts(c: Column, prec: Column, withSize: Column, withBBox: Column,
+                    ids: Column = null): Column =
+    col(StAsTwkbFull(Seq(ex(c), ex(prec), ex(withSize), ex(withBBox)) ++
+      Option(ids).map(ex)))
   def st_geomFromTWKB(c: Column): Column = col(StGeomFromTwkb(ex(c)))
   def st_twkbEnvelope(c: Column): Column = col(StTwkbEnvelope(ex(c)))
   def st_twkbIdList(c: Column): Column = col(StTwkbIdList(ex(c)))
@@ -82,6 +86,9 @@ object ST {
   def st_pointOnSurface(c: Column): Column = u("st_pointonsurface")(c)
   def st_reverse(c: Column): Column = u("st_reverse")(c)
   def st_force2D(c: Column): Column = u("st_force2d")(c)
+  def st_force3DZ(c: Column): Column = u("st_force3dz")(c)
+  def st_force3DM(c: Column): Column = u("st_force3dm")(c)
+  def st_force4D(c: Column): Column = u("st_force4d")(c)
   def st_flipCoordinates(c: Column): Column = u("st_flipcoordinates")(c)
   def st_forcePolygonCW(c: Column): Column = u("st_forcepolygoncw")(c)
   def st_forcePolygonCCW(c: Column): Column = u("st_forcepolygonccw")(c)
@@ -372,6 +379,7 @@ object ST {
     reg1("st_relatematch") { es => StRelateMatch(es(0), es(1)) }
     reg1("st_exactequals") { es => StExactEquals(es) }
     reg1("st_astwkb") { es => StAsTwkb(es(0), es(1)) }
+    reg1("st_astwkbopts") { es => StAsTwkbFull(es) }
     reg1("st_geomfromtwkb") { es => StGeomFromTwkb(es.head) }
     reg1("st_twkbenvelope") { es => StTwkbEnvelope(es.head) }
     reg1("st_twkbidlist") { es => StTwkbIdList(es.head) }

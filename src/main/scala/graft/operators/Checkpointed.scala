@@ -88,32 +88,49 @@ object Checkpointed {
     // Recoverability contract: every input row must land in exactly one
     // manifest-tracked bucket. A null or out-of-range bucket index would
     // be silently dropped by the isin() filter below (or land in a
-    // __HIVE_DEFAULT_PARTITION__ the manifest never records), so fail
-    // fast instead.
-    val withBucket = df.withColumn("__bucket", bucketCol)
-    val bad = withBucket.filter(
-      col("__bucket").isNull || col("__bucket") < 0 || col("__bucket") >= nBuckets)
-    val badN = bad.limit(1).count()
-    require(badN == 0L,
-      s"bucket column produced null or out-of-[0,$nBuckets) values — " +
-        "rows would be lost from the checkpoint manifest")
+    // __HIVE_DEFAULT_PARTITION__ the manifest never records). Round 2
+    // validated with a separate bad.limit(1).count() job — a FULL extra
+    // scan of the input in the (always-taken) clean path, and with a
+    // nondeterministic source the rows validated were not the rows
+    // later written. Instead the bucket expression itself raises inside
+    // the write job: validation, metrics, and the write are ONE pass
+    // over one set of rows.
+    val checkedBucket = when(
+      bucketCol.isNull || bucketCol < 0 || bucketCol >= nBuckets,
+      raise_error(concat(
+        lit(s"bucket column produced null or out-of-[0,$nBuckets) value '"),
+        coalesce(bucketCol.cast("string"), lit("null")),
+        lit("' — rows would be lost from the checkpoint manifest")))
+        .cast("int"))
+      .otherwise(bucketCol)
+    val withBucket = df.withColumn("__bucket", checkedBucket)
     val todo = withBucket.filter(col("__bucket").isin(missing: _*))
+
+    // lineage metrics per bucket, collected IN the write pass via
+    // observe(): row count + order-independent checksum over the full
+    // row content (bit_xor of per-row hashes: commutative, associative,
+    // overflow-free under ANSI mode). One filtered aggregate pair per
+    // missing bucket; the helper __h column is observed below the
+    // projection that drops it, so it is never written.
+    val hashCols = df.columns.map(col)
+    val obs = org.apache.spark.sql.Observation(s"graft-ckpt-${java.util.UUID.randomUUID()}")
+    val obsAggs: Seq[Column] = missing.flatMap { k =>
+      Seq(
+        count(when(col("__bucket") === k, 1)).as(s"rows_$k"),
+        coalesce(bit_xor(when(col("__bucket") === k, col("__h"))), lit(0L)).as(s"sum_$k"))
+    }
 
     // one filtered pass: write all missing buckets into a temp area
     val t0 = System.nanoTime()
     val tmpRoot = Paths.get(outDir, s".inflight-${java.util.UUID.randomUUID()}")
-    todo.write.partitionBy("__bucket").parquet(tmpRoot.toString)
-
-    // lineage metrics per bucket: row count + order-independent checksum
-    // over the full row content (bit_xor of per-row hashes: commutative,
-    // associative, and overflow-free under ANSI mode)
-    val hashCols = df.columns.map(col)
-    val metrics = todo
-      .withColumn("__h", xxhash64(hashCols: _*))
-      .groupBy(col("__bucket"))
-      .agg(count(lit(1)).as("rows"), bit_xor(col("__h")).as("checksum"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    todo.withColumn("__h", xxhash64(hashCols: _*))
+      .observe(obs, obsAggs.head, obsAggs.tail: _*)
+      .drop("__h")
+      .write.partitionBy("__bucket").parquet(tmpRoot.toString)
+    val obsRow = obs.get
+    val metrics = missing.map { k =>
+      k -> (obsRow(s"rows_$k").asInstanceOf[Long], obsRow(s"sum_$k").asInstanceOf[Long])
+    }.toMap
     val wallMs = (System.nanoTime() - t0) / 1000000
 
     // commit each bucket: atomic dir rename, THEN manifest entry

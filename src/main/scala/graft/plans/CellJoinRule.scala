@@ -10,10 +10,10 @@ import org.apache.spark.sql.types.LongType
 import graft.functions.{GeomBinaryOp, StCellCover, StRefCell}
 
 /** Logical rewrite: an inner join whose condition is a bare
-  * `st_intersects(a.geom, b.geom)` has no equi-key, so Spark plans a
-  * BroadcastNestedLoopJoin / cartesian product — quadratic at scale.
-  * This rule rewrites it into the cell-partitioned join the
-  * SpatialJoins operator builds by hand:
+  * `st_intersects(a.geom, b.geom)` / `st_contains` / `st_within` has
+  * no equi-key, so Spark plans a BroadcastNestedLoopJoin / cartesian
+  * product — quadratic at scale. This rule rewrites it into the
+  * cell-partitioned join the SpatialJoins operator builds by hand:
   *
   *   explode(st_cellcover(geom, level)) on each side,
   *   equi-join on the cell id (hash-partitioned shuffle),
@@ -23,31 +23,71 @@ import graft.functions.{GeomBinaryOp, StCellCover, StRefCell}
   *     elimination without a Distinct, so multiset semantics are
   *     preserved exactly.
   *
-  * Opt-in: set `spark.graft.celljoin.level` to the cell level (e.g.
-  * 8). Cell covers at that level must stay under the cover cap for
+  * The refine predicate is the ORIGINAL expression, so the directional
+  * predicates keep their orientation; the cover/equi-join/refcell
+  * machinery is orientation-agnostic (the cover of each side and the
+  * envelope-intersection reference point do not depend on which side
+  * contains which).
+  *
+  * `spark.graft.celljoin.level` selects the cell level:
+  *   - an integer (e.g. 8): always rewrite at that level;
+  *   - "auto" (the default): pick level = clamp(log4(est rows of the
+  *     bigger side), 6, 12) — cells ~ rows, so expected occupancy per
+  *     cell is O(1) at any scale — and skip the rewrite when the
+  *     bigger side is estimated under `spark.graft.celljoin.minRows`
+  *     (default 10000; a nested-loop join over a dimension-sized pair
+  *     of inputs is cheaper than two explode-shuffles);
+  *   - "-1"/"off": disable.
+  * Cell covers at the chosen level must stay under the cover cap for
   * the data's geometry sizes — the same contract st_cellcover itself
   * enforces (it throws rather than silently coarsening).
   */
 class CellJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  private val PREDS = Set("st_intersects", "st_contains", "st_within")
+
+  private def estRows(p: LogicalPlan): Long = {
+    val s = p.stats
+    s.rowCount.map(_.toLong)
+      .getOrElse((s.sizeInBytes / 64).min(BigInt(Long.MaxValue)).toLong)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val level =
-      try spark.conf.get("spark.graft.celljoin.level", "-1").toInt
-      catch { case _: NumberFormatException => -1 }
-    if (level < 0) return plan
+    val confV = spark.conf.get("spark.graft.celljoin.level", "auto")
+    val auto = confV == "auto"
+    val explicitLevel =
+      if (auto) -1
+      else try confV.toInt catch { case _: NumberFormatException => -1 }
+    if (!auto && explicitLevel < 0) return plan
+    val minRows =
+      try spark.conf.get("spark.graft.celljoin.minRows", "10000").toLong
+      catch { case _: NumberFormatException => 10000L }
+
+    def levelFor(left: LogicalPlan, right: LogicalPlan): Int =
+      if (!auto) explicitLevel
+      else {
+        val rows = math.max(estRows(left), estRows(right))
+        val lvl = math.ceil(math.log(math.max(rows, 1L).toDouble) / math.log(4.0)).toInt
+        math.min(12, math.max(6, lvl))
+      }
+    def bigEnough(left: LogicalPlan, right: LogicalPlan): Boolean =
+      !auto || math.max(estRows(left), estRows(right)) >= minRows
+
     plan.transformUp {
       case Join(left, right, Inner,
-          Some(cond @ GeomBinaryOp("st_intersects", lg, rg)), hint)
-          if lg.references.subsetOf(left.outputSet) &&
+          Some(cond @ GeomBinaryOp(op, lg, rg)), hint)
+          if PREDS(op) && bigEnough(left, right) &&
+            lg.references.subsetOf(left.outputSet) &&
             rg.references.subsetOf(right.outputSet) &&
             lg.references.nonEmpty && rg.references.nonEmpty =>
-        rewrite(left, right, lg, rg, cond, level, hint)
+        rewrite(left, right, lg, rg, cond, levelFor(left, right), hint)
       case Join(left, right, Inner,
-          Some(cond @ GeomBinaryOp("st_intersects", lg, rg)), hint)
-          if lg.references.subsetOf(right.outputSet) &&
+          Some(cond @ GeomBinaryOp(op, lg, rg)), hint)
+          if PREDS(op) && bigEnough(left, right) &&
+            lg.references.subsetOf(right.outputSet) &&
             rg.references.subsetOf(left.outputSet) &&
             lg.references.nonEmpty && rg.references.nonEmpty =>
-        rewrite(left, right, rg, lg, cond, level, hint)
+        rewrite(left, right, rg, lg, cond, levelFor(left, right), hint)
     }
   }
 

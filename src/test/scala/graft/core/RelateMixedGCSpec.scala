@@ -51,6 +51,19 @@ class RelateMixedGCSpec extends AnyFunSuite {
     assert(p(12, 10) == ('F', '0')) // free line end -> boundary
   }
 
+  test("interior dominance: tangent line-touch on own areal boundary is Interior") {
+    // the line's MIDDLE vertex (10 5) touches the polygon's boundary
+    // tangentially (the line stays outside); RelateNG interior
+    // dominance classifies that node as Interior of the collection, so
+    // no dim-0 Boundary intersection may surface there
+    // (reference: internal/jtsport/jts/operation_relateng_relate_ng.go:16-20)
+    val gc = "GEOMETRYCOLLECTION (POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)), " +
+      "LINESTRING (12 2, 10 5, 12 8))"
+    assert(im(gc, "POINT(10 5)") == "0F2FF1FF2") // II, not BI
+    assert(im(gc, "POINT(10 6)") == "FF20F1FF2") // plain areal boundary point
+    assert(im(gc, "POINT(12 2)") == "FF20F1FF2") // line free end: boundary
+  }
+
   test("full matrix: disjoint mixed GC vs polygon") {
     val a = "GEOMETRYCOLLECTION (POLYGON((0 0,10 0,10 10,0 10,0 0)), LINESTRING(10 5,15 5))"
     assert(im(a, "POLYGON((20 0,25 0,25 5,20 5,20 0))") == "FF2FF1212")

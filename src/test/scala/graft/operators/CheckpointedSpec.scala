@@ -43,6 +43,37 @@ class CheckpointedSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("stage input is scanned exactly once (validation+metrics fused into the write)") {
+    val dir = freshDir()
+    val acc = spark.sparkContext.longAccumulator("scan-counter")
+    // nondeterministic marker stops CollapseProject from inlining the
+    // udf into multiple downstream expressions (which would double-count)
+    val counting = udf { (id: Long) => acc.add(1L); id }.asNondeterministic()
+    val df = spark.range(5000).toDF("id")
+      .withColumn("v", counting(col("id")))
+    Checkpointed.run(df, col("id"), 4, dir)
+    // round 2 scanned three times (validate / write / metrics) => 15000
+    assert(acc.value == 5000L,
+      s"expected one pass over 5000 rows, saw ${acc.value}")
+  }
+
+  test("invalid bucket values fail the write job itself, not a pre-pass") {
+    val dir = freshDir()
+    val df = spark.range(100).toDF("id")
+    val bad = when(col("id") === 57, lit(null).cast("int"))
+      .otherwise(pmod(col("id"), lit(4)).cast("int"))
+    val e = intercept[Exception] {
+      Checkpointed.runKeyed(df, bad, 4, dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("checkpoint manifest")),
+      s"unexpected failure: ${msgs(e).mkString(" | ")}")
+    // nothing was committed
+    val r = Checkpointed.run(spark.range(100).toDF("id"), col("id"), 4, dir)
+    assert(r.computed.sorted == (0 until 4))
+  }
+
   test("losing buckets triggers partial recompute only, same bytes") {
     val dir = freshDir()
     val r1 = Checkpointed.run(stage, col("id"), 8, dir)

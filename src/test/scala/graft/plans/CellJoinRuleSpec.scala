@@ -68,6 +68,60 @@ class CellJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("contains/within joins rewrite with identical results and orientation") {
+    val a = polys(1, 60, "a")
+    val b = polys(3, 60, "b")
+    def cJoin = a.join(b, st_contains(col("a_g"), col("b_g")))
+    def wJoin = a.join(b, st_within(col("a_g"), col("b_g")))
+
+    spark.conf.unset("spark.graft.celljoin.level")
+    val expC = pairsOf(cJoin).sorted
+    val expW = pairsOf(wJoin).sorted
+
+    val rule = new CellJoinRule(spark)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ rule
+    try {
+      spark.conf.set("spark.graft.celljoin.level", "6")
+      assert(pairsOf(cJoin).sorted == expC, "st_contains rewrite changed results")
+      assert(pairsOf(wJoin).sorted == expW, "st_within rewrite changed results")
+      val plan = cJoin.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"contains join not rewritten:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = before
+      spark.conf.unset("spark.graft.celljoin.level")
+    }
+  }
+
+  test("auto level: big joins rewrite with a log4-derived level, small ones stay BNLJ") {
+    val a = polys(1, 60, "a")
+    val b = polys(2, 60, "b")
+    def joined = a.join(b, st_intersects(col("a_g"), col("b_g")))
+    spark.conf.unset("spark.graft.celljoin.level")
+    val expected = pairsOf(joined).sorted
+
+    val rule = new CellJoinRule(spark)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ rule
+    try {
+      // default ("auto") + default minRows: these tiny local relations
+      // stay on the nested-loop plan
+      assert(joined.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"))
+      // lower the threshold: auto now rewrites at a clamped level
+      spark.conf.set("spark.graft.celljoin.minRows", "1")
+      val got = pairsOf(joined).sorted
+      assert(got == expected, "auto-level rewrite changed results")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("st_cellcover"),
+        s"auto level did not rewrite:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = before
+      spark.conf.unset("spark.graft.celljoin.minRows")
+    }
+  }
+
   test("rule leaves non-spatial and non-inner joins untouched") {
     val rule = new CellJoinRule(spark)
     val before = spark.experimental.extraOptimizations
