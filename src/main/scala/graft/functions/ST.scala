@@ -391,6 +391,7 @@ object ST {
     reg1("st_cellcover") { es => StCellCover(es(0), es(1)) }
     reg1("st_cellring") { es => StCellRing(es(0), es(1)) }
     reg1("st_cellgeom") { es => StCellGeom(es.head) }
+    reg1("st_cellbounds") { es => StCellBounds(es.head) }
     reg1("st_project") { es => StProject(es(0), es(1)) }
     for (op <- Seq("st_simplify", "st_densify", "st_snaptogrid", "st_geometryn",
       "st_pointn", "st_interiorringn", "st_lineinterpolatepoint",

@@ -362,20 +362,24 @@ object SpatialJoins {
     val side = 1 << level
     val cw = 360.0 / side
     val ch = 170.0 / side
-    val ex0 = st_xmin(col(geomCol)); val ex1 = st_xmax(col(geomCol))
-    val ey0 = st_ymin(col(geomCol)); val ey1 = st_ymax(col(geomCol))
+    // one WKB decode per input row for all four bounds (st_xmin etc.
+    // would decode 4x); a materialized column so CollapseProject cannot
+    // inline-duplicate the decode
+    val ex0 = element_at(col("__env"), 1); val ey0 = element_at(col("__env"), 2)
+    val ex1 = element_at(col("__env"), 3); val ey1 = element_at(col("__env"), 4)
     val ix0 = greatest(lit(0L), floor((ex0 + 180.0) / cw).cast("long"))
     val ix1 = least(lit(side - 1L), (ceil((ex1 + 180.0) / cw) - 1).cast("long"))
     val iy0 = greatest(lit(0L), floor((lit(85.0) - ey1) / ch).cast("long"))
     val iy1 = least(lit(side - 1L), (ceil((lit(85.0) - ey0) / ch) - 1).cast("long"))
-    df.withColumn("ix", explode(sequence(ix0, greatest(ix0, ix1))))
+    df.withColumn("__env", expr(s"st_envbounds($geomCol)"))
+      .withColumn("ix", explode(sequence(ix0, greatest(ix0, ix1))))
       .withColumn("iy", explode(sequence(iy0, greatest(iy0, iy1))))
       .withColumn("__tx0", lit(-180.0) + col("ix") * cw)
       .withColumn("__ty1", lit(85.0) - col("iy") * ch)
       .withColumn("tile_part",
         st_clipByBox(col(geomCol),
           col("__tx0"), col("__ty1") - ch, col("__tx0") + cw, col("__ty1")))
-      .drop("__tx0", "__ty1")
+      .drop("__tx0", "__ty1", "__env")
   }
 
   /** Tile assignment: clip each geometry to every cell it covers,
@@ -384,12 +388,17 @@ object SpatialJoins {
     * tile (reference: jts ring clipper role in OverlayNG).
     */
   def tileAssign(df: DataFrame, geomCol: String, level: Int): DataFrame = {
+    // cell bounds by arithmetic (st_cellbounds) — the previous shape
+    // built a WKB polygon per cell and decoded it four times through
+    // the envelope accessors
     df.withColumn("cell", explode(st_cellCover(col(geomCol), lit(level))))
-      .withColumn("cell_geom", st_cellGeom(col("cell")))
+      .withColumn("__cb", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.StCellBounds(
+          org.apache.spark.sql.GraftBridge.expression(col("cell")))))
       .withColumn("tile_part",
         st_clipByBox(col(geomCol),
-          st_xmin(col("cell_geom")), st_ymin(col("cell_geom")),
-          st_xmax(col("cell_geom")), st_ymax(col("cell_geom"))))
-      .drop("cell_geom")
+          element_at(col("__cb"), 1), element_at(col("__cb"), 2),
+          element_at(col("__cb"), 3), element_at(col("__cb"), 4)))
+      .drop("__cb")
   }
 }
