@@ -292,17 +292,28 @@ object Bench {
     // ---- per-query timings at full parallelism
     if (mode != "scaling") {
       val spark = session(cpus)
+      // optional comma-separated name filter for targeted iteration
+      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "1").toInt
+      val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
       // absorb first-query JIT/codegen warmup outside the timed suite
-      try SparkEntry.queries.toSeq.sortBy(_._1).take(2)
-        .foreach(_._2(spark, sfDir).count())
+      try picked.take(2).foreach(_._2(spark, sfDir).count())
       catch { case _: Throwable => () }
-      results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        val secs = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name: $secs%.2f s ($n rows)")
-        spark.catalog.clearCache() // keep the long suite from accumulating
-        (name, secs, n)
+      results = picked.map { case (name, fn) =>
+        var best = Double.MaxValue; var rows = -1L
+        var r = 0
+        while (r < reps) {
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (secs < best) { best = secs; rows = n }
+          spark.catalog.clearCache() // keep the long suite from accumulating
+          r += 1
+        }
+        System.err.println(f"[bench] $name: $best%.2f s ($rows rows)")
+        (name, best, rows)
       }
       spark.stop()
     }

@@ -932,6 +932,39 @@ object SparkEntry {
         c, col("cx"), col("cy"), sb, "sx0", "sy0", "s_suppkey",
         radius = 2.0, outKey = "s_suppkey")
         .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    "q77_html_extract" -> ((s, d) => {
+      // the north-rule per-row invariant: byte-identical extracted
+      // text per url. Render each document into a Common-Crawl-style
+      // page (html binary with head/script/style/nav/footer
+      // boilerplate, entities escaped), run the extraction operator,
+      // and emit per-url md5 of the extracted text — the oracle holds
+      // the ground-truth md5(text), so any extraction byte drift
+      // breaks the hash join.
+      val docs = t(s, d, "documents")
+        .withColumn("url", concat(lit("https://crawl.example/"),
+          col("lang"), lit("/"), col("doc_id")))
+        .withColumn("html", TextOps.renderHtml(col("text"), col("url")))
+      docs.select(col("url"),
+        md5(TextOps.extractHtmlText(col("html"))).as("text_md5"),
+        length(TextOps.extractHtmlText(col("html"))).cast("long").as("n_chars2"))
+    }),
+
+    "q78_densify" -> ((s, d) => {
+      // densify an L-shaped polyline (0,0)->(w,0)->(w,h) at max
+      // segment 0.75: point count ceil(w/.75)+ceil(h/.75)+1 and exact
+      // length preservation (all inputs are 64th fractions)
+      val sb = supplierBoxes(s, d)
+        .withColumn("lin", expr(
+          "st_makeline(array(array(0.0d, 0.0d), array(sw, 0.0d), array(sw, sh)))"))
+        .withColumn("dl", expr("st_densify(lin, 0.75d)"))
+      // length in 64ths (an exact integer): the densified sub-segment
+      // lengths accumulate ULP rounding, so compare round(len*64)
+      // rather than the raw double
+      sb.select(col("s_suppkey"),
+        expr("st_numpoints(dl)").cast("long").as("npts"),
+        round(expr("st_length(dl)") * 64.0).cast("long").as("len64"))
     })
   )
 
@@ -1632,7 +1665,22 @@ object SparkEntry {
 
       "q76_dwithin_join" ->
         s"""SELECT c_custkey, s_suppkey FROM customer, supplier
-           |WHERE ($cx - $sx0) * ($cx - $sx0) + ($cy - $sy0) * ($cy - $sy0) <= 4.0""".stripMargin
+           |WHERE ($cx - $sx0) * ($cx - $sx0) + ($cy - $sy0) * ($cy - $sy0) <= 4.0""".stripMargin,
+
+      // ground truth for the extraction invariant: the oracle hashes
+      // the ORIGINAL text — a byte-identical extraction is the only
+      // way the Spark side (render -> extract -> md5) matches
+      "q77_html_extract" ->
+        """SELECT 'https://crawl.example/' || lang || '/' || doc_id AS url,
+          |       md5(text) AS text_md5,
+          |       length(text) AS n_chars2
+          |FROM documents""".stripMargin,
+
+      "q78_densify" ->
+        s"""SELECT s_suppkey,
+           |  CAST(ceil($sw / 0.75) + ceil($sh / 0.75) + 1 AS BIGINT) AS npts,
+           |  CAST(round(($sw + $sh) * 64.0) AS BIGINT) AS len64
+           |FROM supplier""".stripMargin
     )
   }
 }

@@ -105,4 +105,50 @@ object TextOps {
         sequence(lit(0), m - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
+
+  // ------------------------------------------------- html extraction
+
+  /** HTML-escape the three structural characters. `&` first so the
+    * escapes themselves never re-escape; [[unescapeHtml]] inverts in
+    * the reverse order, making render→extract byte-identical for any
+    * input text.
+    */
+  def escapeHtml(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  private def unescapeHtml(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      text, "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+
+  /** Deterministic Common-Crawl-style page render: the main text
+    * (entity-escaped) inside `<p>` body content, surrounded by head /
+    * script / style / nav / footer boilerplate that a correct
+    * extractor must drop. Returns the page as a UTF-8 `binary` column
+    * (the `html` column shape from the input contract).
+    */
+  def renderHtml(text: Column, url: Column): Column =
+    to_binary(concat(
+      lit("<html><head><title>p</title><style>body{margin:0}</style>" +
+        "<script>var q=1&&2<3;</script></head><body><nav><a href=\""), url,
+      lit("\">home</a> | <a href=\"/\">top</a></nav><p>"), escapeHtml(text),
+      lit("</p><footer>&amp;copy; graft crawl</footer></body></html>")),
+      lit("utf-8"))
+
+  /** Main-text extraction from an HTML `binary` column: drop
+    * head/script/style/nav/footer boilerplate blocks, strip remaining
+    * tags, unescape entities. Pure codegen'd Column expressions (RE2-
+    * compatible regexes, so the DuckDB oracle replays them verbatim);
+    * `extractHtmlText(renderHtml(text, url)) === text` byte-for-byte —
+    * the per-url invariant the pipeline is gated on.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val s0 = html.cast("string") // binary -> UTF-8 string
+    val noHead = regexp_replace(s0, "(?s)<head>.*?</head>", "")
+    val noScript = regexp_replace(noHead, "(?s)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", "")
+    val noNav = regexp_replace(noStyle, "(?s)<nav[^>]*>.*?</nav>", "")
+    val noFoot = regexp_replace(noNav, "(?s)<footer[^>]*>.*?</footer>", "")
+    unescapeHtml(regexp_replace(noFoot, "<[^>]*>", ""))
+  }
 }
