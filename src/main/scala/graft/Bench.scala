@@ -104,7 +104,9 @@ object Bench {
       line
     }
 
-    // ---- scaling FIRST (it is the north-rule gate): same flagship
+    // ---- scaling setup (the north-rule gate; runs AFTER the cheap
+    // per-query suite so a driver kill mid-scaling loses nothing
+    // already measured): same flagship
     // parquet input at N vs 4N cores, each level in its OWN FORKED JVM
     // with -XX:ActiveProcessorCount=cores and heap proportional to
     // cores. That is the executor model: a 2-core executor's GC/netty/
@@ -123,9 +125,38 @@ object Bench {
     val lowCores = math.max(1, math.min(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", (hiCores / 4).toString).toInt, hiCores / 4))
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
-    // wall-clock reserved for the per-query section (measured ~4 min at
-    // sf0.1 incl. session start + warm-up)
-    val queriesReserve = if (mode == "scaling") 0 else 280
+
+    // ---- per-query timings FIRST (fast, ~2-4 min at sf0.1): if the
+    // driver kills this main mid-scaling, the suite numbers are
+    // already on stdout/BENCH_LAST.json
+    if (mode != "scaling") {
+      val spark = session(cpus)
+      // optional comma-separated name filter for targeted iteration
+      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "1").toInt
+      val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+      // absorb first-query JIT/codegen warmup outside the timed suite
+      try picked.take(2).foreach(_._2(spark, sfDir).count())
+      catch { case _: Throwable => () }
+      results = picked.map { case (name, fn) =>
+        var best = Double.MaxValue; var rows = -1L
+        var r = 0
+        while (r < reps) {
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (secs < best) { best = secs; rows = n }
+          spark.catalog.clearCache() // keep the long suite from accumulating
+          r += 1
+        }
+        System.err.println(f"[bench] $name: $best%.2f s ($rows rows)")
+        (name, best, rows)
+      }
+      spark.stop()
+      emitLine()
+    }
 
     var md = ""
     val hiTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -184,19 +215,27 @@ object Bench {
         }
       }
 
+      // every sample STREAMS into the incremental JSON the moment the
+      // child prints it — an external kill mid-child still leaves all
+      // completed samples (and the efficiency ratio, once any hi+lo
+      // pair exists) in BENCH_LAST.json / on stdout
+      def streamInto(rand: scala.collection.mutable.ArrayBuffer[Double],
+                     clus: scala.collection.mutable.ArrayBuffer[Double])
+      : (String, Double) => Unit = (layout, s) => {
+        if (layout == "random") rand += s else clus += s
+        updateScalingJson()
+        emitLine()
+        ()
+      }
       var lastRoundSecs = 0.0
       var continue = true
       while (continue && roundsRun < maxRounds) {
         val tR = System.nanoTime()
         try {
-          val hi = BenchChild.fork(hiCores, 3, pathR, pathC, pathW)
-          hiTimes ++= hi._1; hiTimesC ++= hi._2
-          val lo = BenchChild.fork(lowCores, 2, pathR, pathC, pathW)
-          loTimes ++= lo._1; loTimesC ++= lo._2
+          BenchChild.fork(hiCores, 3, pathR, pathC, pathW, streamInto(hiTimes, hiTimesC))
+          BenchChild.fork(lowCores, 2, pathR, pathC, pathW, streamInto(loTimes, loTimesC))
           roundsRun += 1
-          System.err.println(f"[bench] scaling round $roundsRun (${elapsed()}%.0f s): " +
-            s"hi=${hi._1.map(t => f"$t%.1f").mkString("/")} rand ${hi._2.map(t => f"$t%.1f").mkString("/")} clus; " +
-            s"lo=${lo._1.map(t => f"$t%.1f").mkString("/")} rand ${lo._2.map(t => f"$t%.1f").mkString("/")} clus")
+          System.err.println(f"[bench] scaling round $roundsRun done (${elapsed()}%.0f s)")
         } catch {
           case e: Exception =>
             System.err.println(s"[bench] scaling round failed: ${e.getMessage}")
@@ -205,8 +244,8 @@ object Bench {
         updateScalingJson()
         emitLine() // parseable best-so-far survives an external kill
         // stop when the next round (est. from the last one + 15%
-        // headroom) would eat into the per-query reserve
-        continue = elapsed() + lastRoundSecs * 1.15 < budgetSecs - queriesReserve
+        // headroom) would overrun the wall budget
+        continue = elapsed() + lastRoundSecs * 1.15 < budgetSecs
       }
 
       if (hiTimes.nonEmpty && loTimes.nonEmpty) {
@@ -287,35 +326,6 @@ object Bench {
              |BENCH_r{N}.json line emitted by this main.
              |""".stripMargin
       }
-    }
-
-    // ---- per-query timings at full parallelism
-    if (mode != "scaling") {
-      val spark = session(cpus)
-      // optional comma-separated name filter for targeted iteration
-      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "1").toInt
-      val picked = SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.contains(n)) }
-      // absorb first-query JIT/codegen warmup outside the timed suite
-      try picked.take(2).foreach(_._2(spark, sfDir).count())
-      catch { case _: Throwable => () }
-      results = picked.map { case (name, fn) =>
-        var best = Double.MaxValue; var rows = -1L
-        var r = 0
-        while (r < reps) {
-          val t0 = System.nanoTime()
-          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-          val secs = (System.nanoTime() - t0) / 1e9
-          if (secs < best) { best = secs; rows = n }
-          spark.catalog.clearCache() // keep the long suite from accumulating
-          r += 1
-        }
-        System.err.println(f"[bench] $name: $best%.2f s ($rows rows)")
-        (name, best, rows)
-      }
-      spark.stop()
     }
 
     emitLine()

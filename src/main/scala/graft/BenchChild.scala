@@ -11,9 +11,15 @@ import scala.sys.process._
   */
 object BenchChild {
 
-  /** Fork a child at `cores`, return (randomSecs, clusteredSecs). */
+  /** Fork a child at `cores`, return (randomSecs, clusteredSecs).
+    * `onSample` fires as each timed sample line arrives from the
+    * child, so the parent can fold partial results into its
+    * incremental JSON — an external kill mid-child then still leaves
+    * every completed sample on record.
+    */
   def fork(cores: Int, innerReps: Int, pathR: String,
-           pathC: String, pathWarm: String): (Seq[Double], Seq[Double]) = {
+           pathC: String, pathWarm: String,
+           onSample: (String, Double) => Unit = (_, _) => ()): (Seq[Double], Seq[Double]) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     // pass through module opens + -D props from this JVM; drop heap
@@ -29,7 +35,15 @@ object BenchChild {
       Seq("graft.BenchChild", cores.toString, innerReps.toString, pathR, pathC, pathWarm)
     val out = new StringBuilder
     val code = Process(cmd).!(ProcessLogger(
-      line => { out.append(line).append('\n'); () },
+      line => {
+        out.append(line).append('\n')
+        if (line.startsWith("SAMPLE ")) {
+          val a = line.split(" ")
+          try onSample(a(1), a(2).toDouble)
+          catch { case _: Exception => () }
+        }
+        ()
+      },
       line => System.err.println(s"[child-$cores] $line")))
     require(code == 0, s"bench child (cores=$cores) exited $code")
     val samples = out.toString.linesIterator

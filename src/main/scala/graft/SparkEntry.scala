@@ -965,6 +965,58 @@ object SparkEntry {
       sb.select(col("s_suppkey"),
         expr("st_numpoints(dl)").cast("long").as("npts"),
         round(expr("st_length(dl)") * 64.0).cast("long").as("len64"))
+    }),
+
+    "q79_dump_coordinates" -> ((s, d) => {
+      // coordinate-matrix accessor on an XYZ polyline, exploded to one
+      // row per control coordinate at the full stride
+      // (reference: geom/type_geometry.go:816-837 DumpCoordinates)
+      val sb = supplierBoxes(s, d).withColumn("lin3", expr(
+        "st_makeline(array(array(0.0d, 0.0d, 1.5d), array(sw, 0.0d, 2.5d)," +
+          " array(sw, sh, 3.5d)), 'XYZ')"))
+      sb.select(col("s_suppkey"),
+        posexplode(expr("st_dumpcoordinates(lin3)")).as(Seq("idx", "c")))
+        .select(col("s_suppkey"), col("idx"),
+          element_at(col("c"), 1).as("x"),
+          element_at(col("c"), 2).as("y"),
+          element_at(col("c"), 3).as("z"))
+    }),
+
+    "q80_cell_dwithin_join" -> ((s, d) => {
+      // partitioned big-big within-distance join (shuffle analogue of
+      // q76's broadcast dwithin): radius-padded left cover, cell
+      // equi-join, exact refine, reference-point dedup — same rows as
+      // the q76 oracle
+      val c = customerPts(s, d).select(col("c_custkey"), col("pt"))
+      val sp = supplierBoxes(s, d)
+        .select(col("s_suppkey"), st_point(col("sx0"), col("sy0")).as("spt"))
+      SpatialJoins.cellDWithinJoin(c, "pt", sp, "spt", radius = 2.0, level = 6)
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    "q81_typed_pipeline" -> ((s, d) => {
+      // the typed Dataset[Page] surface end to end: documents -> Page
+      // rows (rendered html binary, BLANK text) -> Typed.extractText
+      // (byte-identical text recovery from html) -> Typed.geoTag
+      // (?lat=&lon= URL parse + equirect cell encode). The oracle
+      // recomputes every output from first principles, so both typed
+      // operators are verified in one chained pipeline.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .withColumn("lon2", pmod(col("doc_id"), lit(720L)).cast("double") / 2.0 - 180.0 + 0.25)
+        .withColumn("lat2", pmod(col("doc_id") * 3L, lit(340L)).cast("double") / 2.0 - 85.0 + 0.25)
+        .withColumn("url", concat(lit("https://maps.example/"), col("lang"), lit("/"),
+          col("doc_id"), lit("?lat="), col("lat2"), lit("&lon="), col("lon2")))
+      val pages = docs.select(
+        col("url"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("warc_ts"),
+        TextOps.renderHtml(col("text"), col("url")).as("html"),
+        lit("").as("text"),
+        col("lang")).as[graft.api.Page]
+      graft.api.Typed.geoTag(graft.api.Typed.extractText(pages), level = 6)
+        .toDF()
+        .select(col("url"), md5(col("text")).as("text_md5"),
+          col("lon"), col("lat"), col("cell"))
     })
   )
 
@@ -1680,7 +1732,32 @@ object SparkEntry {
         s"""SELECT s_suppkey,
            |  CAST(ceil($sw / 0.75) + ceil($sh / 0.75) + 1 AS BIGINT) AS npts,
            |  CAST(round(($sw + $sh) * 64.0) AS BIGINT) AS len64
-           |FROM supplier""".stripMargin
+           |FROM supplier""".stripMargin,
+
+      "q79_dump_coordinates" ->
+        s"""SELECT s_suppkey, CAST(0 AS INTEGER) AS idx,
+           |       0.0 AS x, 0.0 AS y, 1.5 AS z FROM supplier
+           |UNION ALL
+           |SELECT s_suppkey, CAST(1 AS INTEGER), $sw, 0.0, 2.5 FROM supplier
+           |UNION ALL
+           |SELECT s_suppkey, CAST(2 AS INTEGER), $sw, $sh, 3.5 FROM supplier""".stripMargin,
+
+      "q80_cell_dwithin_join" ->
+        s"""SELECT c_custkey, s_suppkey FROM customer, supplier
+           |WHERE ($cx - $sx0) * ($cx - $sx0) + ($cy - $sy0) * ($cy - $sy0) <= 4.0""".stripMargin,
+
+      "q81_typed_pipeline" ->
+        """WITH d AS (
+          |  SELECT doc_id, text, lang,
+          |    CAST(doc_id % 720 AS DOUBLE) / 2.0 - 180.0 + 0.25 AS lon,
+          |    CAST((doc_id * 3) % 340 AS DOUBLE) / 2.0 - 85.0 + 0.25 AS lat
+          |  FROM documents)
+          |SELECT 'https://maps.example/' || lang || '/' || doc_id ||
+          |       '?lat=' || CAST(lat AS VARCHAR) || '&lon=' || CAST(lon AS VARCHAR) AS url,
+          |       md5(text) AS text_md5, lon, lat,
+          |       least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT))) * 64 +
+          |       least(63, greatest(0, CAST(floor((85.0 - lat) / 170.0 * 64) AS BIGINT))) AS cell
+          |FROM d""".stripMargin
     )
   }
 }

@@ -142,7 +142,25 @@ object GeomOps {
     "st_minimumareaboundingrectangle" -> (BinaryType, g => wkb(Calipers.minAreaRect(g))),
     "st_minimumwidthboundingrectangle" -> (BinaryType, g => wkb(Calipers.minWidthRect(g))),
     "st_summary" -> (StringType, g =>
-      utf8(s"${g.typeName}[${CT.name(g.ct)}] with ${g.numPoints} points"))
+      utf8(s"${g.typeName}[${CT.name(g.ct)}] with ${g.numPoints} points")),
+    "st_dumpcoordinates" -> (ArrayType(ArrayType(DoubleType, containsNull = false),
+      containsNull = false), g => {
+      // coordinate matrix: every control coordinate in storage order at
+      // the geometry's full stride (reference: geom/type_geometry.go:816-837)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+      Geom.transformSeq(g, s => {
+        var i = 0
+        while (i < s.n) {
+          val c = new Array[Any](s.stride)
+          var j = 0
+          while (j < s.stride) { c(j) = s.ord(i, j); j += 1 }
+          rows += new GenericArrayData(c)
+          i += 1
+        }
+        s
+      })
+      new GenericArrayData(rows.toArray)
+    })
   )
 
   val binary: Map[String, (DataType, (Geom, Geom) => Any)] = Map(

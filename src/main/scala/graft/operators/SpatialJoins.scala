@@ -240,6 +240,49 @@ object SpatialJoins {
       .drop("__cell", "__salt")
   }
 
+  /** Partitioned within-distance join for BIG-BIG inputs (the shuffle
+    * analogue of [[broadcastDWithinJoin]], for when neither side fits
+    * in a broadcast): cover the left envelope PADDED by `radius` and
+    * the right geometry at `level`, hash-co-partition both sides on
+    * the shared cell (one shuffle each, salt option for hot cells),
+    * refine with exact st_distance, and eliminate cover duplicates
+    * with the reference-point rule — a pair survives only in the cell
+    * holding the reference point of (padded-left-env ∩ right-env), so
+    * there is NO Distinct shuffle and multiset semantics are exact.
+    *
+    * Padding the LEFT cover by the radius guarantees completeness:
+    * any right geometry within `radius` of the left geometry
+    * intersects the padded left envelope, so the two covers share at
+    * least one cell.
+    */
+  def cellDWithinJoin(
+      left: DataFrame, leftGeom: String,
+      right: DataFrame, rightGeom: String,
+      radius: Double, level: Int,
+      saltBuckets: Int = 1,
+      saltKey: String = ""): DataFrame = {
+    require(radius >= 0, "radius must be non-negative")
+    val lpad = left.withColumn("__lenv", st_makeEnvelope(
+      st_xmin(col(leftGeom)) - radius, st_ymin(col(leftGeom)) - radius,
+      st_xmax(col(leftGeom)) + radius, st_ymax(col(leftGeom)) + radius))
+    val l0 = lpad.withColumn("__cell", explode(st_cellCover(col("__lenv"), lit(level))))
+    val r0 = right.withColumn("__cell", explode(st_cellCover(col(rightGeom), lit(level))))
+    val (lk, rk) =
+      if (saltBuckets <= 1) (l0.withColumn("__salt", lit(0)), r0.withColumn("__salt", lit(0)))
+      else (
+        l0.withColumn("__salt", pmod(xxhash64(col(saltKey)), lit(saltBuckets)).cast("int")),
+        r0.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1)))))
+    val refCell = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.StRefCell(Seq(
+        org.apache.spark.sql.GraftBridge.expression(col("__lenv")),
+        org.apache.spark.sql.GraftBridge.expression(col(rightGeom)),
+        org.apache.spark.sql.catalyst.expressions.Literal(level))))
+    lk.join(rk, Seq("__cell", "__salt"))
+      .filter(st_distance(col(leftGeom), col(rightGeom)) <= radius &&
+        col("__cell") === refCell)
+      .drop("__cell", "__salt", "__lenv")
+  }
+
   /** Distance-kNN join: for each query point, the k nearest target
     * points by euclidean lon/lat distance (ties broken by target key
     * for determinism). EXACT — candidates come from expanding
