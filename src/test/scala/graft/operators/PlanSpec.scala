@@ -209,4 +209,50 @@ class PlanSpec extends AnyFunSuite {
     assert(s2.contains("hashpartitioning(__bk") || s2.contains("BroadcastExchange"),
       s"band self-join neither hash-partitioned on __bk nor broadcast:\n$s2")
   }
+
+  test("partitioned dwithin join: cell equi-join, no cartesian/BNLJ, no Distinct") {
+    val l = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("lx", (col("c_custkey") * 7919L % 23040L).cast("double") / 64.0 - 180.0)
+      .withColumn("ly", (col("c_custkey") * 104729L % 10880L).cast("double") / 64.0 - 85.0)
+      .withColumn("lpt", st_point(col("lx"), col("ly")))
+      .select("c_custkey", "lpt")
+    val r = spark.read.parquet(s"$sf/supplier.parquet")
+      .withColumn("rx", (col("s_suppkey") * 11L % 18432L).cast("double") / 64.0 - 144.0)
+      .withColumn("ry", (col("s_suppkey") * 17L % 8704L).cast("double") / 64.0 - 68.0)
+      .withColumn("rpt", st_point(col("rx"), col("ry")))
+      .select("s_suppkey", "rpt")
+    val j = SpatialJoins.cellDWithinJoin(l, "lpt", r, "rpt", radius = 2.0, level = 6)
+    j.collect()
+    val s1 = j.queryExecution.executedPlan.toString()
+    assert(!s1.contains("CartesianProduct") && !s1.contains("BroadcastNestedLoopJoin"),
+      s"dwithin join fell back to a product plan:\n$s1")
+    // dedup is the reference-point filter, never a Distinct/aggregate
+    assert(!s1.contains("HashAggregate"),
+      s"unexpected aggregate (Distinct-style dedup?) in dwithin plan:\n$s1")
+    // equi-join on the shared (cell, salt) key: either shuffled hash
+    // co-partitioning (the big-big shape) or, at this tiny SF under
+    // AQE, a broadcast of one side — both are the scale-correct forms
+    assert(s1.contains("hashpartitioning(__cell") || s1.contains("BroadcastExchange"),
+      s"dwithin join not cell-partitioned:\n$s1")
+  }
+
+  test("typed pipeline stays on codegen'd columns, no object serialization") {
+    import spark.implicits._
+    // a real file source (a local Seq constant-folds to LocalTableScan)
+    val pages = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://x/"), col("doc_id"), lit("?lat=1.5&lon=2.5")).as("url"),
+        col("text").as("text0"), col("lang"))
+      .select(col("url"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("warc_ts"),
+        TextOps.renderHtml(col("text0"), col("url")).as("html"),
+        lit("").as("text"), col("lang"))
+      .as[graft.api.Page]
+    val out = graft.api.Typed.geoTag(graft.api.Typed.extractText(pages), 6).toDF()
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements") &&
+      !plan.contains("SerializeFromObject"),
+      s"typed surface pays an object-serialization tax:\n$plan")
+    // "*(n)" is the WholeStageCodegen marker in the simple-string form
+    assert(plan.contains("*("), s"typed pipeline not codegen'd:\n$plan")
+  }
 }
