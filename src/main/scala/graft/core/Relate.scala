@@ -66,12 +66,28 @@ object Relate {
     def isEmpty: Boolean = dim == -1
   }
 
+  /** A non-empty line every vertex of which is the same point: its
+    * point set is that single point — JTS/RelateNG treat it as
+    * point-like (interior = the point, boundary = empty), e.g.
+    * relate(POINT(p), LINESTRING(p, p)) = 0FFFFFFF2.
+    */
+  private def pointLikeLine(s: Seqn): Boolean = {
+    if (s.isEmpty) return false
+    var i = 1
+    while (i < s.n) {
+      if (s.x(i) != s.x(0) || s.y(i) != s.y(0)) return false
+      i += 1
+    }
+    true
+  }
+
   private def decompose(g: Geom): Parts = {
     val pts = new mutable.ArrayBuilder.ofDouble
     val lines = mutable.ArrayBuffer.empty[Seqn]
     val polys = mutable.ArrayBuffer.empty[GPoly]
     def walk(g: Geom): Unit = g match {
       case p: GPoint => if (!p.isEmpty) { pts += p.x; pts += p.y }
+      case GLine(s) if pointLikeLine(s) => { pts += s.x(0); pts += s.y(0) }
       case GLine(s) => if (!s.isEmpty) lines += s
       case GPoly(rs, ct) => if (rs.nonEmpty) polys += GPoly(rs, ct)
       case GMPoint(ps, _) => ps.foreach(walk)
@@ -109,10 +125,18 @@ object Relate {
 
   // ------------------------------------------------------------ pieces
 
-  /** A noded sub-segment of a boundary/line. */
+  /** A noded sub-segment of a boundary/line. `onOther` is COMBINATORIAL
+    * incidence from the noder: true iff this sub-interval lies inside a
+    * robust-exact collinear overlap with a cutter segment. Distance
+    * thresholds cannot make this call — a genuinely-thin sliver
+    * (TestRelateAA-big's 1e15-wide polygon, interior thinner than any
+    * eps) and a rounded-but-conceptually-on piece are metrically
+    * indistinguishable; only the noder knows which one it built.
+    */
   private final case class Piece(
       x1: Double, y1: Double, x2: Double, y2: Double,
-      interiorLeft: Boolean) { // for ring pieces: polygon interior left of 1->2?
+      interiorLeft: Boolean, // for ring pieces: polygon interior left of 1->2?
+      onOther: Boolean = false) {
     def mx: Double = (x1 + x2) / 2
     def my: Double = (y1 + y2) / 2
   }
@@ -163,6 +187,7 @@ object Relate {
       else null
     for ((a, interiorLeft) <- src) {
       val ts = mutable.ArrayBuffer[Double](0.0, 1.0)
+      val overlaps = mutable.ArrayBuffer.empty[(Double, Double)]
       val ax = a.x2 - a.x1; val ay = a.y2 - a.y1
       val alen2 = ax * ax + ay * ay
       def tOf(px: Double, py: Double): Double =
@@ -177,6 +202,9 @@ object Relate {
             for (t <- Seq(t1, t2) if t > 0 && t < 1) ts += t
             for ((t, px, py) <- Seq((t1, b.x1, b.y1), (t2, b.x2, b.y2)))
               if (t >= 0 && t <= 1) contacts += ((px, py))
+            val lo = math.max(0.0, math.min(t1, t2))
+            val hi = math.min(1.0, math.max(t1, t2))
+            if (hi > lo) overlaps += ((lo, hi))
           } else if (Alg.segmentsCross(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1, b.x2, b.y2)) {
             val (px, py) = Alg.crossingPoint(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1, b.x2, b.y2)
             val t = tOf(px, py)
@@ -211,7 +239,11 @@ object Relate {
         val t1 = sorted(i); val t2 = sorted(i + 1)
         val x1 = a.x1 + t1 * ax; val y1 = a.y1 + t1 * ay
         val x2 = a.x1 + t2 * ax; val y2 = a.y1 + t2 * ay
-        if (x1 != x2 || y1 != y2) out += Piece(x1, y1, x2, y2, interiorLeft)
+        // pieces never straddle an overlap endpoint (those t's are
+        // split points), so the midpoint decides containment exactly
+        val tm = (t1 + t2) / 2
+        val on = overlaps.exists(o => tm >= o._1 && tm <= o._2)
+        if (x1 != x2 || y1 != y2) out += Piece(x1, y1, x2, y2, interiorLeft, on)
         i += 1
       }
     }
@@ -286,10 +318,10 @@ object Relate {
     val dims = mutable.Set.empty[Int]
     def walk(x: Geom): Unit = x match {
       case p: GPoint => if (!p.isEmpty) dims += 0
-      case GLine(s) => if (!s.isEmpty) dims += 1
+      case GLine(s) => if (!s.isEmpty) dims += (if (pointLikeLine(s)) 0 else 1)
       case GPoly(rs, _) => if (rs.nonEmpty) dims += 2
       case GMPoint(ps, _) => ps.foreach(walk)
-      case GMLine(ls, _) => if (ls.exists(!_.isEmpty)) dims += 1
+      case GMLine(ls, _) => ls.foreach(s => walk(GLine(s)))
       case GMPoly(ps, _) => if (ps.exists(_.nonEmpty)) dims += 2
       case GColl(gs, _) => gs.foreach(walk)
     }
@@ -306,10 +338,11 @@ object Relate {
     val polys = mutable.ArrayBuffer.empty[Array[Seqn]]
     def walk(x: Geom): Unit = x match {
       case p: GPoint => if (!p.isEmpty) pts += p
+      case GLine(s) if pointLikeLine(s) => pts += GPoint.xy(s.x(0), s.y(0))
       case GLine(s) => if (!s.isEmpty) lines += s
-      case GPoly(rs, _) => if (rs.nonEmpty) polys += rs
       case GMPoint(ps, _) => ps.foreach(walk)
-      case GMLine(ls, _) => ls.filter(!_.isEmpty).foreach(lines += _)
+      case GPoly(rs, _) => if (rs.nonEmpty) polys += rs
+      case GMLine(ls, _) => ls.filter(!_.isEmpty).foreach(s => walk(GLine(s)))
       case GMPoly(ps, _) => ps.filter(_.nonEmpty).foreach(polys += _)
       case GColl(gs, _) => gs.foreach(walk)
     }
@@ -729,25 +762,27 @@ object Relate {
     val piecesA = nodePieces(ringsA, segsB, contacts)
     val piecesB = nodePieces(ringsB, segsA, contacts)
 
-    // eps-aware: a noded piece midpoint carries rounding error both from
-    // floating noding and from the (x1+x2)/2 itself, so "exactly on the
-    // boundary" must tolerate ~ulp-scale distance
-    def locIn(polys: Array[GPoly], ringSegs: Array[(Seg, Boolean)],
-              x: Double, y: Double): Int = {
+    // "on the other boundary" is the noder's COMBINATORIAL incidence
+    // flag (exact collinear overlap), not a distance test: a metric eps
+    // both swallows genuinely-thin slivers (TestRelateAA-big: interior
+    // thinner than any tolerance) and is still needed nowhere else,
+    // because non-overlap piece midpoints sit strictly between nodes
+    def locIn(p: Piece, polys: Array[GPoly]): Int = {
+      if (p.onOther) return 0
       var best = -1
       var i = 0
       while (i < polys.length && best != 1) {
-        val l = Alg.pointInPolygon(polys(i), x, y)
+        val l = Alg.pointInPolygon(polys(i), p.mx, p.my)
         if (l > best) best = l
         i += 1
       }
-      if (best != 0 && nearAnySeg(ringSegs.map(_._1), x, y)) 0 else best
+      best
     }
 
     var aIn = false; var aOn = false; var aOut = false
     var onSameSide = false; var onOppSide = false
     for (p <- piecesA) {
-      locIn(pb.polys, ringsB, p.mx, p.my) match {
+      locIn(p, pb.polys) match {
         case 1 => aIn = true
         case -1 => aOut = true
         case 0 =>
@@ -762,7 +797,7 @@ object Relate {
     }
     var bIn = false; var bOut = false
     for (p <- piecesB) {
-      locIn(pa.polys, ringsA, p.mx, p.my) match {
+      locIn(p, pa.polys) match {
         case 1 => bIn = true
         case -1 => bOut = true
         case 0 =>
@@ -801,10 +836,15 @@ object Relate {
     case _ => -2
   }
 
-  /** (reference: geom/alg_relate.go:102-232) */
+  /** (reference: geom/alg_relate.go:102-232). Like JTS
+    * IntersectionMatrix.isEquals, the STATIC dimensions must agree: a
+    * POINT never topo-equals a zero-length LINESTRING even though
+    * their point sets coincide (matrix 0FFFFFFF2 matches the pattern).
+    */
   def equalsTopo(a: Geom, b: Geom): Boolean = {
     if (a.isEmpty && b.isEmpty) return true
     if (a.isEmpty != b.isEmpty) return false
+    if (a.dimension != b.dimension) return false
     matches(relate(a, b), "T*F**FFF*")
   }
   def disjoint(a: Geom, b: Geom): Boolean = matches(relate(a, b), "FF*FF****")
