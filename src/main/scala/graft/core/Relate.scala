@@ -679,11 +679,11 @@ object Relate {
 
     var aOn = false; var aOff = false
     for (p <- piecesA) {
-      if (nearAnySeg(segsB, p.mx, p.my)) aOn = true else aOff = true
+      if (p.onOther) aOn = true else aOff = true
     }
     var bOn = false; var bOff = false
     for (p <- piecesB) {
-      if (nearAnySeg(segsA, p.mx, p.my)) bOn = true else bOff = true
+      if (p.onOther) bOn = true else bOff = true
     }
     if (aOn) m(II) = '1'
     if (aOff) m(IE) = '1'
@@ -725,8 +725,9 @@ object Relate {
 
     var anyOnBoundary = false
     for (p <- piecesA) {
-      val loc0 = locB(p.mx, p.my)
-      val loc = if (loc0 != 0 && nearAnySeg(ringSegsB, p.mx, p.my)) 0 else loc0
+      // on-boundary is the noder's combinatorial incidence (exact
+      // collinear overlap), not a distance test — see relateAA
+      val loc = if (p.onOther) 0 else locB(p.mx, p.my)
       loc match {
         case 1  => m(II) = '1'
         case 0  => m(IB) = '1'; anyOnBoundary = true
@@ -747,7 +748,7 @@ object Relate {
     // does A cover any/all of B's boundary?
     var ringOff = false
     for (p <- piecesB) {
-      if (!nearAnySeg(segsA, p.mx, p.my)) ringOff = true
+      if (!p.onOther) ringOff = true
     }
     if (ringOff) m(EB) = '1'
     new String(m)
