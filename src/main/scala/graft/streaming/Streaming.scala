@@ -41,6 +41,39 @@ object Streaming {
   final case class CellState(cell: Long, n: Long,
                              xmin: Double, ymin: Double, xmax: Double, ymax: Double)
 
+  /** Streaming exact dedup for ingest pipelines: keep the FIRST
+    * occurrence of each text within the watermark horizon. State is a
+    * 32-byte hash per distinct document, expired by the watermark —
+    * the streaming analogue of Dedup.exactDedup, safe at ingest scale
+    * because state is bounded by (distinct docs per horizon), not by
+    * stream length.
+    */
+  def dedupTextStream(docs: DataFrame, tsCol: String, textCol: String,
+                      watermarkDur: String): DataFrame =
+    docs.withWatermark(tsCol, watermarkDur)
+      .withColumn("__text_sha", sha2(col(textCol), 256))
+      .dropDuplicatesWithinWatermark("__text_sha")
+      .drop("__text_sha")
+
+  /** Stream-static spatial join: windowed per-region counts of
+    * streamed points against a STATIC polygon table — the flagship
+    * PIP job as a stream. The static side is collected/indexed once
+    * (prepared broadcast R-tree probe, a stateless Generator), so the
+    * stream side never shuffles data rows; only the windowed count
+    * aggregate keeps state.
+    */
+  def streamingRegionCounts(points: DataFrame, tsCol: String,
+                            lonCol: String, latCol: String,
+                            regions: DataFrame, geomCol: String, keyCol: String,
+                            windowDur: String, watermarkDur: String): DataFrame = {
+    val tagged = graft.operators.SpatialJoins.broadcastPointKeyJoin(
+      points.withWatermark(tsCol, watermarkDur),
+      col(lonCol), col(latCol), regions, geomCol, keyCol,
+      pred = "contains", outKey = "region_key")
+    tagged.groupBy(window(col(tsCol), windowDur), col("region_key"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def runningCellState(obs: Dataset[CellObs]): Dataset[CellState] = {
     import obs.sparkSession.implicits._
     obs.groupByKey(_.cell)

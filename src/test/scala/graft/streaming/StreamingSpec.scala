@@ -38,6 +38,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 2000L)
   }
 
+  test("streaming exact dedup within watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    // 300 rows over 100 distinct texts -> exactly 100 survivors
+    val batch = spark.range(300).select(
+      col("id"),
+      timestamp_seconds(lit(1704067200L) + col("id")).as("ts"),
+      concat(lit("doc text "), col("id") % 100).as("text"))
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val deduped = Streaming.dedupTextStream(stream, "ts", "text", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = spark.sql("SELECT * FROM dedup_stream")
+    assert(out.count() === 100L)
+    assert(out.select("text").distinct().count() === 100L)
+    // the dedup key column does not leak into the output
+    assert(!out.columns.contains("__text_sha"))
+  }
+
+  test("stream-static broadcast PIP join with windowed region counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pip_stream").toString
+    val batch = spark.range(1000).select(
+      col("id"),
+      timestamp_seconds(lit(1704067200L) + col("id") % 300).as("ts"),
+      ((col("id") % 100).cast("double") / 10.0 - 5.0 + 0.05).as("lon"),
+      ((col("id") % 80).cast("double") / 10.0 - 4.0 + 0.05).as("lat"))
+    batch.write.mode("overwrite").parquet(dir)
+    // two static boxes covering the left / right halves of the domain
+    val regions = Seq(
+      (1L, -5.0, -4.0, 0.0, 4.0),
+      (2L, 0.0, -4.0, 5.0, 4.0)).toDF("rid", "x0", "y0", "x1", "y1")
+      .withColumn("geom", graft.functions.ST.st_makeEnvelope(
+        col("x0"), col("y0"), col("x1"), col("y1")))
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val agg = Streaming.streamingRegionCounts(stream, "ts", "lon", "lat",
+      regions, "geom", "rid", windowDur = "5 minutes", watermarkDur = "10 minutes")
+    // update mode: emit window rows as they accumulate (append would
+    // hold them until the watermark passes each window's end)
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("region_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = spark.sql("SELECT * FROM region_counts")
+    assert(out.count() > 0)
+    // every streamed point lies strictly inside one of the two boxes
+    // (offsets keep them off the shared edge), so counts conserve
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total === 1000L)
+    assert(out.select("region_key").distinct().count() === 2L)
+  }
+
   test("stateful running cell envelope") {
     val obs = Seq(
       Streaming.CellObs(1L, 0.0, 0.0), Streaming.CellObs(1L, 2.0, 3.0),
