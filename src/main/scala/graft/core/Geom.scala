@@ -367,6 +367,14 @@ object Geom {
     new Seqn(out, s.ct)
   })
 
+  /** Round to grid with half-up ties (JTS `PrecisionModel.makePrecise`
+    * / `Math.round` semantics, which the reference's fixed-precision
+    * corpus expectations are computed with; `math.rint`'s half-even
+    * ties diverge on exact .5 coordinates).
+    */
+  @inline def gridRound(v: Double, sc: Double): Double =
+    math.floor(v * sc + 0.5) / sc
+
   /** Snap XY to a base-10 grid with `dp` decimal places
     * (reference: geom/snap_to_grid.go:5-52).
     */
@@ -376,8 +384,8 @@ object Geom {
       val out = s.floats.clone()
       var i = 0
       while (i < out.length) {
-        out(i) = math.rint(out(i) * sc) / sc
-        out(i + 1) = math.rint(out(i + 1) * sc) / sc
+        out(i) = gridRound(out(i), sc)
+        out(i + 1) = gridRound(out(i + 1), sc)
         i += s.stride
       }
       new Seqn(out, s.ct)

@@ -409,39 +409,34 @@ class XmlCorpusSpec extends AnyFunSuite {
   }
 
   test("JTS corpus: snap-rounding overlay at scale 1") {
-    // JTS SR overlays node on the integer grid; our equivalent rounds
-    // the inputs to the grid, overlays, and rounds the result
-    // the *Prec files declare a file-level FIXED precisionModel
-    // (scale 1), so their plain-named ops are fixed-precision too
+    // fixed-precision overlay (SnapRound): hot-pixel SR noding +
+    // collapse extraction. The *Prec files declare a file-level FIXED
+    // precisionModel (scale 1), so their plain-named ops are
+    // fixed-precision too.
     val opNames = Set("intersectionSR", "unionSR", "differenceSR",
       "symDifferenceSR", "symdifferenceSR",
       "intersection", "union", "difference", "symdifference")
     val files = Seq("TestNGOverlayAPrec.xml", "TestNGOverlayLPrec.xml",
       "TestNGOverlayPPrec.xml", "TestOverlayAAPrec.xml", "TestOverlayLAPrec.xml",
       "TestOverlayLLPrec.xml", "TestOverlayPLPrec.xml")
-    val (pass, fail, skip, failures) = run(files, opNames) { (op, a0, b0) =>
+    val (pass, fail, skip, failures) = run(files, opNames) { (op, a, b) =>
       tryParse(op.expected).map { exp =>
         require(op.arg3.trim.isEmpty || op.arg3.trim == "1",
           s"unexpected SR scale ${op.arg3}")
-        val a = Geom.snapToGrid(a0, 0)
-        val b = Geom.snapToGrid(b0, 0)
-        val raw = op.name match {
-          case "intersectionSR" | "intersection" => SetOps.intersection(a, b)
-          case "unionSR" | "union" => SetOps.union(a, b)
-          case "differenceSR" | "difference" => SetOps.difference(a, b)
-          case _ => SetOps.symDifference(a, b)
+        val got = op.name match {
+          case "intersectionSR" | "intersection" => SnapRound.intersection(a, b, 0)
+          case "unionSR" | "union" => SnapRound.union(a, b, 0)
+          case "differenceSR" | "difference" => SnapRound.difference(a, b, 0)
+          case _ => SnapRound.symDifference(a, b, 0)
         }
-        val got = Geom.snapToGrid(raw, 0)
         if (exp.isEmpty || got.isEmpty) exp.isEmpty == got.isEmpty
         else topoEqMixed(got, exp)
       }
     }
     info(s"overlaySR: pass=$pass fail=$fail skip=$skip")
-    // round-inputs -> overlay -> round-result reproduces 67 of the 100
-    // SR cases; the rest need true hot-pixel snap-rounding with
-    // dimensional collapse (spikes -> lines, islands -> holes), a
-    // known gap tracked in SURVEY.md. Ratchet guards the 67.
-    assert(pass >= 67, s"SR overlay corpus regression: pass=$pass fail=$fail")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(pass >= 184 && fail == 0,
+      s"SR overlay corpus regression: pass=$pass fail=$fail")
   }
 
   test("JTS corpus: simplify (Douglas-Peucker) and densify") {
