@@ -1017,6 +1017,37 @@ object SparkEntry {
         .toDF()
         .select(col("url"), md5(col("text")).as("text_md5"),
           col("lon"), col("lat"), col("cell"))
+    }),
+
+    "q82_prec_overlay" -> ((s, d) => {
+      // fixed-precision (snap-rounded) overlay on the 10^-1 grid: two
+      // off-grid rectangles per nation, b overlapping a's top-right
+      // corner. Intersection envelope = grid-rounded corner coords
+      // (exact doubles, same floor(v*10+0.5)/10 on both sides); areas
+      // of the union/difference/symDifference compared as exact
+      // integers of 0.01-units (floor(area*100+0.5) — shoelace vs
+      // product arithmetic agree to ~1e-10, far from the .5 boundary).
+      val k = col("n_nationkey").cast("double")
+      val n = t(s, d, "nation")
+        .withColumn("x0", lit(10.0) + k / 7.0)
+        .withColumn("y0", lit(5.0) + k / 11.0)
+        .withColumn("x1", col("x0") + (lit(5.0) + k / 13.0))
+        .withColumn("y1", col("y0") + (lit(4.0) + k / 17.0))
+        .withColumn("bx0", col("x0") + (lit(3.0) + k / 19.0))
+        .withColumn("by0", col("y0") + (lit(2.0) + k / 23.0))
+        .withColumn("a", st_makeEnvelope(col("x0"), col("y0"), col("x1"), col("y1")))
+        .withColumn("b", st_makeEnvelope(col("bx0"), col("by0"),
+          col("bx0") + 5.0, col("by0") + 4.0))
+        .withColumn("gi", expr("st_intersection_prec(a, b, 1)"))
+      n.select(col("n_nationkey"),
+        st_xmin(col("gi")).as("i_xmin"), st_ymin(col("gi")).as("i_ymin"),
+        st_xmax(col("gi")).as("i_xmax"), st_ymax(col("gi")).as("i_ymax"),
+        floor(st_area(expr("st_union_prec(a, b, 1)")) * 100.0 + 0.5)
+          .cast("long").as("u_area_c"),
+        floor(st_area(expr("st_difference_prec(a, b, 1)")) * 100.0 + 0.5)
+          .cast("long").as("d_area_c"),
+        floor(st_area(expr("st_symdifference_prec(a, b, 1)")) * 100.0 + 0.5)
+          .cast("long").as("sd_area_c"))
     })
   )
 
@@ -1757,7 +1788,44 @@ object SparkEntry {
           |       md5(text) AS text_md5, lon, lat,
           |       least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT))) * 64 +
           |       least(63, greatest(0, CAST(floor((85.0 - lat) / 170.0 * 64) AS BIGINT))) AS cell
-          |FROM d""".stripMargin
+          |FROM d""".stripMargin,
+
+      "q82_prec_overlay" ->
+        """WITH c AS (
+          |  SELECT n_nationkey,
+          |    10.0 + CAST(n_nationkey AS DOUBLE) / 7.0 AS x0,
+          |    5.0 + CAST(n_nationkey AS DOUBLE) / 11.0 AS y0
+          |  FROM nation),
+          |v AS (
+          |  SELECT n_nationkey, x0, y0,
+          |    x0 + (5.0 + CAST(n_nationkey AS DOUBLE) / 13.0) AS x1,
+          |    y0 + (4.0 + CAST(n_nationkey AS DOUBLE) / 17.0) AS y1,
+          |    x0 + (3.0 + CAST(n_nationkey AS DOUBLE) / 19.0) AS bx0,
+          |    y0 + (2.0 + CAST(n_nationkey AS DOUBLE) / 23.0) AS by0
+          |  FROM c),
+          |r AS (
+          |  SELECT n_nationkey,
+          |    floor(x0 * 10.0 + 0.5) / 10.0 AS rx0,
+          |    floor(y0 * 10.0 + 0.5) / 10.0 AS ry0,
+          |    floor(x1 * 10.0 + 0.5) / 10.0 AS rx1,
+          |    floor(y1 * 10.0 + 0.5) / 10.0 AS ry1,
+          |    floor(bx0 * 10.0 + 0.5) / 10.0 AS rbx0,
+          |    floor(by0 * 10.0 + 0.5) / 10.0 AS rby0,
+          |    floor((bx0 + 5.0) * 10.0 + 0.5) / 10.0 AS rbx1,
+          |    floor((by0 + 4.0) * 10.0 + 0.5) / 10.0 AS rby1
+          |  FROM v),
+          |ar AS (
+          |  SELECT n_nationkey, rbx0 AS i_xmin, rby0 AS i_ymin,
+          |    rx1 AS i_xmax, ry1 AS i_ymax,
+          |    (rx1 - rx0) * (ry1 - ry0) AS a_area,
+          |    (rbx1 - rbx0) * (rby1 - rby0) AS b_area,
+          |    (rx1 - rbx0) * (ry1 - rby0) AS i_area
+          |  FROM r)
+          |SELECT n_nationkey, i_xmin, i_ymin, i_xmax, i_ymax,
+          |  CAST(floor((a_area + b_area - i_area) * 100.0 + 0.5) AS BIGINT) AS u_area_c,
+          |  CAST(floor((a_area - i_area) * 100.0 + 0.5) AS BIGINT) AS d_area_c,
+          |  CAST(floor((a_area + b_area - 2 * i_area) * 100.0 + 0.5) AS BIGINT) AS sd_area_c
+          |FROM ar""".stripMargin
     )
   }
 }

@@ -556,6 +556,39 @@ case class StBufferStyled(geom: Expression, dist: Expression, params: Expression
     copy(geom = f, dist = s, params = t)
 }
 
+/** st_{intersection,union,difference,symdifference}_prec(a, b, dp) —
+  * fixed-precision overlay on the 10^-dp grid via hot-pixel
+  * snap-rounding with dimensional-collapse output
+  * (core/SnapRound.scala; JTS fixed-PrecisionModel semantics from the
+  * reference's *Prec xmltest corpus).
+  */
+case class StOverlayPrec(op: String, left: Expression, right: Expression,
+                         dp: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = dp
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = op
+  private val opCode: Int = op match {
+    case "st_intersection_prec" => SnapRound.OpInt
+    case "st_union_prec" => SnapRound.OpUnion
+    case "st_difference_prec" => SnapRound.OpDiff
+    case "st_symdifference_prec" => SnapRound.OpSym
+    case other => throw new IllegalArgumentException(s"unknown prec op $other")
+  }
+  override def nullSafeEval(av: Any, bv: Any, dv: Any): Any = {
+    val a = Wkb.read(av.asInstanceOf[Array[Byte]])
+    val b = Wkb.read(bv.asInstanceOf[Array[Byte]])
+    Wkb.write(SnapRound.overlay(a, b, opCode, GeomOps.numI(dv)))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(left = f, right = s, dp = t)
+}
+
 /** st_clipByBox(geom, xmin, ymin, xmax, ymax) — Sutherland–Hodgman /
   * Liang–Barsky clip, the tile-assignment kernel.
   */

@@ -401,6 +401,9 @@ object ST {
       if (es.length >= 3) StBufferStyled(es(0), es(1), es(2))
       else GeomParamOp("st_buffer", es(0), es(1))
     }
+    for (op <- Seq("st_intersection_prec", "st_union_prec",
+      "st_difference_prec", "st_symdifference_prec"))
+      reg1(op) { es => StOverlayPrec(op, es(0), es(1), es(2)) }
     for (op <- Seq("st_featuregeometry", "st_featureid", "st_featureproperties",
       "st_featureforeignmembers", "st_features"))
       reg1(op) { es => JsonFeatureOp(op, es.head) }
