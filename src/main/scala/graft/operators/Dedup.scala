@@ -79,20 +79,29 @@ object Dedup {
     */
   def jaccardPairsExact(df: DataFrame, textCol: String, keyCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
+    // count-based set algebra: |A ∩ B| = co-occurrence count in the
+    // inverted index (wordShingles is array_distinct'd, so each shingle
+    // contributes once per doc), |A ∪ B| = |A| + |B| − |A ∩ B|. One
+    // equi-join + one groupBy — no distinct-then-rejoin of the shingle
+    // arrays (the previous shape carried the arrays through two extra
+    // shuffles and recomputed them per join side).
     val sh = df.select(col(keyCol).as("__k"),
       TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
-      .repartition(col("__k"))
-    val inv = sh.select(col("__k"), explode(col("__sh")).as("s"))
-    val pairs = inv.as("a").join(inv.as("b"), col("a.s") === col("b.s"))
-      .filter(col("a.__k") < col("b.__k"))
-      .select(col("a.__k").as("key_a"), col("b.__k").as("key_b"))
-      .distinct()
-    pairs
-      .join(sh.select(col("__k").as("key_a"), col("__sh").as("sh_a")), "key_a")
-      .join(sh.select(col("__k").as("key_b"), col("__sh").as("sh_b")), "key_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    val sizes = sh.select(col("__k"), size(col("__sh")).as("__n"))
+    // the index is verification-corpus-sized; persist so the self-join
+    // reads it once instead of recomputing scan+shingle per side
+    // (freed by catalog.clearCache() or executor GC)
+    val inv = sh.select(col("__k"), explode(col("__sh")).as("s")).persist()
+    val co = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.__k") < col("b.__k"))
+      .groupBy(col("a.__k").as("key_a"), col("b.__k").as("key_b"))
+      .agg(count(lit(1)).as("__c"))
+    // the sizes side is one row per doc of the bounded verification
+    // corpus — broadcast keeps the refine shuffle-free
+    co.join(broadcast(sizes.as("na")), col("key_a") === col("na.__k"))
+      .join(broadcast(sizes.as("nb")), col("key_b") === col("nb.__k"))
+      .withColumn("jaccard", col("__c").cast("double") /
+        (col("na.__n") + col("nb.__n") - col("__c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("key_a"), col("key_b"), TextOps.floor6(col("jaccard")).as("jaccard"))
   }
