@@ -629,7 +629,7 @@ final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
   /** Nodes where an A-source segment intersects a B-source segment. */
   val abNodes: mutable.LinkedHashSet[(Double, Double)] = mutable.LinkedHashSet.empty
 
-  var edges: Seq[NodedEdge] = Nil
+  var edges: IndexedSeq[NodedEdge] = IndexedSeq.empty
 
   // ---- eps-snapping node registry (the snapping-noder idea from the
   // reference's fallback ladder, jts OverlayNGRobust): vertices and
@@ -759,7 +759,9 @@ final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
       }
       i += 1
     }
-    edges = seen.values.toSeq
+    // array-backed: Arrangement/overlay index edges(i) in tight loops,
+    // so positional apply must be O(1), not List's O(i)
+    edges = scala.collection.immutable.ArraySeq.unsafeWrapArray(seen.values.toArray)
   }
 
   private def intersectPair(i: Int, j: Int): Unit = {
@@ -815,7 +817,7 @@ final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
   * traversal, hole-contour nesting, face interior points, and dissolve
   * of kept faces into shells + holes.
   */
-final class Arrangement(val edges: Seq[NodedEdge]) {
+final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
   // nodes
   private val nodeId = mutable.HashMap.empty[(Double, Double), Int]
   private val nodeXY = mutable.ArrayBuffer.empty[(Double, Double)]
