@@ -216,21 +216,13 @@ object SnapRound {
     (aw ++ bw).foreach(_.foreach(p =>
       hot += ((Geom.gridRound(p._1, sc), Geom.gridRound(p._2, sc)))))
     val segs = (aw ++ bw).flatMap(w => w.iterator.sliding(2).withPartial(false)
-      .map(s => (s.head, s.last)).toSeq)
-    var i = 0
-    while (i < segs.length) {
-      var j = i + 1
-      while (j < segs.length) {
-        crossingPt(segs(i)._1, segs(i)._2, segs(j)._1, segs(j)._2).foreach { q =>
-          hot += ((Geom.gridRound(q._1, sc), Geom.gridRound(q._2, sc)))
-        }
-        j += 1
-      }
-      i += 1
+      .map(s => (s.head, s.last)).toSeq).toIndexedSeq
+    forEachCrossing(segs) { q =>
+      hot += ((Geom.gridRound(q._1, sc), Geom.gridRound(q._2, sc)))
     }
-    val hotArr = hot.toArray
-    val aR = aw.map(w => srRoundWalk(w, hotArr, sc)).filter(_.length >= 2)
-    val bR = bw.map(w => srRoundWalk(w, hotArr, sc)).filter(_.length >= 2)
+    val hotIdx = new HotIndex(hot.toArray, sc)
+    val aR = aw.map(w => srRoundWalk(w, hotIdx, sc)).filter(_.length >= 2)
+    val bR = bw.map(w => srRoundWalk(w, hotIdx, sc)).filter(_.length >= 2)
     if (aR.isEmpty || bR.isEmpty) {
       val ga = walksGeom(aR); val gb = walksGeom(bR)
       return op match {
@@ -302,33 +294,53 @@ object SnapRound {
   }
 
   /** Hot pixel set: rounded vertices plus rounded pairwise crossings of
-    * the combined precise linework.
+    * the combined precise linework. Crossings come from an R-tree
+    * candidate sweep, not all pairs, so cost is O(S log S + k).
     */
   private def hotPixels(walks: Seq[IndexedSeq[Pt]], sc: Double): Array[Pt] = {
     val hot = mutable.LinkedHashSet.empty[Pt]
     walks.foreach(_.foreach(p =>
       hot += ((Geom.gridRound(p._1, sc), Geom.gridRound(p._2, sc)))))
     val segs = walks.flatMap(w => w.iterator.sliding(2).withPartial(false)
-      .map(s => (s.head, s.last)).toSeq)
+      .map(s => (s.head, s.last)).toSeq).toIndexedSeq
+    forEachCrossing(segs) { q =>
+      hot += ((Geom.gridRound(q._1, sc), Geom.gridRound(q._2, sc)))
+    }
+    hot.toArray
+  }
+
+  /** Visit the proper/touching crossing point of every intersecting
+    * segment pair, using an R-tree over segment envelopes to prune.
+    */
+  private def forEachCrossing(segs: IndexedSeq[(Pt, Pt)])(f: Pt => Unit): Unit = {
+    val n = segs.length
+    if (n < 2) return
+    val envs = new Array[Env](n)
     var i = 0
-    while (i < segs.length) {
-      var j = i + 1
-      while (j < segs.length) {
-        crossingPt(segs(i)._1, segs(i)._2, segs(j)._1, segs(j)._2).foreach { q =>
-          hot += ((Geom.gridRound(q._1, sc), Geom.gridRound(q._2, sc)))
-        }
-        j += 1
+    while (i < n) {
+      val (p, q) = segs(i)
+      envs(i) = Env(math.min(p._1, q._1), math.min(p._2, q._2),
+        math.max(p._1, q._1), math.max(p._2, q._2))
+      i += 1
+    }
+    val tree = RTree.bulkLoad(envs)
+    i = 0
+    while (i < n) {
+      val (p, q) = segs(i)
+      tree.rangeSearch(envs(i)) { j =>
+        if (j > i) crossingPt(p, q, segs(j)._1, segs(j)._2).foreach(f)
+        true
       }
       i += 1
     }
-    hot.toArray
   }
 
   /** SR-round every coordinate sequence of g through the hot pixels,
     * preserving structure (rings stay closed because their closing
     * point rounds identically).
     */
-  private def srRoundGeom(g: Geom, hot: Array[Pt], sc: Double): Geom =
+  private def srRoundGeom(g: Geom, hot: Array[Pt], sc: Double): Geom = {
+    val hotIdx = new HotIndex(hot, sc)
     Geom.transformSeq(g, s => {
       val w = mutable.ArrayBuffer.empty[Pt]
       var i = 0
@@ -342,13 +354,14 @@ object SnapRound {
         if (w.nonEmpty) { arr(0) = Geom.gridRound(w(0)._1, sc); arr(1) = Geom.gridRound(w(0)._2, sc) }
         new Seqn(arr, CT.XY)
       } else {
-        val r = srRoundWalk(w.toIndexedSeq, hot, sc)
+        val r = srRoundWalk(w.toIndexedSeq, hotIdx, sc)
         val arr = new Array[Double](r.length * 2)
         var k = 0
         while (k < r.length) { arr(2 * k) = r(k)._1; arr(2 * k + 1) = r(k)._2; k += 1 }
         new Seqn(arr, CT.XY)
       }
     })
+  }
 
   private def ringWalks(g: Geom): Seq[IndexedSeq[Pt]] = {
     val out = mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
@@ -399,8 +412,21 @@ object SnapRound {
   /** Round a precise polyline through the hot pixels its segments
     * cross, in order along each segment.
     */
-  private def srRoundWalk(w: IndexedSeq[Pt], hot: Array[Pt], sc: Double): IndexedSeq[Pt] = {
-    val half = 0.5 / sc
+  /** R-tree over hot-pixel squares so each segment only tests the
+    * pixels its envelope can reach (was a full scan per segment).
+    */
+  private final class HotIndex(val pts: Array[Pt], sc: Double) {
+    val half: Double = 0.5 / sc
+    private val tree: RTree =
+      if (pts.length == 0) null
+      else RTree.bulkLoad(pts.map(h =>
+        Env(h._1 - half, h._2 - half, h._1 + half, h._2 + half)))
+    def candidates(e: Env)(f: Int => Unit): Unit =
+      if (tree != null) tree.rangeSearch(e) { i => f(i); true }
+  }
+
+  private def srRoundWalk(w: IndexedSeq[Pt], hot: HotIndex, sc: Double): IndexedSeq[Pt] = {
+    val half = hot.half
     val out = mutable.ArrayBuffer.empty[Pt]
     def add(p: Pt): Unit = if (out.isEmpty || out.last != p) out += p
     var i = 0
@@ -408,7 +434,10 @@ object SnapRound {
       val p = w(i); val q = w(i + 1)
       add((Geom.gridRound(p._1, sc), Geom.gridRound(p._2, sc)))
       val hits = mutable.ArrayBuffer.empty[(Double, Pt)]
-      hot.foreach { h =>
+      val segEnv = Env(math.min(p._1, q._1), math.min(p._2, q._2),
+        math.max(p._1, q._1), math.max(p._2, q._2))
+      hot.candidates(segEnv) { hi =>
+        val h = hot.pts(hi)
         boxClipT(p, q, h._1 - half, h._2 - half, h._1 + half, h._2 + half)
           .foreach(t => hits += ((t, h)))
       }
