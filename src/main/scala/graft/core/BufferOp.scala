@@ -91,10 +91,244 @@ object BufferOp {
       if (g.dimension < 2) return GPoly(Array.empty, CT.XY)
       return erode(g, -dist, st)
     }
+    if (st.cap == CapRound && st.join == JoinRound) {
+      val r = tryArrangementBuffer(g, dist, st.quadSegs, grow = true)
+      if (r != null) return r
+    }
     val pieces = mutable.ArrayBuffer.empty[Geom]
     collectPieces(g, dist, st, pieces)
     if (pieces.isEmpty) GPoly(Array.empty, CT.XY)
     else SetOps.unionMany(pieces.toSeq)
+  }
+
+  // ------------------------------------------- arrangement buffer core
+
+  /** Round-style buffer via ONE planar arrangement instead of a union
+    * of per-segment/per-vertex pieces (whose pairwise overlaps make
+    * the piece union O(n * d/segLen) — quadratic when the buffer
+    * distance spans many segments).
+    *
+    * The boundary of {p : dist(p, g) <= d} is contained in the "raw
+    * offset linework": per-segment parallels at distance d, plus arcs
+    * around vertices where the corner opens on the offset side, plus
+    * cap/endpoint circles. So: emit that linework, node it, build the
+    * face arrangement, and keep each face iff its interior point is in
+    * the buffer (inside g, or within d of g's boundary — both O(log n)
+    * with a prepared locator / segment R-tree). Faces cannot straddle
+    * the d-contour because the contour is covered by the linework.
+    * Same idea as JTS's raw-offset-curve + labeling buffer, re-derived
+    * on this engine's arrangement; join/cap styles other than round
+    * are not distance-characterised and keep the piece path.
+    *
+    * Returns null when the result fails cheap area sanity (caller
+    * falls back to the piece path).
+    */
+  private def tryArrangementBuffer(g: Geom, d: Double, qs: Int,
+                                   grow: Boolean): Geom =
+    try {
+      val r = arrangementBuffer(g, d, qs, grow)
+      // cheap sanity: grow must cover g's area; erode must not exceed it
+      val gA = Measure.area(g)
+      val rA = Measure.area(r)
+      val e = g.envelope
+      val tol = 1e-9 * math.max(gA, d * d) + java.lang.Double.MIN_NORMAL
+      val envOk = {
+        val re = r.envelope
+        re.isEmpty || (re.xmin >= e.xmin - d - tol && re.ymin >= e.ymin - d - tol &&
+          re.xmax <= e.xmax + d + tol && re.ymax <= e.ymax + d + tol)
+      }
+      val areaOk =
+        if (grow) rA >= gA - tol && !r.isEmpty
+        else rA <= gA + tol
+      if (envOk && areaOk) r else null
+    } catch { case _: Exception => null }
+
+  private[core] def arrangementBuffer(g: Geom, d: Double, qs: Int,
+                                grow: Boolean): Geom = {
+    // ---- boundary segments of g (for distance classification);
+    // points contribute degenerate segments
+    val bs = mutable.ArrayBuffer.empty[Array[Double]]
+    def addSeq(s: Seqn): Unit = {
+      var i = 0
+      while (i < s.n - 1) {
+        bs += Array(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1))
+        i += 1
+      }
+      if (s.n == 1) bs += Array(s.x(0), s.y(0), s.x(0), s.y(0))
+    }
+    def walkB(x: Geom): Unit = x match {
+      case p: GPoint if !p.isEmpty => bs += Array(p.x, p.y, p.x, p.y)
+      case GMPoint(ps, _) => ps.foreach(walkB)
+      case GLine(s) => addSeq(s)
+      case GMLine(ls, _) => ls.foreach(addSeq)
+      case GPoly(rs, _) => rs.foreach(addSeq)
+      case GMPoly(ps, _) => ps.foreach(_.foreach(addSeq))
+      case GColl(cs, _) => cs.foreach(walkB)
+      case _ => ()
+    }
+    walkB(g)
+    if (bs.isEmpty) return GPoly(Array.empty, CT.XY)
+    val bsegs = bs.toArray
+    val benvs = bsegs.map(s => Env(math.min(s(0), s(2)), math.min(s(1), s(3)),
+      math.max(s(0), s(2)), math.max(s(1), s(3))))
+    val btree = RTree.bulkLoad(benvs)
+    def withinD(px: Double, py: Double): Boolean = {
+      var hit = false
+      btree.rangeSearch(Env(px - d, py - d, px + d, py + d)) { i =>
+        val s = bsegs(i)
+        if (Alg.distPointSeg(px, py, s(0), s(1), s(2), s(3)) <= d) hit = true
+        !hit
+      }
+      hit
+    }
+    val loc =
+      if (g.dimension == 2 && ArealLocator.edgeCount(g) > 0) ArealLocator.build(g)
+      else null
+    def insideG(px: Double, py: Double): Boolean =
+      loc != null && loc.locate(px, py) > 0
+
+    // ---- offset linework
+    val noder = new Noder
+    def emitLine(pts: Array[Double]): Unit =
+      if (pts.length >= 4) noder.addLine(Seqn.xy(pts), srcA = true)
+    def emitArc(cx: Double, cy: Double, a1: Double, sweep: Double): Unit = {
+      val steps = math.max(2, math.ceil(math.abs(sweep) / (math.Pi / 2) * qs).toInt)
+      val arr = new Array[Double]((steps + 1) * 2)
+      var i = 0
+      while (i <= steps) {
+        val a = a1 + sweep * i / steps
+        arr(2 * i) = cx + d * math.cos(a)
+        arr(2 * i + 1) = cy + d * math.sin(a)
+        i += 1
+      }
+      emitLine(arr)
+    }
+    /** Full circle polygonized starting at a0. The start angle MUST be
+      * the normal angle of any attaching parallel: parallel endpoints
+      * lie on the TRUE circle, so they only coincide with circle
+      * vertices (and thus node into the arrangement) when the
+      * polygonization starts there — otherwise the sagitta gap
+      * (r(1-cos(pi/steps))) disconnects the band from its cap.
+      * An even step count makes the antipodal normal a vertex too.
+      */
+    def emitCircle(cx: Double, cy: Double, a0: Double): Unit =
+      emitArc(cx, cy, a0, 2 * math.Pi)
+
+    /** Offset one walk. closed: ring (first==last). sides: +1 left of
+      * travel, -1 right, 0 both (open lines). For rings the caller
+      * picks the single offset side.
+      */
+    def offsetWalk(s: Seqn, closed: Boolean, side: Int): Unit = {
+      val n = s.n
+      if (n < 2) { if (n == 1) emitCircle(s.x(0), s.y(0), 0.0); return }
+      val sides = if (side == 0) Seq(1.0, -1.0) else Seq(side.toDouble)
+      var headUx = Double.NaN; var headUy = Double.NaN
+      var tailUx = Double.NaN; var tailUy = Double.NaN
+      for (sg <- sides) {
+        var prevUx = Double.NaN; var prevUy = Double.NaN
+        var firstUx = Double.NaN; var firstUy = Double.NaN
+        var i = 0
+        while (i < n - 1) {
+          val x1 = s.x(i); val y1 = s.y(i); val x2 = s.x(i + 1); val y2 = s.y(i + 1)
+          val dx = x2 - x1; val dy = y2 - y1
+          val len = math.hypot(dx, dy)
+          if (len > 0) {
+            val ux = dx / len; val uy = dy / len
+            val nx = -uy * sg * d; val ny = ux * sg * d
+            emitLine(Array(x1 + nx, y1 + ny, x2 + nx, y2 + ny))
+            if (firstUx.isNaN) { firstUx = ux; firstUy = uy }
+            if (!prevUx.isNaN) arcAtVertex(x1, y1, prevUx, prevUy, ux, uy, sg)
+            prevUx = ux; prevUy = uy
+          }
+          i += 1
+        }
+        if (closed && !prevUx.isNaN && !firstUx.isNaN)
+          arcAtVertex(s.x(0), s.y(0), prevUx, prevUy, firstUx, firstUy, sg)
+        headUx = firstUx; headUy = firstUy
+        tailUx = prevUx; tailUy = prevUy
+      }
+      if (!closed) {
+        // round caps: full endpoint circles, polygonized starting at
+        // the attaching parallel's normal angle (see emitCircle); the
+        // extra half lies inside the buffer and only adds kept faces
+        if (!headUx.isNaN)
+          emitCircle(s.x(0), s.y(0), math.atan2(headUx, -headUy))
+        if (!tailUx.isNaN)
+          emitCircle(s.x(n - 1), s.y(n - 1), math.atan2(tailUx, -tailUy))
+      }
+      // all segments degenerate: the walk is a single repeated point
+      if (headUx.isNaN) emitCircle(s.x(0), s.y(0), 0.0)
+    }
+
+    /** Arc around vertex (vx,vy) between incoming direction u1 and
+      * outgoing u2 when the corner opens on offset side sg.
+      */
+    def arcAtVertex(vx: Double, vy: Double,
+                    u1x: Double, u1y: Double, u2x: Double, u2y: Double,
+                    sg: Double): Unit = {
+      val cross = u1x * u2y - u1y * u2x
+      val dot = u1x * u2x + u1y * u2y
+      if (math.abs(cross) < 1e-12) {
+        // spike / fold-back: full circle, anchored at u1's normal so
+        // all four attaching parallel endpoints are circle vertices
+        if (dot < 0) emitCircle(vx, vy, math.atan2(u1x, -u1y))
+        return
+      }
+      if (sg * cross < 0) {
+        // corner opens on the offset side: arc from n1 to n2 (short way)
+        val n1a = math.atan2(u1x * sg, -u1y * sg)
+        val n2a = math.atan2(u2x * sg, -u2y * sg)
+        var sweep = n2a - n1a
+        while (sweep <= -math.Pi) sweep += 2 * math.Pi
+        while (sweep > math.Pi) sweep -= 2 * math.Pi
+        emitArc(vx, vy, n1a, sweep)
+      }
+    }
+
+    def walkO(x: Geom): Unit = x match {
+      case p: GPoint if !p.isEmpty => emitCircle(p.x, p.y, 0.0)
+      case GMPoint(ps, _) => ps.foreach(walkO)
+      case GLine(s) => offsetWalk(s, closed = false, side = 0)
+      case GMLine(ls, _) => ls.foreach(offsetWalk(_, closed = false, side = 0))
+      case GPoly(rs, _) => offsetRings(rs)
+      case GMPoly(ps, _) => ps.foreach(offsetRings)
+      case GColl(cs, _) => cs.foreach(walkO)
+      case _ => ()
+    }
+    def offsetRings(rs: Array[Seqn]): Unit = {
+      var ri = 0
+      while (ri < rs.length) {
+        val r = rs(ri)
+        if (r.n >= 2) {
+          val ccw = Alg.signedRingArea(r) > 0
+          val isHole = ri > 0
+          // grow: offset toward the polygon EXTERIOR (shell: away from
+          // its region; hole: into its region). erode: flipped.
+          val intoRegion = if (grow) isHole else !isHole
+          // region lies LEFT of travel iff ring is CCW
+          val regionSide = if (ccw) 1 else -1
+          val side = if (intoRegion) regionSide else -regionSide
+          offsetWalk(r, closed = true, side = side)
+        } else if (r.n == 1) emitCircle(r.x(0), r.y(0), 0.0)
+        ri += 1
+      }
+    }
+    walkO(g)
+    noder.node()
+    val arr = new Arrangement(noder.edges)
+    arr.build()
+    val kept = new Array[Boolean](arr.nFaces)
+    var f = 0
+    while (f < arr.nFaces) {
+      if (!arr.faceUnbounded(f)) {
+        val (px, py) = arr.faceInteriorPoint(f)
+        kept(f) =
+          if (grow) insideG(px, py) || withinD(px, py)
+          else insideG(px, py) && !withinD(px, py)
+      }
+      f += 1
+    }
+    arr.dissolve(kept)
   }
 
   private def collectPieces(g: Geom, d: Double, st: Style,
@@ -117,6 +351,12 @@ object BufferOp {
     * style shapes the band at reflex corners (convex from inside).
     */
   private def erode(g: Geom, d: Double, st: Style): Geom = {
+    if (st.cap == CapRound && st.join == JoinRound) {
+      val r = tryArrangementBuffer(g, d, st.quadSegs, grow = false)
+      if (r != null) {
+        return if (r.dimension == 2) r else GPoly(Array.empty, CT.XY)
+      }
+    }
     val boundaryPieces = mutable.ArrayBuffer.empty[Geom]
     def rings(x: Geom): Unit = x match {
       case GPoly(rs, _) => rs.foreach(seqPieces(_, d, st, boundaryPieces))

@@ -163,24 +163,7 @@ object SetOps {
     val arealResult: Geom =
       if (polys.isEmpty) GPoly(Array.empty, CT.XY)
       else if (polys.size == 1) polys.head
-      else {
-        // cascaded (balanced-tree) union in envelope-sorted order —
-        // matches the reference's cascaded union inside
-        // OverlayNGRobust_Union: each input participates in O(log n)
-        // overlays instead of O(n) for a linear fold
-        var level = polys.sortBy { p =>
-          val e = p.envelope; (e.xmin, e.ymin)
-        }.toIndexedSeq
-        while (level.size > 1) {
-          level = level.grouped(2).map {
-            case Seq(x, y) =>
-              if (!x.envelope.intersects(y.envelope)) mergeDisjointAreal(x, y)
-              else overlay(x, y, OpUnion)
-            case Seq(x) => x
-          }.toIndexedSeq
-        }
-        level.head
-      }
+      else nAryArealUnionRobust(polys.toIndexedSeq)
 
     val lineResult: Geom =
       if (lines.isEmpty) GLine(Seqn.empty2D)
@@ -206,6 +189,144 @@ object SetOps {
     }
 
     assembleMixed(arealResult, lineResult, pointResult)
+  }
+
+  private[core] def debugNaryRung(polys: IndexedSeq[Geom], f: Double): Geom =
+    nAryArealUnionRung(polys, f)
+  private[core] def debugNarySane(polys: IndexedSeq[Geom], r: Geom, f: Double): Boolean =
+    nAryUnionSane(polys, r, f)
+
+  /** Single-pass n-ary areal union: node ALL input boundaries in one
+    * arrangement and keep the faces covered by at least one input
+    * (inputs located per face interior point through an R-tree over
+    * input envelopes). Each input vertex participates in ONE noding
+    * pass instead of the O(log n) cascaded pairwise overlays — this is
+    * what makes buffer (union of ~2 pieces per input vertex) and large
+    * st_union_agg groups near-linear.
+    */
+  private def nAryArealUnionRung(polys: IndexedSeq[Geom],
+                                 epsFactor: Double): Geom = {
+    val noder = new Noder(epsFactor)
+    polys.foreach(p => addRingsOf(noder, p, srcA = true))
+    noder.node()
+    val arr = new Arrangement(noder.edges)
+    arr.build()
+    val envs = new Array[Env](polys.length)
+    val locs = new Array[ArealLocator](polys.length)
+    var i = 0
+    while (i < polys.length) {
+      envs(i) = polys(i).envelope
+      // prepared locator for big inputs only: tiny capsule pieces are
+      // cheaper to ray-cast directly than to index
+      if (ArealLocator.edgeCount(polys(i)) >= 32)
+        locs(i) = ArealLocator.build(polys(i))
+      i += 1
+    }
+    val tree = RTree.bulkLoad(envs)
+    val kept = new Array[Boolean](arr.nFaces)
+    var f = 0
+    while (f < arr.nFaces) {
+      if (!arr.faceUnbounded(f)) {
+        val (px, py) = arr.faceInteriorPoint(f)
+        var in = false
+        tree.rangeSearch(Env(px, py, px, py)) { pi =>
+          val loc =
+            if (locs(pi) != null) locs(pi).locate(px, py)
+            else Alg.pointInAreal(polys(pi), px, py)
+          if (loc > 0) { in = true; false }
+          else true
+        }
+        kept(f) = in
+      }
+      f += 1
+    }
+    arr.dissolve(kept)
+  }
+
+  private def nAryUnionSane(polys: IndexedSeq[Geom], r: Geom,
+                            epsFactor: Double): Boolean = {
+    var sumA = 0.0; var maxA = 0.0; var sumP = 0.0; var scale = 0.0
+    def perimeter(g: Geom): Double = g match {
+      case GPoly(rs, _) => rs.iterator.map(Measure.seqLength).sum
+      case GMPoly(ps, _) => ps.iterator.map(_.iterator.map(Measure.seqLength).sum).sum
+      case GColl(cs, _) => cs.iterator.map(perimeter).sum
+      case _ => 0.0
+    }
+    polys.foreach { p =>
+      val a = Measure.area(p)
+      sumA += a; if (a > maxA) maxA = a
+      sumP += perimeter(p)
+      val e = p.envelope
+      if (!e.isEmpty) {
+        scale = math.max(scale, math.max(math.max(math.abs(e.xmin), math.abs(e.xmax)),
+          math.max(math.abs(e.ymin), math.abs(e.ymax))))
+      }
+    }
+    val rA = Measure.area(r)
+    val tol = 4 * epsFactor * scale * sumP + 1e-9 * maxA + java.lang.Double.MIN_NORMAL
+    rA >= maxA - tol && rA <= sumA + tol
+  }
+
+  /** n-ary areal union with the same escalation ladder as the binary
+    * overlay; falls back to the cascaded pairwise union (whose
+    * per-pair ladders localize hard cases) if every rung fails.
+    *
+    * The single-arrangement pass wins when inputs are mostly disjoint
+    * (each vertex noded once instead of O(log n) times) but loses
+    * badly when inputs overlap densely — the shared arrangement then
+    * carries every pairwise crossing at once (O(n * overlap) edges)
+    * where cascaded union dissolves interior detail early. Choose by
+    * envelope-overlap ratio: sum of input envelope areas over the
+    * union envelope's area approximates the mean overlap multiplicity.
+    */
+  private def nAryArealUnionRobust(polys: IndexedSeq[Geom]): Geom = {
+    var sumEnvA = 0.0
+    var uxmin = Double.PositiveInfinity; var uymin = Double.PositiveInfinity
+    var uxmax = Double.NegativeInfinity; var uymax = Double.NegativeInfinity
+    polys.foreach { p =>
+      val e = p.envelope
+      if (!e.isEmpty) {
+        sumEnvA += (e.xmax - e.xmin) * (e.ymax - e.ymin)
+        if (e.xmin < uxmin) uxmin = e.xmin
+        if (e.ymin < uymin) uymin = e.ymin
+        if (e.xmax > uxmax) uxmax = e.xmax
+        if (e.ymax > uymax) uymax = e.ymax
+      }
+    }
+    val unionEnvA = math.max(uxmax - uxmin, 0.0) * math.max(uymax - uymin, 0.0)
+    if (unionEnvA > 0 && sumEnvA > 4.0 * unionEnvA)
+      return cascadedArealUnion(polys)
+    var i = 0
+    while (i < SnapLadder.length) {
+      try {
+        val f = Noder.BaseEpsFactor * SnapLadder(i)
+        val r = nAryArealUnionRung(polys, f)
+        val ok = nAryUnionSane(polys, r, f) &&
+          (i == 0 || r.isEmpty || r.dimension < 2 || Validate.isValid(r))
+        if (ok) return r
+      } catch { case _: Exception => () }
+      i += 1
+    }
+    cascadedArealUnion(polys)
+  }
+
+  /** Cascaded (balanced-tree) pairwise union in envelope-sorted order —
+    * the reference's cascaded-union shape (OverlayNGRobust_Union);
+    * fallback when the single-pass n-ary rung fails sanity.
+    */
+  private def cascadedArealUnion(polys: IndexedSeq[Geom]): Geom = {
+    var level = polys.sortBy { p =>
+      val e = p.envelope; (e.xmin, e.ymin)
+    }.toIndexedSeq
+    while (level.size > 1) {
+      level = level.grouped(2).map {
+        case Seq(x, y) =>
+          if (!x.envelope.intersects(y.envelope)) mergeDisjointAreal(x, y)
+          else overlay(x, y, OpUnion)
+        case Seq(x) => x
+      }.toIndexedSeq
+    }
+    level.head
   }
 
   /** Concatenate two areal geoms with disjoint envelopes into one
@@ -488,14 +609,19 @@ object SetOps {
     val arr = new Arrangement(noder.edges)
     arr.build()
 
-    // classify faces
+    // classify faces — prepared locators when the inputs are big
+    // enough that O(faces x edges) plain ray casts would dominate
+    val locA = if (ArealLocator.edgeCount(a) >= 32) ArealLocator.build(a) else null
+    val locB = if (ArealLocator.edgeCount(b) >= 32) ArealLocator.build(b) else null
     val keptFace = new Array[Boolean](arr.nFaces)
     var f = 0
     while (f < arr.nFaces) {
       if (!arr.faceUnbounded(f)) {
         val (px, py) = arr.faceInteriorPoint(f)
-        val inA = Alg.pointInAreal(a, px, py) > 0
-        val inB = Alg.pointInAreal(b, px, py) > 0
+        val inA = (if (locA != null) locA.locate(px, py)
+                   else Alg.pointInAreal(a, px, py)) > 0
+        val inB = (if (locB != null) locB.locate(px, py)
+                   else Alg.pointInAreal(b, px, py)) > 0
         keptFace(f) = keep(op, inA, inB)
       }
       f += 1
