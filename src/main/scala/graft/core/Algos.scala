@@ -418,36 +418,63 @@ object Simplicity {
     val n = s.n - 1 // segments
     if (n <= 0) return true
     val closed = s.x(0) == s.x(s.n - 1) && s.y(0) == s.y(s.n - 1)
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        if (Alg.segmentsIntersect(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1),
-          s.x(j), s.y(j), s.x(j + 1), s.y(j + 1))) {
-          val adjacent = j == i + 1
-          val closing = closed && i == 0 && j == n - 1
-          if (!adjacent && !closing) return false
-          // adjacent/closing segments must share exactly the one endpoint
-          if (Alg.segmentsCross(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1),
-            s.x(j), s.y(j), s.x(j + 1), s.y(j + 1))) return false
-          // collinear fold-back check
-          val col =
-            Alg.orient(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j), s.y(j)) == 0 &&
-              Alg.orient(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j + 1), s.y(j + 1)) == 0
-          if (col) {
-            val backJ =
-              if (adjacent) Alg.onSegment(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j + 1), s.y(j + 1)) &&
-                (s.x(j + 1) != s.x(i + 1) || s.y(j + 1) != s.y(i + 1))
-              else Alg.onSegment(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j), s.y(j)) &&
-                (s.x(j) != s.x(i) || s.y(j) != s.y(i))
-            if (backJ) return false
-          }
+    def checkPair(i: Int, j: Int): Boolean = {
+      if (Alg.segmentsIntersect(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1),
+        s.x(j), s.y(j), s.x(j + 1), s.y(j + 1))) {
+        val adjacent = j == i + 1
+        val closing = closed && i == 0 && j == n - 1
+        if (!adjacent && !closing) return false
+        // adjacent/closing segments must share exactly the one endpoint
+        if (Alg.segmentsCross(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1),
+          s.x(j), s.y(j), s.x(j + 1), s.y(j + 1))) return false
+        // collinear fold-back check
+        val col =
+          Alg.orient(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j), s.y(j)) == 0 &&
+            Alg.orient(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j + 1), s.y(j + 1)) == 0
+        if (col) {
+          val backJ =
+            if (adjacent) Alg.onSegment(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j + 1), s.y(j + 1)) &&
+              (s.x(j + 1) != s.x(i + 1) || s.y(j + 1) != s.y(i + 1))
+            else Alg.onSegment(s.x(i), s.y(i), s.x(i + 1), s.y(i + 1), s.x(j), s.y(j)) &&
+              (s.x(j) != s.x(i) || s.y(j) != s.y(i))
+          if (backJ) return false
         }
-        j += 1
       }
-      i += 1
+      true
     }
-    true
+    if (n < 32) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          if (!checkPair(i, j)) return false
+          j += 1
+        }
+        i += 1
+      }
+      true
+    } else {
+      // R-tree candidate sweep over segment envelopes (all-pairs loop
+      // was O(n^2) per line)
+      val envs = new Array[Env](n)
+      var i = 0
+      while (i < n) {
+        envs(i) = Env(math.min(s.x(i), s.x(i + 1)), math.min(s.y(i), s.y(i + 1)),
+          math.max(s.x(i), s.x(i + 1)), math.max(s.y(i), s.y(i + 1)))
+        i += 1
+      }
+      val tree = RTree.bulkLoad(envs)
+      var ok = true
+      i = 0
+      while (ok && i < n) {
+        tree.rangeSearch(envs(i)) { j =>
+          if (j > i && !checkPair(i, j)) ok = false
+          ok
+        }
+        i += 1
+      }
+      ok
+    }
   }
 
   /** MultiLineString: all members simple, and member pairs may only

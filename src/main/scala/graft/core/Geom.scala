@@ -32,7 +32,18 @@ final class Seqn(val floats: Array[Double], val ct: Int) {
   /** j-th ordinate of point i (0=x,1=y,2=z-or-m,...). */
   def ord(i: Int, j: Int): Double = floats(i * stride + j)
 
+  // memoized: callers (PIP envelope gates, R-tree loads, relate) ask
+  // repeatedly and the sequence is immutable; recomputing was an O(n)
+  // tax on every single point location
+  @volatile private[this] var envCache: Env = null
   def envelope: Env = {
+    val c = envCache
+    if (c != null) return c
+    val e = computeEnvelope()
+    envCache = e
+    e
+  }
+  private def computeEnvelope(): Env = {
     if (isEmpty) return Env.empty
     var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
     var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity

@@ -645,19 +645,38 @@ object Relate {
     new String(m)
   }
 
+  /** Locate vs a GPoly set: ArealLocator-backed above a size cutoff
+    * (midpoint classification otherwise made relate O(pieces x edges)),
+    * plain best-of-pointInPolygon loop below it.
+    */
+  private final class PolyLocator(polys: Array[GPoly]) {
+    private val indexed: ArealLocator = {
+      var edges = 0
+      polys.foreach(p => edges += ArealLocator.edgeCount(p))
+      if (edges >= 64) ArealLocator.build(GColl(polys.toArray[Geom], CT.XY))
+      else null
+    }
+    def locate(x: Double, y: Double): Int = {
+      if (indexed != null) return indexed.locate(x, y)
+      var best = -1
+      var i = 0
+      while (i < polys.length && best != 1) {
+        val l = Alg.pointInPolygon(polys(i), x, y)
+        if (l > best) best = l
+        i += 1
+      }
+      best
+    }
+  }
+
   private def relatePA(pa: Parts, pb: Parts): String = {
     val sa = ptSet(pa)
     val m = Array.fill(9)('F')
     m(EE) = '2'; m(EI) = '2'; m(EB) = '1'
     var anyOff = false
+    val locB = new PolyLocator(pb.polys)
     for (p <- sa) {
-      var loc = -1
-      var i = 0
-      while (i < pb.polys.length && loc != 1) {
-        val l = Alg.pointInPolygon(pb.polys(i), p._1, p._2)
-        if (l > loc) loc = l
-        i += 1
-      }
+      val loc = locB.locate(p._1, p._2)
       if (loc == 1) m(II) = '0'
       else if (loc == 0) m(IB) = '0'
       else anyOff = true
@@ -712,16 +731,8 @@ object Relate {
     val m = Array.fill(9)('F')
     m(EE) = '2'; m(EI) = '2'
 
-    def locB(x: Double, y: Double): Int = {
-      var best = -1
-      var i = 0
-      while (i < pb.polys.length && best != 1) {
-        val l = Alg.pointInPolygon(pb.polys(i), x, y)
-        if (l > best) best = l
-        i += 1
-      }
-      best
-    }
+    val bLocator = new PolyLocator(pb.polys)
+    def locB(x: Double, y: Double): Int = bLocator.locate(x, y)
 
     var anyOnBoundary = false
     for (p <- piecesA) {
@@ -768,22 +779,17 @@ object Relate {
     // both swallows genuinely-thin slivers (TestRelateAA-big: interior
     // thinner than any tolerance) and is still needed nowhere else,
     // because non-overlap piece midpoints sit strictly between nodes
-    def locIn(p: Piece, polys: Array[GPoly]): Int = {
+    val locatorA = new PolyLocator(pa.polys)
+    val locatorB = new PolyLocator(pb.polys)
+    def locIn(p: Piece, loc: PolyLocator): Int = {
       if (p.onOther) return 0
-      var best = -1
-      var i = 0
-      while (i < polys.length && best != 1) {
-        val l = Alg.pointInPolygon(polys(i), p.mx, p.my)
-        if (l > best) best = l
-        i += 1
-      }
-      best
+      loc.locate(p.mx, p.my)
     }
 
     var aIn = false; var aOn = false; var aOut = false
     var onSameSide = false; var onOppSide = false
     for (p <- piecesA) {
-      locIn(p, pb.polys) match {
+      locIn(p, locatorB) match {
         case 1 => aIn = true
         case -1 => aOut = true
         case 0 =>
@@ -798,7 +804,7 @@ object Relate {
     }
     var bIn = false; var bOut = false
     for (p <- piecesB) {
-      locIn(p, pa.polys) match {
+      locIn(p, locatorA) match {
         case 1 => bIn = true
         case -1 => bOut = true
         case 0 =>

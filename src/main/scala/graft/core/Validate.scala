@@ -88,38 +88,63 @@ object Validate {
     */
   private def ringIsSimple(r: Seqn): Boolean = {
     val n = r.n - 1 // number of segments
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val adjacent = j == i + 1 || (i == 0 && j == n - 1)
-        val hit = Alg.segmentsIntersect(
-          r.x(i), r.y(i), r.x(i + 1), r.y(i + 1),
-          r.x(j), r.y(j), r.x(j + 1), r.y(j + 1))
-        if (hit) {
-          if (!adjacent) return false
-          // adjacent: must touch exactly at the shared endpoint
-          val (sx, sy) = if (j == i + 1) (r.x(j), r.y(j)) else (r.x(0), r.y(0))
-          // a shared point is fine; any overlap (collinear spike) is not
-          val collinear =
-            Alg.orient(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1), r.x(j), r.y(j)) == 0 &&
-              Alg.orient(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1), r.x(j + 1), r.y(j + 1)) == 0
-          if (collinear) {
-            // spikes fold back: the non-shared endpoint of one segment
-            // must not lie on the other segment
-            val backJ = Alg.onSegment(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1),
-              r.x(if (j == i + 1) j + 1 else j), r.y(if (j == i + 1) j + 1 else j))
-            val backI = Alg.onSegment(r.x(j), r.y(j), r.x(j + 1), r.y(j + 1),
-              r.x(if (j == i + 1) i else i + 1), r.y(if (j == i + 1) i else i + 1))
-            if (backJ || backI) return false
-          }
-          val _ = (sx, sy)
+    def checkPair(i: Int, j: Int): Boolean = {
+      val adjacent = j == i + 1 || (i == 0 && j == n - 1)
+      val hit = Alg.segmentsIntersect(
+        r.x(i), r.y(i), r.x(i + 1), r.y(i + 1),
+        r.x(j), r.y(j), r.x(j + 1), r.y(j + 1))
+      if (hit) {
+        if (!adjacent) return false
+        // adjacent: a shared point is fine; any overlap (collinear
+        // spike) is not
+        val collinear =
+          Alg.orient(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1), r.x(j), r.y(j)) == 0 &&
+            Alg.orient(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1), r.x(j + 1), r.y(j + 1)) == 0
+        if (collinear) {
+          // spikes fold back: the non-shared endpoint of one segment
+          // must not lie on the other segment
+          val backJ = Alg.onSegment(r.x(i), r.y(i), r.x(i + 1), r.y(i + 1),
+            r.x(if (j == i + 1) j + 1 else j), r.y(if (j == i + 1) j + 1 else j))
+          val backI = Alg.onSegment(r.x(j), r.y(j), r.x(j + 1), r.y(j + 1),
+            r.x(if (j == i + 1) i else i + 1), r.y(if (j == i + 1) i else i + 1))
+          if (backJ || backI) return false
         }
-        j += 1
       }
-      i += 1
+      true
     }
-    true
+    if (n < 32) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          if (!checkPair(i, j)) return false
+          j += 1
+        }
+        i += 1
+      }
+      true
+    } else {
+      // R-tree candidate sweep: only envelope-overlapping pairs can
+      // intersect (the all-pairs loop was O(n^2) per ring)
+      val envs = new Array[Env](n)
+      var i = 0
+      while (i < n) {
+        envs(i) = Env(math.min(r.x(i), r.x(i + 1)), math.min(r.y(i), r.y(i + 1)),
+          math.max(r.x(i), r.x(i + 1)), math.max(r.y(i), r.y(i + 1)))
+        i += 1
+      }
+      val tree = RTree.bulkLoad(envs)
+      var ok = true
+      i = 0
+      while (ok && i < n) {
+        tree.rangeSearch(envs(i)) { j =>
+          if (j > i && !checkPair(i, j)) ok = false
+          ok
+        }
+        i += 1
+      }
+      ok
+    }
   }
 
   /** Polygon rules (reference: geom/type_polygon.go:42-150): rings
