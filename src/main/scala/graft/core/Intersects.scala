@@ -185,17 +185,36 @@ object Intersects {
       i += 1
     }
     val tree = RTree.bulkLoad(envs)
-    var best = Double.PositiveInfinity
 
-    def itemDist(rid: Int, px: Double, py: Double, isSeg: Boolean,
-                 qx2: Double, qy2: Double): Double = {
+    val pPts = probe.pts.length / 2
+    val pSegs = probe.segs.length / 4
+    val penvs = new Array[Env](pPts + pSegs)
+    i = 0
+    while (i < pPts) { penvs(i) = Env.ofPt(probe.pts(2 * i), probe.pts(2 * i + 1)); i += 1 }
+    i = 0
+    while (i < pSegs) {
+      val o = i * 4
+      penvs(pPts + i) = Env(
+        math.min(probe.segs(o), probe.segs(o + 2)), math.min(probe.segs(o + 1), probe.segs(o + 3)),
+        math.max(probe.segs(o), probe.segs(o + 2)), math.max(probe.segs(o + 1), probe.segs(o + 3)))
+      i += 1
+    }
+    val ptree = RTree.bulkLoad(penvs)
+
+    var best = Double.PositiveInfinity
+    def pairDist(pid: Int, rid: Int): Double = {
+      val pIsSeg = pid >= pPts
+      val px = if (pIsSeg) probe.segs((pid - pPts) * 4) else probe.pts(2 * pid)
+      val py = if (pIsSeg) probe.segs((pid - pPts) * 4 + 1) else probe.pts(2 * pid + 1)
+      val qx2 = if (pIsSeg) probe.segs((pid - pPts) * 4 + 2) else 0.0
+      val qy2 = if (pIsSeg) probe.segs((pid - pPts) * 4 + 3) else 0.0
       if (rid < nPts) {
         val bx = build.pts(2 * rid); val by = build.pts(2 * rid + 1)
-        if (isSeg) Alg.distPointSeg(bx, by, px, py, qx2, qy2)
+        if (pIsSeg) Alg.distPointSeg(bx, by, px, py, qx2, qy2)
         else Alg.distPointPoint(px, py, bx, by)
       } else {
         val o = (rid - nPts) * 4
-        if (isSeg)
+        if (pIsSeg)
           Alg.distSegSeg(px, py, qx2, qy2,
             build.segs(o), build.segs(o + 1), build.segs(o + 2), build.segs(o + 3))
         else
@@ -203,36 +222,16 @@ object Intersects {
             build.segs(o), build.segs(o + 1), build.segs(o + 2), build.segs(o + 3))
       }
     }
-
-    // probe points
-    i = 0
-    while (i < probe.pts.length) {
-      val px = probe.pts(i); val py = probe.pts(i + 1)
-      tree.prioritySearch(Env.ofPt(px, py)) { (rid, d2) =>
-        if (math.sqrt(d2) >= best) false
-        else {
-          val d = itemDist(rid, px, py, isSeg = false, 0, 0)
-          if (d < best) best = d
-          true
-        }
+    // dual-tree best-first: item pairs arrive by increasing envelope
+    // distance; once that lower bound reaches best, nothing closer
+    // remains anywhere in either tree
+    ptree.nearestPairSearch(tree) { (pid, rid, d2) =>
+      if (math.sqrt(d2) >= best) false
+      else {
+        val d = pairDist(pid, rid)
+        if (d < best) best = d
+        true
       }
-      i += 2
-    }
-    // probe segments
-    i = 0
-    while (i < probe.segs.length) {
-      val x1 = probe.segs(i); val y1 = probe.segs(i + 1)
-      val x2 = probe.segs(i + 2); val y2 = probe.segs(i + 3)
-      val e = Env(math.min(x1, x2), math.min(y1, y2), math.max(x1, x2), math.max(y1, y2))
-      tree.prioritySearch(e) { (rid, d2) =>
-        if (math.sqrt(d2) >= best) false
-        else {
-          val d = itemDist(rid, x1, y1, isSeg = true, x2, y2)
-          if (d < best) best = d
-          true
-        }
-      }
-      i += 4
     }
     Some(best)
   }

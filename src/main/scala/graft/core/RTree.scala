@@ -110,32 +110,154 @@ final class RTree private (
     */
   def prioritySearch(e: Env)(cb: (Int, Double) => Boolean): Unit = {
     if (isEmpty) return
-    // entries: dist -> (isLeafRecord, index)
-    case class Entry(dist: Double, leafRec: Int, node: Int)
-    implicit val ord: Ordering[Entry] = Ordering.by[Entry, Double](_.dist).reverse
-    val pq = mutable.PriorityQueue.empty[Entry]
-    pq.enqueue(Entry(boxBoxDist(root * 4, e, boxes), -1, root))
-    while (pq.nonEmpty) {
-      val h = pq.dequeue()
-      if (h.leafRec >= 0) {
-        if (!cb(recIds(h.leafRec), h.dist)) return
+    // primitive min-heap: dists + packed ids (leaf records encoded as
+    // ~idx). A boxed PriorityQueue[Entry] here allocated per enqueue
+    // and dominated wall time when callers probe once per row/segment.
+    var cap = 64
+    var hd = new Array[Double](cap)
+    var hi = new Array[Int](cap)
+    var hn = 0
+    def push(d: Double, id: Int): Unit = {
+      if (hn == cap) {
+        cap *= 2
+        hd = java.util.Arrays.copyOf(hd, cap)
+        hi = java.util.Arrays.copyOf(hi, cap)
+      }
+      var c = hn; hn += 1
+      hd(c) = d; hi(c) = id
+      while (c > 0) {
+        val p = (c - 1) >> 1
+        if (hd(p) <= hd(c)) return
+        val td = hd(p); hd(p) = hd(c); hd(c) = td
+        val ti = hi(p); hi(p) = hi(c); hi(c) = ti
+        c = p
+      }
+    }
+    def pop(): Unit = {
+      hn -= 1
+      hd(0) = hd(hn); hi(0) = hi(hn)
+      var c = 0
+      while (true) {
+        val l = 2 * c + 1; val r = l + 1
+        var m = c
+        if (l < hn && hd(l) < hd(m)) m = l
+        if (r < hn && hd(r) < hd(m)) m = r
+        if (m == c) return
+        val td = hd(m); hd(m) = hd(c); hd(c) = td
+        val ti = hi(m); hi(m) = hi(c); hi(c) = ti
+        c = m
+      }
+    }
+    push(boxBoxDist(root * 4, e, boxes), root)
+    while (hn > 0) {
+      val dist = hd(0); val id = hi(0)
+      pop()
+      if (id < 0) {
+        if (!cb(recIds(~id), dist)) return
       } else {
-        val n = h.node
-        val fc = firstChild(n)
+        val fc = firstChild(id)
         if (fc < 0) {
           val start = -fc - 1
           var i = 0
-          while (i < childCount(n)) {
-            pq.enqueue(Entry(boxBoxDist((start + i) * 4, e, leafBoxes), start + i, -1))
+          while (i < childCount(id)) {
+            push(boxBoxDist((start + i) * 4, e, leafBoxes), ~(start + i))
             i += 1
           }
         } else {
           var i = 0
-          while (i < childCount(n)) {
-            pq.enqueue(Entry(boxBoxDist((fc + i) * 4, e, boxes), -1, fc + i))
+          while (i < childCount(id)) {
+            push(boxBoxDist((fc + i) * 4, e, boxes), fc + i)
             i += 1
           }
         }
+      }
+    }
+  }
+  /** Dual-tree best-first nearest-pair traversal: visits record pairs
+    * (thisRec, otherRec) in nondecreasing order of squared box-to-box
+    * distance. Callback returns false to stop. O(log) node-pair
+    * expansions to reach the closest pair — the per-probe loop this
+    * replaces in distance() was O(n log m).
+    */
+  def nearestPairSearch(other: RTree)(cb: (Int, Int, Double) => Boolean): Unit = {
+    if (isEmpty || other.isEmpty) return
+    def box(t: RTree, id: Int): (Array[Double], Int) =
+      if (id < 0) (t.leafBoxes, (~id) * 4) else (t.boxes, id * 4)
+    def dist2(idA: Int, idB: Int): Double = {
+      val (aArr, a) = box(this, idA)
+      val (bArr, b) = box(other, idB)
+      val dx = math.max(0.0, math.max(aArr(a) - bArr(b + 2), bArr(b) - aArr(a + 2)))
+      val dy = math.max(0.0, math.max(aArr(a + 1) - bArr(b + 3), bArr(b + 1) - aArr(a + 3)))
+      dx * dx + dy * dy
+    }
+    var cap = 64
+    var hd = new Array[Double](cap)
+    var ha = new Array[Int](cap)
+    var hb = new Array[Int](cap)
+    var hn = 0
+    def push(d: Double, ia: Int, ib: Int): Unit = {
+      if (hn == cap) {
+        cap *= 2
+        hd = java.util.Arrays.copyOf(hd, cap)
+        ha = java.util.Arrays.copyOf(ha, cap)
+        hb = java.util.Arrays.copyOf(hb, cap)
+      }
+      var c = hn; hn += 1
+      hd(c) = d; ha(c) = ia; hb(c) = ib
+      while (c > 0) {
+        val p = (c - 1) >> 1
+        if (hd(p) <= hd(c)) return
+        val td = hd(p); hd(p) = hd(c); hd(c) = td
+        var t = ha(p); ha(p) = ha(c); ha(c) = t
+        t = hb(p); hb(p) = hb(c); hb(c) = t
+        c = p
+      }
+    }
+    def pop(): Unit = {
+      hn -= 1
+      hd(0) = hd(hn); ha(0) = ha(hn); hb(0) = hb(hn)
+      var c = 0
+      while (true) {
+        val l = 2 * c + 1; val r = l + 1
+        var m = c
+        if (l < hn && hd(l) < hd(m)) m = l
+        if (r < hn && hd(r) < hd(m)) m = r
+        if (m == c) return
+        val td = hd(m); hd(m) = hd(c); hd(c) = td
+        var t = ha(m); ha(m) = ha(c); ha(c) = t
+        t = hb(m); hb(m) = hb(c); hb(c) = t
+        c = m
+      }
+    }
+    def children(t: RTree, id: Int)(f: Int => Unit): Unit = {
+      val fc = t.firstChild(id)
+      if (fc < 0) {
+        val start = -fc - 1
+        var i = 0
+        while (i < t.childCount(id)) { f(~(start + i)); i += 1 }
+      } else {
+        var i = 0
+        while (i < t.childCount(id)) { f(fc + i); i += 1 }
+      }
+    }
+    def area(t: RTree, id: Int): Double = {
+      val (arr, b) = box(t, id)
+      (arr(b + 2) - arr(b)) * (arr(b + 3) - arr(b + 1))
+    }
+    push(dist2(root, other.root), root, other.root)
+    while (hn > 0) {
+      val d = hd(0); val ia = ha(0); val ib = hb(0)
+      pop()
+      if (ia < 0 && ib < 0) {
+        if (!cb(recIds(~ia), other.recIds(~ib), d)) return
+      } else {
+        // expand the non-leaf side with the larger box
+        val expandA =
+          if (ib < 0) true
+          else if (ia < 0) false
+          else area(this, ia) >= area(other, ib)
+        if (expandA) children(this, ia)(c => push(dist2(c, ib), c, ib))
+        else children(other, ib)(c => push(dist2(ia, c), ia, c))
       }
     }
   }
