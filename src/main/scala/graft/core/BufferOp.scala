@@ -2,11 +2,18 @@ package graft.core
 
 import scala.collection.mutable
 
-/** Buffer (Minkowski sum with a disc) re-expressed on top of the
-  * arrangement overlay: the buffer of a geometry is the union of
-  * per-piece primitive buffers — a cap/join piece per vertex and an
-  * oriented rectangle per segment — dissolved by SetOps' cascaded
-  * union.
+/** Buffer (Minkowski sum with a disc).
+  *
+  * Round caps + round joins (the default, and the only styles whose
+  * region is distance-characterised) run through ONE planar
+  * arrangement of the raw offset linework with distance-classified
+  * faces — see [[tryArrangementBuffer]] — which is near-linear in
+  * vertex count. All other style combinations use the piece union:
+  * a cap/join piece per vertex and an oriented rectangle per segment,
+  * dissolved by SetOps' union (quadratic when the buffer distance
+  * spans many segments, but those styles are used on small
+  * geometries; the round path also falls back here on sanity
+  * failure).
   *
   * Style surface mirrors the reference's option set
   * (geom/alg_buffer.go:24-124): quadrant segments, end caps
@@ -16,11 +23,12 @@ import scala.collection.mutable
   * distance sign (positive = left) and forces flat caps, as the
   * reference documents.
   *
-  * Join pieces only fill the CONVEX side of each turn — on the concave
-  * side the two segment rectangles overlap and their union boundary is
-  * already the exact offset intersection (which is also why erosion
-  * corners stay sharp regardless of join style: the inner band
-  * boundary comes from rectangle overlap, not join fill).
+  * In the piece path, join pieces only fill the CONVEX side of each
+  * turn — on the concave side the two segment rectangles overlap and
+  * their union boundary is already the exact offset intersection
+  * (which is also why erosion corners stay sharp regardless of join
+  * style: the inner band boundary comes from rectangle overlap, not
+  * join fill).
   */
 object BufferOp {
 
