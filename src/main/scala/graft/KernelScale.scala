@@ -34,6 +34,14 @@ object KernelScale {
     s
   }
   def main(args: Array[String]): Unit = {
+    // global JIT warm-up at a small size so the first timed op of the
+    // sweep doesn't carry interpreter/C1 cost for the whole stack
+    for (_ <- 0 until 20) {
+      val wp = poly(0, 256); val wl = zig(256)
+      BufferOp.buffer(wp, 0.1); BufferOp.buffer(wl, 0.05)
+      Relate.relate(wp, poly(0.5, 256)); Validate.isValid(wp)
+      Simplicity.isSimple(wl); Intersects.distance(wp, poly(3.0, 256))
+    }
     for (pow <- Seq(10, 12, 14)) {
       val n = 1 << pow
       val p = poly(0, n); val p2 = poly(0.5, n); val l = zig(n)
