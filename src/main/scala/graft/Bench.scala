@@ -85,7 +85,11 @@ object Bench {
     // 160M pages ≈ 6 GB parquet: big enough that per-job fixed cost
     // (AQE stage scheduling, action latency, broadcast) stays a small
     // fraction of wall time at the hi level
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "160000000").toLong
+    // default sized so ONE cold run (write tables + query suite + a
+    // full interleaved scaling round) fits the wall budget: at 160M
+    // pages a cold round finished at 1654 s > budget; 100M brings the
+    // 2-core random samples (the long pole) under ~100 s each
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "100000000").toLong
 
     def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     // cumulative state for the incremental JSON line
@@ -256,7 +260,9 @@ object Bench {
         val effClustered = (loSecsC / hiSecsC) / coreRatio
         val rateHi = nPages / hiSecs; val rateLo = nPages / loSecs
         val gateNote =
-          if (math.max(efficiency, effClustered) >= 0.8)
+          if (math.min(efficiency, effClustered) >= 0.8)
+            f"gate >= 0.8: **met on both layouts** (conservative ${math.min(efficiency, effClustered)}%.3f; efficiencies above 1.0 are lo-level noise residue, see below)"
+          else if (math.max(efficiency, effClustered) >= 0.8)
             f"gate >= 0.8: **met** on the ${if (effClustered >= efficiency) "clustered" else "random"} layout"
           else
             f"gate >= 0.8: **NOT met** (best ${math.max(efficiency, effClustered)}%.3f)"
@@ -329,8 +335,16 @@ object Bench {
     }
 
     emitLine()
-    if (md.nonEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
+    if (md.nonEmpty) {
+      // preserve the hand-maintained sections (single-thread microbench
+      // vs the reference, kernel scaling) across regeneration
+      val staticPath = java.nio.file.Paths.get("BENCH_STATIC.md")
+      val staticMd =
+        if (java.nio.file.Files.exists(staticPath))
+          "\n" + java.nio.file.Files.readString(staticPath)
+        else ""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md + staticMd)
+    }
     System.err.println(f"[bench] done at ${elapsed()}%.0f s (budget $budgetSecs)")
   }
 }
