@@ -764,8 +764,15 @@ final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
   // independently-computed coordinates (e.g. r*cos(pi/2) = 9e-17 vs an
   // exact 0) would otherwise open in the arrangement.
   private var eps = 0.0
-  private val snapGrid =
-    mutable.HashMap.empty[(Long, Long), mutable.ArrayBuffer[(Double, Double)]]
+  // cell -> interleaved x,y point list, keyed by a MIXED hash of the
+  // (ix, iy) cell (LongMap, no boxed tuple keys — the snap registry is
+  // the hottest allocation site of the whole overlay). Hash collisions
+  // between distinct cells are harmless: candidates are accepted only
+  // by the exact |dx|,|dy| <= eps comparison.
+  private val snapGrid = mutable.LongMap.empty[mutable.ArrayBuffer[Double]]
+
+  @inline private def cellKey(ix: Long, iy: Long): Long =
+    ix * 0x9E3779B97F4A7C15L ^ java.lang.Long.rotateLeft(iy * 0xC2B2AE3D27D4EB4FL, 31)
 
   private def snap(x0: Double, y0: Double): (Double, Double) = {
     val x = x0 + 0.0; val y = y0 + 0.0 // normalize -0.0
@@ -775,22 +782,23 @@ final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
     while (dx <= 1) {
       var dy = -1
       while (dy <= 1) {
-        val lst = snapGrid.getOrElse((ix + dx, iy + dy), null)
+        val lst = snapGrid.getOrNull(cellKey(ix + dx, iy + dy))
         if (lst != null) {
           var k = 0
           while (k < lst.length) {
-            val p = lst(k)
-            if (math.abs(p._1 - x) <= eps && math.abs(p._2 - y) <= eps) return p
-            k += 1
+            val px = lst(k); val py = lst(k + 1)
+            if (math.abs(px - x) <= eps && math.abs(py - y) <= eps)
+              return (px, py)
+            k += 2
           }
         }
         dy += 1
       }
       dx += 1
     }
-    val p = (x, y)
-    snapGrid.getOrElseUpdate((ix, iy), mutable.ArrayBuffer.empty) += p
-    p
+    val lst = snapGrid.getOrElseUpdate(cellKey(ix, iy), mutable.ArrayBuffer.empty[Double])
+    lst += x; lst += y
+    (x, y)
   }
 
   def addLine(s: Seqn, srcA: Boolean): Unit = {
@@ -1078,18 +1086,25 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
     val ccwByArea = ccw.sortBy(contourArea(_)) // ascending: tightest first
     cw.foreach { c =>
       val (px, py) = probePoint(c)
+      // contours reachable from c through a twin half-edge: c walks the
+      // OTHER side of (part of) their boundary. c can never be a hole
+      // of such a contour — a hole lies strictly inside its container,
+      // not along its edges. The probe-point test alone is fragile
+      // here: the probe is an edge midpoint whose rounded coordinates
+      // may fall a hair inside the twin ring, which would nest a closed
+      // curve's outside walk as a hole of its own inside face and
+      // collapse the face to an empty annulus.
+      val twinCs = contours(c).iterator.map(h => contourOf(twin(h))).toSet
       var assigned = false
       var k = 0
       while (!assigned && k < ccwByArea.length) {
         val cc = ccwByArea(k)
-        if (contourArea(cc) > math.abs(contourArea(c)) - 1e-300) {
+        if (contourArea(cc) > math.abs(contourArea(c)) - 1e-300 &&
+            !twinCs.contains(cc)) {
           val ring = ringSeqn(contourPts(cc))
           // strict containment of the probe midpoint; a midpoint can't
           // lie on the containing contour (edges are noded & deduped)
           if (Alg.pointInRing(ring, px, py) > 0 && contourOf.nonEmpty) {
-            // also require the CW contour not to BE the reverse walk of
-            // the same edges (a contour never contains itself: its own
-            // edge midpoints lie ON the ring, not inside)
             contourFace(c) = faceOfCcw(cc)
             faceContours(faceOfCcw(cc)) += c
             assigned = true
