@@ -1083,7 +1083,30 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
     // nest CW contours: smallest |area| CCW contour whose ring strictly
     // contains a probe point of the CW contour
     val cw = (0 until nc).filter(contourArea(_) <= 0)
-    val ccwByArea = ccw.sortBy(contourArea(_)) // ascending: tightest first
+    // R-tree over the CCW contours' envelopes: a CW contour can only
+    // nest into a CCW contour whose envelope contains its probe point.
+    // (A linear scan of all larger CCW contours with an O(ring)
+    // containment test each made n-ary union of scattered polygons —
+    // st_union_agg's shape — quadratic in part count.)
+    val ccwArr = ccw.toArray
+    val ccwEnvs = new Array[Env](ccwArr.length)
+    var ci = 0
+    while (ci < ccwArr.length) {
+      val hs = contours(ccwArr(ci))
+      var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+      var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+      var hi = 0
+      while (hi < hs.length) {
+        val (x, y) = nodeXY(heFrom(hs(hi)))
+        if (x < xmin) xmin = x; if (x > xmax) xmax = x
+        if (y < ymin) ymin = y; if (y > ymax) ymax = y
+        hi += 1
+      }
+      ccwEnvs(ci) = Env(xmin, ymin, xmax, ymax)
+      ci += 1
+    }
+    val ccwTree = RTree.bulkLoad(ccwEnvs)
+    val ringCache = new Array[Seqn](ccwArr.length)
     cw.foreach { c =>
       val (px, py) = probePoint(c)
       // contours reachable from c through a twin half-edge: c walks the
@@ -1095,24 +1118,28 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
       // curve's outside walk as a hole of its own inside face and
       // collapse the face to an empty annulus.
       val twinCs = contours(c).iterator.map(h => contourOf(twin(h))).toSet
-      var assigned = false
-      var k = 0
-      while (!assigned && k < ccwByArea.length) {
-        val cc = ccwByArea(k)
-        if (contourArea(cc) > math.abs(contourArea(c)) - 1e-300 &&
-            !twinCs.contains(cc)) {
-          val ring = ringSeqn(contourPts(cc))
+      val cAbs = math.abs(contourArea(c))
+      // tightest strictly-containing CCW contour (same semantics as the
+      // previous ascending-area scan: smallest containing area wins)
+      var bestCc = -1
+      var bestArea = Double.PositiveInfinity
+      ccwTree.rangeSearch(Env(px, py, px, py)) { k =>
+        val cc = ccwArr(k)
+        val a = contourArea(cc)
+        if (a > cAbs - 1e-300 && a < bestArea && !twinCs.contains(cc)) {
+          if (ringCache(k) == null) ringCache(k) = ringSeqn(contourPts(cc))
           // strict containment of the probe midpoint; a midpoint can't
           // lie on the containing contour (edges are noded & deduped)
-          if (Alg.pointInRing(ring, px, py) > 0 && contourOf.nonEmpty) {
-            contourFace(c) = faceOfCcw(cc)
-            faceContours(faceOfCcw(cc)) += c
-            assigned = true
+          if (Alg.pointInRing(ringCache(k), px, py) > 0) {
+            bestCc = cc; bestArea = a
           }
         }
-        k += 1
+        true
       }
-      if (!assigned) { contourFace(c) = 0; faceContours(0) += c }
+      if (bestCc >= 0) {
+        contourFace(c) = faceOfCcw(bestCc)
+        faceContours(faceOfCcw(bestCc)) += c
+      } else { contourFace(c) = 0; faceContours(0) += c }
     }
   }
 
