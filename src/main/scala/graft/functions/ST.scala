@@ -298,6 +298,20 @@ object ST {
     def pack(ws: Seq[Array[Byte]]): Array[Byte] =
       ws.foldLeft(Array.emptyByteArray)(append)
     def count(buf: Array[Byte]): Int = if (buf.length == 0) 0 else readInt(buf, 4)
+    /** Payload bytes of the largest packed entry (0 for empty). */
+    def maxEntryBytes(buf: Array[Byte]): Int = {
+      if (buf.length == 0) return 0
+      val end = 8 + used(buf)
+      var p = 8
+      var best = 0
+      while (p < end) {
+        val n = readInt(buf, p)
+        if (n > best) best = n
+        p += 4 + n
+      }
+      best
+    }
+    def usedBytes(buf: Array[Byte]): Int = used(buf)
     /** Unsigned-lexicographic byte compare — deterministic order
       * without serializing to WKT (O(prefix) vs O(total coords)).
       */
@@ -443,15 +457,25 @@ object ST {
       val gs = WkbPack.unpack(buf).map(Wkb.read)
       WkbPack.pack(Seq(Wkb.write(SetOps.unionMany(gs))))
     }
+    // Doubling-merge policy: collapsing on a fixed count re-nodes the
+    // accumulated partial every `batch` rows — O(n^2/batch) per group.
+    // Collapse only when the pending raw bytes rival the largest entry
+    // (the previous partial), so each partial participates in O(log n)
+    // collapses; memory stays within ~2x the collapsed-result size.
+    private def shouldCollapse(buf: Array[Byte]): Boolean = {
+      val c = WkbPack.count(buf)
+      c >= batch &&
+        WkbPack.usedBytes(buf) - 4 * c >= 2 * WkbPack.maxEntryBytes(buf)
+    }
     def zero: Array[Byte] = Array.emptyByteArray
     def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] = {
       if (wkb == null || wkb.isEmpty) return buf
       val next = WkbPack.append(buf, wkb)
-      if (WkbPack.count(next) >= batch) collapse(next) else next
+      if (shouldCollapse(next)) collapse(next) else next
     }
     def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
       val next = WkbPack.concat(a, b)
-      if (WkbPack.count(next) >= batch) collapse(next) else next
+      if (shouldCollapse(next)) collapse(next) else next
     }
     def finish(buf: Array[Byte]): Array[Byte] =
       if (buf.isEmpty) Wkb.write(Geom.emptyGC)
