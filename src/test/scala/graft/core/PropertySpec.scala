@@ -14,8 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class PropertySpec extends AnyFunSuite {
 
   private def check(name: String, prop: Prop, n: Int = 300): Unit = {
+    // GRAFT_PROP_N overrides the per-property case count for one-off
+    // deep fuzz runs (e.g. GRAFT_PROP_N=10000 sbt "testOnly *PropertySpec")
+    val nEff = sys.env.get("GRAFT_PROP_N").map(_.toInt).getOrElse(n)
     val params = SCTest.Parameters.default
-      .withMinSuccessfulTests(n)
+      .withMinSuccessfulTests(nEff)
       .withInitialSeed(Seed(42L))
       .withWorkers(1)
     val res = SCTest.check(params, prop)
