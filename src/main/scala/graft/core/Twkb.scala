@@ -59,6 +59,19 @@ object Twkb {
       out
     }
     def signed(): Long = unzigzag(unsigned())
+    /** Element count validated against remaining input: each element
+      * consumes at least `minBytesPerItem` bytes, so a count exceeding
+      * remaining/min is corrupt — reject BEFORE any allocation sized
+      * by it (hostile input could otherwise demand a multi-GB array).
+      */
+    def boundedCount(minBytesPerItem: Int): Int = {
+      val n = unsigned()
+      val remaining = (bytes.length - pos).toLong
+      if (n < 0 || n > remaining / math.max(1, minBytesPerItem))
+        throw new ParseException(
+          s"TWKB element count $n exceeds remaining input ($remaining bytes)")
+      n.toInt
+    }
   }
 
   // ------------------------------------------------------------- write
@@ -269,7 +282,7 @@ object Twkb {
       if (hasM) { lastM += r.signed(); out += lastM / scaleM }
     }
     def readSeq(closeRing: Boolean): Seqn = {
-      val n = r.unsigned().toInt
+      val n = r.boundedCount(stride) // >= 1 varint byte per ordinate
       val out = new ArrayBuffer[Double](stride * (n + 1))
       var i = 0
       while (i < n) { readPt(out); i += 1 }
@@ -295,37 +308,37 @@ object Twkb {
       case 3 =>
         if (isEmpty) GPoly(Array.empty, ct)
         else {
-          val nr = r.unsigned().toInt
+          val nr = r.boundedCount(1)
           GPoly(Array.fill(nr)(readSeq(closeRing = true)), ct)
         }
       case 4 =>
         if (isEmpty) GMPoint(Array.empty, ct)
         else {
-          val n = r.unsigned().toInt
+          val n = r.boundedCount(1)
           if (hasIds) (0 until n).foreach(_ => r.signed())
           GMPoint(Array.fill(n)(readPoint()), ct)
         }
       case 5 =>
         if (isEmpty) GMLine(Array.empty, ct)
         else {
-          val n = r.unsigned().toInt
+          val n = r.boundedCount(1)
           if (hasIds) (0 until n).foreach(_ => r.signed())
           GMLine(Array.fill(n)(readSeq(closeRing = false)), ct)
         }
       case 6 =>
         if (isEmpty) GMPoly(Array.empty, ct)
         else {
-          val n = r.unsigned().toInt
+          val n = r.boundedCount(1)
           if (hasIds) (0 until n).foreach(_ => r.signed())
           GMPoly(Array.fill(n) {
-            val nr = r.unsigned().toInt
+            val nr = r.boundedCount(1)
             Array.fill(nr)(readSeq(closeRing = true))
           }, ct)
         }
       case 7 =>
         if (isEmpty) GColl(Array.empty, ct)
         else {
-          val n = r.unsigned().toInt
+          val n = r.boundedCount(1)
           if (hasIds) (0 until n).foreach(_ => r.signed())
           val children = Array.fill[Geom](n)(readGeom(r))
           val cct = children.map(_.ct).reduceOption { (a, b) =>
