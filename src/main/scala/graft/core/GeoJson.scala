@@ -17,6 +17,11 @@ object GeoJson {
   sealed trait J
   final case class JObj(fields: Map[String, J]) extends J
   final case class JArr(items: Vector[J]) extends J
+  /** Specialized all-numeric array (coordinate positions): parsed
+    * straight into a double array with no per-number JNum boxes or
+    * Vector cells — geometry coordinates dominate GeoJSON ingest cost.
+    */
+  final case class JNumArr(xs: Array[Double]) extends J
   final case class JStr(s: String) extends J
   final case class JNum(d: Double) extends J
   final case class JBool(b: Boolean) extends J
@@ -62,28 +67,60 @@ object GeoJson {
           JObj(m.toMap)
         case '[' =>
           i += 1
-          val b = Vector.newBuilder[J]
           skipWs()
-          if (!eof && s.charAt(i) == ']') { i += 1; return JArr(b.result()) }
-          var done = false
-          while (!done) {
-            b += value()
-            skipWs()
-            if (!eof && s.charAt(i) == ',') i += 1
-            else { expect(']'); done = true }
+          if (!eof && s.charAt(i) == ']') { i += 1; return JArr(Vector.empty) }
+          val c0 = if (eof) ' ' else s.charAt(i)
+          if (c0 == '-' || c0 == '+' || c0 == '.' || (c0 >= '0' && c0 <= '9')) {
+            // numeric fast path; degrades to the generic loop if a
+            // non-number element appears (legal in properties/foreign
+            // members, never in coordinates)
+            val nb = new mutable.ArrayBuilder.ofDouble
+            while (true) {
+              skipWs()
+              val c = if (eof) ' ' else s.charAt(i)
+              if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+                nb += number()
+                skipWs()
+                if (!eof && s.charAt(i) == ',') i += 1
+                else { expect(']'); return JNumArr(nb.result()) }
+              } else {
+                val vb = Vector.newBuilder[J]
+                nb.result().foreach(d => vb += JNum(d))
+                var gdone = false
+                while (!gdone) {
+                  vb += value()
+                  skipWs()
+                  if (!eof && s.charAt(i) == ',') i += 1
+                  else { expect(']'); gdone = true }
+                }
+                return JArr(vb.result())
+              }
+            }
+            JNumArr(nb.result()) // unreachable
+          } else {
+            val b = Vector.newBuilder[J]
+            var done = false
+            while (!done) {
+              b += value()
+              skipWs()
+              if (!eof && s.charAt(i) == ',') i += 1
+              else { expect(']'); done = true }
+            }
+            JArr(b.result())
           }
-          JArr(b.result())
         case '"' => JStr(str())
         case 't' => if (s.startsWith("true", i)) { i += 4; JBool(true) } else err("bad literal")
         case 'f' => if (s.startsWith("false", i)) { i += 5; JBool(false) } else err("bad literal")
         case 'n' => if (s.startsWith("null", i)) { i += 4; JNull } else err("bad literal")
-        case _ =>
-          val st = i
-          if (s.charAt(i) == '-') i += 1
-          while (!eof && (Character.isDigit(s.charAt(i)) || "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
-          try JNum(java.lang.Double.parseDouble(s.substring(st, i)))
-          catch { case _: NumberFormatException => err("bad number") }
+        case _ => JNum(number())
       }
+    }
+    private def number(): Double = {
+      val st = i
+      if (s.charAt(i) == '-') i += 1
+      while (!eof && (Character.isDigit(s.charAt(i)) || "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
+      try java.lang.Double.parseDouble(s.substring(st, i))
+      catch { case _: NumberFormatException => err("bad number") }
     }
     private def str(): String = {
       skipWs()
@@ -165,16 +202,21 @@ object GeoJson {
 
   private def asArr(j: J): JArr = j match {
     case a: JArr => a
+    case JNumArr(xs) => JArr(xs.toVector.map(JNum(_)))
     case _ => throw new ParseException("expected array")
   }
 
-  private def posFrom(j: J): Array[Double] = {
-    val a = asArr(j)
-    if (a.items.length < 2) throw new ParseException("position needs >=2 ordinates")
-    a.items.take(3).map {
-      case JNum(d) => d
-      case _ => throw new ParseException("position ordinates must be numbers")
-    }.toArray
+  private def posFrom(j: J): Array[Double] = j match {
+    case JNumArr(xs) =>
+      if (xs.length < 2) throw new ParseException("position needs >=2 ordinates")
+      if (xs.length <= 3) xs else xs.take(3)
+    case _ =>
+      val a = asArr(j)
+      if (a.items.length < 2) throw new ParseException("position needs >=2 ordinates")
+      a.items.take(3).map {
+        case JNum(d) => d
+        case _ => throw new ParseException("position ordinates must be numbers")
+      }.toArray
   }
 
   private def pointFrom(j: J): GPoint = {
@@ -333,6 +375,11 @@ object GeoJson {
       case JNull => sb.append("null")
       case JBool(b) => sb.append(b)
       case JNum(d) => sb.append(Wkt.fmt(d))
+      case JNumArr(xs) =>
+        sb.append('[')
+        var first = true
+        xs.foreach { d => if (!first) sb.append(','); first = false; sb.append(Wkt.fmt(d)) }
+        sb.append(']')
       case JStr(x) => esc(x)
       case JArr(items) =>
         sb.append('[')
