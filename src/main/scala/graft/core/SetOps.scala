@@ -866,8 +866,20 @@ final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
       i += 1
     }
 
-    // split + dedupe
-    val seen = mutable.LinkedHashMap.empty[(Double, Double, Double, Double), NodedEdge]
+    // split + dedupe: edges land in an insertion-ordered buffer (the
+    // arrangement's half-edge ids, contour order, and ultimately ring
+    // start points depend on it) indexed by a LongMap of mixed
+    // coordinate-bit hashes — no boxed tuple4 key per sub-segment;
+    // hash collisions resolved by exact coordinate comparison
+    val edgeBuf = mutable.ArrayBuffer.empty[NodedEdge]
+    val edgeIdx = mutable.LongMap.empty[mutable.ArrayBuffer[Int]]
+    def edgeKey(ax: Double, ay: Double, bx: Double, by: Double): Long = {
+      var h = java.lang.Double.doubleToLongBits(ax) * 0x9E3779B97F4A7C15L
+      h ^= java.lang.Long.rotateLeft(java.lang.Double.doubleToLongBits(ay) * 0xC2B2AE3D27D4EB4FL, 17)
+      h ^= java.lang.Long.rotateLeft(java.lang.Double.doubleToLongBits(bx) * 0x165667B19E3779F9L, 31)
+      h ^= java.lang.Long.rotateLeft(java.lang.Double.doubleToLongBits(by) * 0x27D4EB2F165667C5L, 47)
+      h
+    }
     i = 0
     while (i < n) {
       val s = segs(i)
@@ -878,15 +890,27 @@ final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
       val pts = ((s(0), s(1)) +: splits(i).distinct.sortBy(p => t(p._1, p._2))) :+ ((s(2), s(3)))
       var k = 0
       while (k < pts.length - 1) {
-        val (ax, ay) = pts(k); val (bx, by) = pts(k + 1)
-        if (ax != bx || ay != by) {
-          val key = if (ax < bx || (ax == bx && ay <= by)) (ax, ay, bx, by) else (bx, by, ax, ay)
-          seen.get(key) match {
-            case Some(e) =>
-              if (segSrcA(i)) e.aSrc = true else e.bSrc = true
-            case None =>
-              seen(key) = NodedEdge(key._1, key._2, key._3, key._4,
-                aSrc = segSrcA(i), bSrc = !segSrcA(i))
+        val (ax0, ay0) = pts(k); val (bx0, by0) = pts(k + 1)
+        if (ax0 != bx0 || ay0 != by0) {
+          val flip = !(ax0 < bx0 || (ax0 == bx0 && ay0 <= by0))
+          val ax = if (flip) bx0 else ax0; val ay = if (flip) by0 else ay0
+          val bx = if (flip) ax0 else bx0; val by = if (flip) ay0 else by0
+          val cands = edgeIdx.getOrElseUpdate(edgeKey(ax, ay, bx, by),
+            mutable.ArrayBuffer.empty[Int])
+          var found = -1
+          var c = 0
+          while (found < 0 && c < cands.length) {
+            val e = edgeBuf(cands(c))
+            if (e.x1 == ax && e.y1 == ay && e.x2 == bx && e.y2 == by) found = cands(c)
+            c += 1
+          }
+          if (found >= 0) {
+            val e = edgeBuf(found)
+            if (segSrcA(i)) e.aSrc = true else e.bSrc = true
+          } else {
+            cands += edgeBuf.length
+            edgeBuf += NodedEdge(ax, ay, bx, by,
+              aSrc = segSrcA(i), bSrc = !segSrcA(i))
           }
         }
         k += 1
@@ -895,7 +919,7 @@ final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
     }
     // array-backed: Arrangement/overlay index edges(i) in tight loops,
     // so positional apply must be O(1), not List's O(i)
-    edges = scala.collection.immutable.ArraySeq.unsafeWrapArray(seen.values.toArray)
+    edges = scala.collection.immutable.ArraySeq.unsafeWrapArray(edgeBuf.toArray)
   }
 
   private def intersectPair(i: Int, j: Int): Unit = {
