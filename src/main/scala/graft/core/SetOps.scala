@@ -633,9 +633,19 @@ object SetOps {
 
     // lower-dimensional intersection output: collinear boundary pieces
     // between A and B not adjacent to a kept face; then isolated touch
-    // points not covered by anything kept
-    val sharedEdges = mutable.ArrayBuffer.empty[NodedEdge]
+    // points not covered by anything kept. Typical clean polygon
+    // intersections have neither — skip the hash-set bookkeeping.
+    var anyShared = false
     var ei = 0
+    while (!anyShared && ei < arr.edges.length) {
+      val e = arr.edges(ei)
+      if (e.aSrc && e.bSrc) anyShared = true
+      ei += 1
+    }
+    if (!anyShared && noder.abNodes.isEmpty) return arealResult
+
+    val sharedEdges = mutable.ArrayBuffer.empty[NodedEdge]
+    ei = 0
     while (ei < arr.edges.length) {
       val e = arr.edges(ei)
       if (e.aSrc && e.bSrc && !keptFace(arr.leftFace(ei)) && !keptFace(arr.rightFace(ei)))
@@ -644,18 +654,29 @@ object SetOps {
     }
     val lineG = linesFromEdges(sharedEdges.toSeq)
 
-    val coveredPts = mutable.HashSet.empty[(Double, Double)]
-    ei = 0
-    while (ei < arr.edges.length) {
-      val e = arr.edges(ei)
-      val keptAdj = keptFace(arr.leftFace(ei)) || keptFace(arr.rightFace(ei)) ||
-        (e.aSrc && e.bSrc)
-      if (keptAdj) {
-        coveredPts += ((e.x1, e.y1)); coveredPts += ((e.x2, e.y2))
+    val touchPts =
+      if (noder.abNodes.isEmpty) Seq.empty[(Double, Double)]
+      else {
+        // abNodes is small (one entry per A-B contact); test edge
+        // endpoints against it instead of building a covered-point set
+        // over every edge endpoint
+        val abSet = noder.abNodes
+        val covered = mutable.HashSet.empty[(Double, Double)]
+        ei = 0
+        while (ei < arr.edges.length && covered.size < abSet.size) {
+          val e = arr.edges(ei)
+          val keptAdj = keptFace(arr.leftFace(ei)) || keptFace(arr.rightFace(ei)) ||
+            (e.aSrc && e.bSrc)
+          if (keptAdj) {
+            val p1 = (e.x1, e.y1)
+            if (abSet.contains(p1)) covered += p1
+            val p2 = (e.x2, e.y2)
+            if (abSet.contains(p2)) covered += p2
+          }
+          ei += 1
+        }
+        abSet.toSeq.filterNot(covered.contains)
       }
-      ei += 1
-    }
-    val touchPts = noder.abNodes.toSeq.filterNot(coveredPts.contains)
     assembleMixed(arealResult, lineG, dedupPoints(touchPts))
   }
 
