@@ -1050,6 +1050,23 @@ object SparkEntry {
           .cast("long").as("d_area_c"),
         floor(st_area(expr("st_symdifference_prec(a, b, 1)")) * 100.0 + 0.5)
           .cast("long").as("sd_area_c"))
+    }),
+
+    "q83_union_agg_scatter" -> ((s, d) => {
+      // st_union_agg over one large scattered group: every event maps
+      // to a 2x2 integer-coordinate box on a 71x71 grid with 3-unit
+      // pitch — distinct cells are disjoint (1-unit gap), colliding
+      // event_ids stack exact duplicates the dissolve must absorb.
+      // Exercises the single-arrangement n-ary union + doubling-merge
+      // aggregator end-to-end; area and part count are exact integers.
+      val e = t(s, d, "events")
+        .withColumn("cx", (col("event_id") % 71).cast("double"))
+        .withColumn("cy", (floor(col("event_id") / 71) % 71).cast("double"))
+        .withColumn("box", st_makeEnvelope(col("cx") * 3.0, col("cy") * 3.0,
+          col("cx") * 3.0 + 2.0, col("cy") * 3.0 + 2.0))
+      e.agg(st_unionAgg(col("box")).as("u"))
+        .select(st_area(col("u")).as("u_area"),
+          st_numGeometries(col("u")).cast("long").as("nparts"))
     })
   )
 
@@ -1791,6 +1808,13 @@ object SparkEntry {
           |       least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT))) * 64 +
           |       least(63, greatest(0, CAST(floor((85.0 - lat) / 170.0 * 64) AS BIGINT))) AS cell
           |FROM d""".stripMargin,
+
+      "q83_union_agg_scatter" ->
+        s"""SELECT CAST(4 * count(*) AS DOUBLE) AS u_area,
+           |       count(*) AS nparts
+           |FROM (SELECT DISTINCT event_id % 71 AS cx,
+           |        CAST(floor(CAST(event_id AS DOUBLE) / 71) AS BIGINT) % 71 AS cy
+           |      FROM events)""".stripMargin,
 
       "q82_prec_overlay" ->
         """WITH c AS (
