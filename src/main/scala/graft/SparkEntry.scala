@@ -1067,6 +1067,31 @@ object SparkEntry {
       e.agg(st_unionAgg(col("box")).as("u"))
         .select(st_area(col("u")).as("u_area"),
           st_numGeometries(col("u")).cast("long").as("nparts"))
+    }),
+
+    "q84_buffer_closed_form" -> ((s, d) => {
+      // round-style buffer of a regular 64-gon: for uniform exterior
+      // angles 2pi/64 every corner arc polygonizes to exactly 2 chords
+      // (emitArc steps = max(2, ceil(sweep/(pi/2)*8))), so the buffer
+      // area has the closed form A + P*d + n*d^2*sin(pi/n) the oracle
+      // recomputes with SQL trig; compared in floor(x*100+0.5) units
+      // (values land >= 0.1 centi-units from every boundary for these
+      // parameters). Exercises the offset-curve arrangement path on a
+      // non-trivial geometry under the driver gate.
+      val n = 64
+      val k = col("n_nationkey").cast("double")
+      val nat = t(s, d, "nation")
+        .withColumn("r", lit(3.0) + k / 7.0)
+        .withColumn("dd", lit(0.5) + k / 50.0)
+        .withColumn("cx", k * 20.0)
+      val pts = (0 to n).map { i =>
+        val a = (i % n).toDouble / n * 2 * math.Pi
+        array(col("cx") + col("r") * math.cos(a), col("r") * math.sin(a))
+      }
+      val poly = nat.withColumn("poly", st_makePolygon(array(array(pts: _*))))
+      poly.select(col("n_nationkey"),
+        floor(st_area(st_buffer(col("poly"), col("dd"))) * 100.0 + 0.5)
+          .cast("long").as("b_area_c"))
     })
   )
 
@@ -1808,6 +1833,15 @@ object SparkEntry {
           |       least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT))) * 64 +
           |       least(63, greatest(0, CAST(floor((85.0 - lat) / 170.0 * 64) AS BIGINT))) AS cell
           |FROM d""".stripMargin,
+
+      "q84_buffer_closed_form" ->
+        s"""SELECT n_nationkey,
+           |  CAST(floor((
+           |    32.0 * (3.0 + CAST(n_nationkey AS DOUBLE)/7.0) * (3.0 + CAST(n_nationkey AS DOUBLE)/7.0) * sin(2*pi()/64)
+           |    + 2.0 * 64 * (3.0 + CAST(n_nationkey AS DOUBLE)/7.0) * sin(pi()/64) * (0.5 + CAST(n_nationkey AS DOUBLE)/50.0)
+           |    + 64 * (0.5 + CAST(n_nationkey AS DOUBLE)/50.0) * (0.5 + CAST(n_nationkey AS DOUBLE)/50.0) * sin(pi()/64)
+           |  ) * 100.0 + 0.5) AS BIGINT) AS b_area_c
+           |FROM nation""".stripMargin,
 
       "q83_union_agg_scatter" ->
         s"""SELECT CAST(4 * count(*) AS DOUBLE) AS u_area,
