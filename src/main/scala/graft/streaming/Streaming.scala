@@ -74,21 +74,38 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
   }
 
-  def runningCellState(obs: Dataset[CellObs]): Dataset[CellState] = {
+  /** Per-cell running envelope/count state. `idleTimeout` (e.g.
+    * "30 minutes") expires cells not seen for that long — the warm
+    * cache stays bounded by ACTIVE cells, not by every cell ever
+    * observed (at web scale a level-12 grid has ~16.7M possible keys;
+    * a long-running ingest would otherwise pin them all in the state
+    * store). None keeps the original keep-forever semantics.
+    */
+  def runningCellState(obs: Dataset[CellObs],
+                       idleTimeout: Option[String] = None): Dataset[CellState] = {
     import obs.sparkSession.implicits._
+    val timeoutKind = idleTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     obs.groupByKey(_.cell)
-      .mapGroupsWithState[CellState, CellState](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[CellState, CellState](timeoutKind) {
         (cell, rows, state: GroupState[CellState]) =>
-          var st = state.getOption.getOrElse(
-            CellState(cell, 0L, Double.MaxValue, Double.MaxValue,
-              -Double.MaxValue, -Double.MaxValue))
-          rows.foreach { o =>
-            st = CellState(cell, st.n + 1,
-              math.min(st.xmin, o.lon), math.min(st.ymin, o.lat),
-              math.max(st.xmax, o.lon), math.max(st.ymax, o.lat))
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            var st = state.getOption.getOrElse(
+              CellState(cell, 0L, Double.MaxValue, Double.MaxValue,
+                -Double.MaxValue, -Double.MaxValue))
+            rows.foreach { o =>
+              st = CellState(cell, st.n + 1,
+                math.min(st.xmin, o.lon), math.min(st.ymin, o.lat),
+                math.max(st.xmax, o.lon), math.max(st.ymax, o.lat))
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            st
           }
-          state.update(st)
-          st
       }
   }
 }
