@@ -998,10 +998,33 @@ final class Noder(epsFactor: Double = Noder.BaseEpsFactor) {
   */
 final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
   // nodes
-  private val nodeId = mutable.HashMap.empty[(Double, Double), Int]
-  private val nodeXY = mutable.ArrayBuffer.empty[(Double, Double)]
+  // node registry: primitive coordinate columns indexed by a LongMap
+  // of mixed coordinate-bit hashes (collisions resolved exactly) — no
+  // boxed tuple key/value per node; nid() runs once per half-edge
+  private val nodeIdx = mutable.LongMap.empty[mutable.ArrayBuffer[Int]]
+  private val nodeXs = mutable.ArrayBuffer.empty[Double]
+  private val nodeYs = mutable.ArrayBuffer.empty[Double]
+  @inline private def nodeX(i: Int): Double = nodeXs(i)
+  @inline private def nodeY(i: Int): Double = nodeYs(i)
+  @inline private def nodeHash(x: Double, y: Double): Long = {
+    var h = java.lang.Double.doubleToLongBits(x) * 0x9E3779B97F4A7C15L
+    h ^= java.lang.Long.rotateLeft(java.lang.Double.doubleToLongBits(y) * 0xC2B2AE3D27D4EB4FL, 31)
+    h
+  }
   private def nid(x: Double, y: Double): Int =
-    nodeId.getOrElseUpdate((x, y), { nodeXY += ((x, y)); nodeXY.length - 1 })
+  {
+    val lst = nodeIdx.getOrElseUpdate(nodeHash(x, y), new mutable.ArrayBuffer[Int](2))
+    var i = 0
+    while (i < lst.length) {
+      val id = lst(i)
+      if (nodeXs(id) == x && nodeYs(id) == y) return id
+      i += 1
+    }
+    val id = nodeXs.length
+    nodeXs += x; nodeYs += y
+    lst += id
+    id
+  }
 
   // half-edges: 2*i = edge i directed (p1->p2), 2*i+1 = (p2->p1)
   private var heFrom: Array[Int] = _
@@ -1030,13 +1053,14 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
       i += 1
     }
     // outgoing half-edges per node, sorted by angle (CCW order)
-    val out = Array.fill(nodeXY.length)(mutable.ArrayBuffer.empty[Int])
+    val out = Array.fill(nodeXs.length)(mutable.ArrayBuffer.empty[Int])
     i = 0
     while (i < 2 * m) { out(heFrom(i)) += i; i += 1 }
     val angle = new Array[Double](2 * m)
     i = 0
     while (i < 2 * m) {
-      val (fx, fy) = nodeXY(heFrom(i)); val (tx, ty) = nodeXY(heTo(i))
+      val fx = nodeX(heFrom(i)); val fy = nodeY(heFrom(i))
+      val tx = nodeX(heTo(i)); val ty = nodeY(heTo(i))
       angle(i) = math.atan2(ty - fy, tx - fx)
       i += 1
     }
@@ -1076,7 +1100,8 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
         // signed area (shoelace over the walked cycle)
         var s = 0.0
         buf.foreach { h2 =>
-          val (x1, y1) = nodeXY(heFrom(h2)); val (x2, y2) = nodeXY(heTo(h2))
+          val x1 = nodeX(heFrom(h2)); val y1 = nodeY(heFrom(h2))
+          val x2 = nodeX(heTo(h2)); val y2 = nodeY(heTo(h2))
           s += x1 * y2 - x2 * y1
         }
         contourArea += s / 2
@@ -1112,18 +1137,19 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
     }
     // ring coords of a contour
     def contourPts(c: Int): Array[(Double, Double)] =
-      contours(c).map(h => nodeXY(heFrom(h)))
+      contours(c).map(h => (nodeX(heFrom(h)), nodeY(heFrom(h))))
     // a point strictly inside contour c's cycle region, for nesting
     def probePoint(c: Int): (Double, Double) = {
       val hs = contours(c)
       var k = 0
       while (k < hs.length) {
         val h = hs(k)
-        val (x1, y1) = nodeXY(heFrom(h)); val (x2, y2) = nodeXY(heTo(h))
+        val x1 = nodeX(heFrom(h)); val y1 = nodeY(heFrom(h))
+        val x2 = nodeX(heTo(h)); val y2 = nodeY(heTo(h))
         val mx = (x1 + x2) / 2; val my = (y1 + y2) / 2
         return (mx, my)
       }
-      nodeXY(heFrom(hs(0)))
+      (nodeX(heFrom(hs(0))), nodeY(heFrom(hs(0))))
     }
     // nest CW contours: smallest |area| CCW contour whose ring strictly
     // contains a probe point of the CW contour
@@ -1142,7 +1168,7 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
       var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
       var hi = 0
       while (hi < hs.length) {
-        val (x, y) = nodeXY(heFrom(hs(hi)))
+        val x = nodeX(heFrom(hs(hi))); val y = nodeY(heFrom(hs(hi)))
         if (x < xmin) xmin = x; if (x > xmax) xmax = x
         if (y < ymin) ymin = y; if (y > ymax) ymax = y
         hi += 1
@@ -1206,9 +1232,10 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
   def faceInteriorPoint(f: Int): (Double, Double) = {
     val cs = faceContours(f)
     val outer = cs.find(contourArea(_) > 0).get
-    val rings = mutable.ArrayBuffer[Seqn](ringSeqn(contours(outer).map(h => nodeXY(heFrom(h)))))
+    val rings = mutable.ArrayBuffer[Seqn](
+      ringSeqn(contours(outer).map(h => (nodeX(heFrom(h)), nodeY(heFrom(h))))))
     cs.filter(_ != outer).foreach { c =>
-      rings += ringSeqn(contours(c).map(h => nodeXY(heFrom(h))))
+      rings += ringSeqn(contours(c).map(h => (nodeX(heFrom(h)), nodeY(heFrom(h)))))
     }
     val poly = GPoly(rings.toArray, CT.XY)
     PointOnSurface.compute(poly) match {
@@ -1218,7 +1245,8 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
         // fallback: centroid of first edge triangle fan — robust enough
         // for degenerate slivers
         val hs = contours(outer)
-        val (x1, y1) = nodeXY(heFrom(hs(0))); val (x2, y2) = nodeXY(heTo(hs(0)))
+        val x1 = nodeX(heFrom(hs(0))); val y1 = nodeY(heFrom(hs(0)))
+        val x2 = nodeX(heTo(hs(0))); val y2 = nodeY(heTo(hs(0)))
         ((x1 + x2) / 2, (y1 + y2) / 2)
     }
   }
@@ -1268,7 +1296,8 @@ final class Arrangement(val edges: IndexedSeq[NodedEdge]) {
         var ok = true
         while (ok && !visited(h)) {
           visited(h) = true
-          val (x1, y1) = nodeXY(heFrom(h)); val (x2, y2) = nodeXY(heTo(h))
+          val x1 = nodeX(heFrom(h)); val y1 = nodeY(heFrom(h))
+          val x2 = nodeX(heTo(h)); val y2 = nodeY(heTo(h))
           pts += ((x1, y1))
           area2 += x1 * y2 - x2 * y1
           h = nextChosen(h)
