@@ -163,6 +163,27 @@ class PlanSpec extends AnyFunSuite {
       s"cellJoin must shuffle once per side (no dedup exchange); found ${sh.size}")
   }
 
+  test("salted cellJoin returns the identical multiset") {
+    // hot-cell skew mitigation must not change results: salting the
+    // left cell key and replicating the right side per bucket is a
+    // pure repartitioning of the same logical join
+    val a = spark.range(300).toDF("ida")
+      .withColumn("ga", st_makeEnvelope(
+        (col("ida") % 10).cast("double"), (col("ida") % 8).cast("double"),
+        (col("ida") % 10).cast("double") + 2.0, (col("ida") % 8).cast("double") + 2.0))
+    val b = spark.range(120).toDF("idb")
+      .withColumn("gb", st_makeEnvelope(
+        (col("idb") % 9).cast("double"), (col("idb") % 7).cast("double"),
+        (col("idb") % 9).cast("double") + 2.5, (col("idb") % 7).cast("double") + 2.5))
+    def run(salt: Int) =
+      SpatialJoins.cellJoin(a, "ga", b, "gb", "intersects",
+        level = 4, leftKeys = Seq("ida"), rightKeys = Seq("idb"),
+        saltBuckets = salt)
+        .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).sorted
+    assert(run(4).sameElements(run(1)),
+      "salted cellJoin result differs from unsalted")
+  }
+
   test("geometry predicates codegen: st_contains filter inside a WholeStageCodegen stage") {
     // GeomBinaryOp implements doGenCode (round-2 judge item #10): the
     // filter containing the predicate must sit inside a *(n) codegen
