@@ -1092,6 +1092,29 @@ object SparkEntry {
       poly.select(col("n_nationkey"),
         floor(st_area(st_buffer(col("poly"), col("dd"))) * 100.0 + 0.5)
           .cast("long").as("b_area_c"))
+    }),
+
+    "q85_subdivide_tiles" -> ((s, d) => {
+      // st_subdivide (PostGIS semantics): the 64-gon splits into
+      // <=16-vertex clip tiles whose areas sum EXACTLY back to the
+      // closed-form polygon area (the halving clips tile the input);
+      // exploded pieces also re-aggregate per key — the join-prep
+      // shape used to bound per-row kernel cost on oversized polygons
+      val n = 64
+      val k = col("n_nationkey").cast("double")
+      val nat = t(s, d, "nation")
+        .withColumn("r", lit(3.0) + k / 7.0)
+        .withColumn("cx", k * 20.0)
+      val pts = (0 to n).map { i =>
+        val a = (i % n).toDouble / n * 2 * math.Pi
+        array(col("cx") + col("r") * math.cos(a), col("r") * math.sin(a))
+      }
+      val poly = nat.withColumn("poly", st_makePolygon(array(array(pts: _*))))
+      poly.select(col("n_nationkey"),
+          explode(st_subdivide(col("poly"), lit(16))).as("piece"))
+        .groupBy(col("n_nationkey"))
+        .agg(floor(sum(st_area(col("piece"))) * 100.0 + 0.5)
+          .cast("long").as("s_area_c"))
     })
   )
 
@@ -1833,6 +1856,13 @@ object SparkEntry {
           |       least(63, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT))) * 64 +
           |       least(63, greatest(0, CAST(floor((85.0 - lat) / 170.0 * 64) AS BIGINT))) AS cell
           |FROM d""".stripMargin,
+
+      "q85_subdivide_tiles" ->
+        s"""SELECT n_nationkey,
+           |  CAST(floor(
+           |    32.0 * (3.0 + CAST(n_nationkey AS DOUBLE)/7.0) * (3.0 + CAST(n_nationkey AS DOUBLE)/7.0) * sin(2*pi()/64)
+           |    * 100.0 + 0.5) AS BIGINT) AS s_area_c
+           |FROM nation""".stripMargin,
 
       "q84_buffer_closed_form" ->
         s"""SELECT n_nationkey,

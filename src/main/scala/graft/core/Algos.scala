@@ -234,6 +234,37 @@ object Algos {
   /** Clip any geometry to a box: polygons via Sutherland–Hodgman, lines
     * via per-segment Liang–Barsky, points by containment test.
     */
+  /** PostGIS-style ST_Subdivide: recursively halve the envelope along
+    * its longer axis (Sutherland-Hodgman clip per half) until every
+    * piece carries at most maxVerts vertices. The standard preparation
+    * step for web-scale spatial joins: per-row kernel cost on
+    * oversized web-extracted polygons becomes bounded, and cell-join
+    * cover keys get tighter (no reference analogue; semantics follow
+    * PostGIS ST_Subdivide, which also emits clipped pieces).
+    */
+  def subdivide(g: Geom, maxVerts: Int): Seq[Geom] = {
+    require(maxVerts >= 8, "st_subdivide requires maxVerts >= 8")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Geom]
+    def go(x: Geom, depth: Int): Unit = {
+      if (x.isEmpty) return
+      // depth cap bounds pathological fractal-ish inputs; 48 halvings
+      // shrink any envelope below double ulp scale
+      if (x.numPoints <= maxVerts || depth >= 48) { out += x; return }
+      val e = x.envelope
+      if (e.xmax - e.xmin >= e.ymax - e.ymin) {
+        val mx = (e.xmin + e.xmax) / 2
+        go(clipToBox(x, Env(e.xmin, e.ymin, mx, e.ymax)), depth + 1)
+        go(clipToBox(x, Env(mx, e.ymin, e.xmax, e.ymax)), depth + 1)
+      } else {
+        val my = (e.ymin + e.ymax) / 2
+        go(clipToBox(x, Env(e.xmin, e.ymin, e.xmax, my)), depth + 1)
+        go(clipToBox(x, Env(e.xmin, my, e.xmax, e.ymax)), depth + 1)
+      }
+    }
+    go(g, 0)
+    out.toSeq
+  }
+
   def clipToBox(g: Geom, box: Env): Geom = g match {
     case p @ GPoint(c, ct) =>
       if (!p.isEmpty && box.containsPt(c(0), c(1))) p else GPoint(Array.emptyDoubleArray, ct)

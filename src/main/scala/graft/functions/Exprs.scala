@@ -609,6 +609,27 @@ case class StClipByBox(children: Seq[Expression]) extends Expression with Codege
     copy(children = cs)
 }
 
+/** st_subdivide(geom, maxVerts) — array of WKB pieces each carrying at
+  * most maxVerts vertices (envelope-halving clips; PostGIS
+  * ST_Subdivide semantics). Pair with explode() to materialize.
+  */
+case class StSubdivide(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.length == 2, "st_subdivide(geom, maxVerts)")
+  override def dataType: DataType = ArrayType(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_subdivide"
+  override def eval(input: InternalRow): Any = {
+    val g = children(0).eval(input)
+    val mv = children(1).eval(input)
+    if (g == null || mv == null) return null
+    val pieces = Algos.subdivide(Wkb.read(g.asInstanceOf[Array[Byte]]),
+      GeomOps.numD(mv).toInt)
+    new GenericArrayData(pieces.map(p => Wkb.write(p): Any).toArray)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_relateMatch(matrix, pattern) — pure string matcher
   * (reference: geom/de9im.go:83-121).
   */

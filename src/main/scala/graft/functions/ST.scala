@@ -154,6 +154,8 @@ object ST {
     col(GeomParamOp("st_interpolatedpoints", ex(c), ex(n)))
   def st_clipByBox(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     col(StClipByBox(Seq(ex(g), ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
+  def st_subdivide(g: Column, maxVerts: Column): Column =
+    col(StSubdivide(Seq(ex(g), ex(maxVerts))))
   def st_project(g: Column, spec: Column): Column = col(StProject(ex(g), ex(spec)))
 
   // ------------------------------------------------------------ tiling
@@ -390,6 +392,7 @@ object ST {
       "st_makemultiline", "st_makemultipolygon"))
       reg1(op) { es => StMakeGeom(op, es) }
     reg1("st_clipbybox") { es => StClipByBox(es) }
+    reg1("st_subdivide") { es => StSubdivide(es) }
     reg1("st_relatematch") { es => StRelateMatch(es(0), es(1)) }
     reg1("st_exactequals") { es => StExactEquals(es) }
     reg1("st_astwkb") { es => StAsTwkb(es(0), es(1)) }
