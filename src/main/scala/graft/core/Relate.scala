@@ -278,7 +278,40 @@ object Relate {
 
   /** Interior side of areal geometry at a boundary point (mx,my) wrt
     * direction (dx,dy): +1 left, -1 right, 0 not found / ambiguous.
+    * Indexed above a size cutoff: relateAA calls this once per
+    * ON-boundary piece, and shared-boundary-heavy pairs (e.g. equal
+    * polygons) have O(n) such pieces — a linear scan each made that
+    * case quadratic.
     */
+  private final class SideIndex(ringSegs: Array[(Seg, Boolean)]) {
+    private val tree =
+      if (ringSegs.length < 32) null
+      else RTree.bulkLoad(ringSegs.map { case (s, _) =>
+        Env(math.min(s.x1, s.x2), math.min(s.y1, s.y2),
+          math.max(s.x1, s.x2), math.max(s.y1, s.y2))
+      })
+    def sideAt(mx: Double, my: Double, dx: Double, dy: Double): Int = {
+      if (tree == null) return interiorSideAt(ringSegs, mx, my, dx, dy)
+      val eps = 1e-9 * math.max(1.0, math.max(math.abs(mx), math.abs(my)))
+      var res = 0
+      tree.rangeSearch(Env(mx - eps, my - eps, mx + eps, my + eps)) { i =>
+        val (s, interiorLeft) = ringSegs(i)
+        if (Alg.distPointSeg(mx, my, s.x1, s.y1, s.x2, s.y2) <= eps) {
+          val sx = s.x2 - s.x1; val sy = s.y2 - s.y1
+          val cross = sx * dy - sy * dx
+          val dot = sx * dx + sy * dy
+          if (math.abs(cross) <= 1e-9 * math.abs(dot) || cross == 0) {
+            val aligned = dot > 0
+            val left = if (aligned) interiorLeft else !interiorLeft
+            res = if (left) 1 else -1
+          }
+        }
+        res == 0
+      }
+      res
+    }
+  }
+
   private def interiorSideAt(ringSegs: Array[(Seg, Boolean)],
                              mx: Double, my: Double, dx: Double, dy: Double): Int = {
     val eps = 1e-9 * math.max(1.0, math.max(math.abs(mx), math.abs(my)))
@@ -781,6 +814,7 @@ object Relate {
     // because non-overlap piece midpoints sit strictly between nodes
     val locatorA = new PolyLocator(pa.polys)
     val locatorB = new PolyLocator(pb.polys)
+    val sideIdxB = new SideIndex(ringsB)
     def locIn(p: Piece, loc: PolyLocator): Int = {
       if (p.onOther) return 0
       loc.locate(p.mx, p.my)
@@ -796,7 +830,7 @@ object Relate {
           aOn = true
           val dx = p.x2 - p.x1; val dy = p.y2 - p.y1
           val sideA = if (p.interiorLeft) 1 else -1
-          val sideB = interiorSideAt(ringsB, p.mx, p.my, dx, dy)
+          val sideB = sideIdxB.sideAt(p.mx, p.my, dx, dy)
           if (sideB != 0) {
             if (sideA == sideB) onSameSide = true else onOppSide = true
           }
