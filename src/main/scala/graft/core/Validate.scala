@@ -162,22 +162,31 @@ object Validate {
     // (reference: geom/type_polygon.go:102-148 + graph.go)
     val touchPoints = mutable.LinkedHashMap.empty[(Double, Double), Int]
     val touchEdges = mutable.LinkedHashSet.empty[(Int, Int)] // (ringId, pointNodeId)
+    // only envelope-overlapping ring pairs can touch — an R-tree over
+    // ring envelopes replaces the all-pairs loop (quadratic for
+    // many-hole polygons, e.g. admin boundaries with thousands of
+    // enclave holes)
+    val ringEnvs = deduped.map(_.envelope)
+    val ringTree = RTree.bulkLoad(ringEnvs)
     var i = 0
-    while (i < deduped.length) {
-      var j = i + 1
-      while (j < deduped.length) {
-        ringPairTouch(deduped(i), deduped(j)) match {
-          case RingPair.Crosses => return Some("polygon rings must not intersect at more than one point")
-          case RingPair.TouchAt(pt) =>
-            val pid = touchPoints.getOrElseUpdate(pt, deduped.length + touchPoints.size)
-            touchEdges += ((i, pid))
-            touchEdges += ((j, pid))
-          case RingPair.NoTouch =>
+    var crossErr = false
+    while (i < deduped.length && !crossErr) {
+      ringTree.rangeSearch(ringEnvs(i)) { j =>
+        if (j > i) {
+          ringPairTouch(deduped(i), deduped(j)) match {
+            case RingPair.Crosses => crossErr = true
+            case RingPair.TouchAt(pt) =>
+              val pid = touchPoints.getOrElseUpdate(pt, deduped.length + touchPoints.size)
+              touchEdges += ((i, pid))
+              touchEdges += ((j, pid))
+            case RingPair.NoTouch =>
+          }
         }
-        j += 1
+        !crossErr
       }
       i += 1
     }
+    if (crossErr) return Some("polygon rings must not intersect at more than one point")
     // holes inside shell
     i = 1
     while (i < deduped.length) {
@@ -197,26 +206,31 @@ object Validate {
     // type_polygon.go:88-98 violateRingNested, extended to scan past
     // shared boundary points)
     i = 1
-    while (i < deduped.length) {
-      var j = 1
-      while (j < deduped.length) {
-        if (i != j && deduped(j).envelope.contains(deduped(i).envelope)) {
+    var nestedErr = false
+    while (i < deduped.length && !nestedErr) {
+      // candidate containers: rings whose envelope covers this hole's
+      // envelope — query the same ring R-tree with the hole's envelope
+      // (a container's envelope must intersect it; the exact
+      // containment check below rejects the rest)
+      ringTree.rangeSearch(ringEnvs(i)) { j =>
+        if (j >= 1 && j != i && ringEnvs(j).contains(ringEnvs(i))) {
           val hi = deduped(i)
           var k = 0
           var decided = false
           while (k < hi.n - 1 && !decided) {
             Alg.pointInRing(deduped(j), hi.x(k), hi.y(k)) match {
-              case 1 => return Some("polygon interior rings must not be nested")
+              case 1 => nestedErr = true; decided = true
               case -1 => decided = true
               case _ => // on boundary, try next vertex
             }
             k += 1
           }
         }
-        j += 1
+        !nestedErr
       }
       i += 1
     }
+    if (nestedErr) return Some("polygon interior rings must not be nested")
     // connectivity: bipartite (ring, touch point) graph must be acyclic
     if (hasCycle(deduped.length + touchPoints.size, touchEdges.toSeq))
       Some("polygon interior must be connected")
