@@ -331,24 +331,29 @@ object Validate {
   private def multiPolyReason(ps: Array[Array[Seqn]], ct: Int): Option[String] = {
     for (rs <- ps if rs.nonEmpty) polyReason(rs).foreach(r => return Some(r))
     val polys = ps.filter(_.nonEmpty).map(rs => GPoly(rs, ct))
+    // R-tree over child envelopes: only overlapping pairs can violate
+    // the disjoint-interiors constraint (all-pairs is quadratic for
+    // many-part multipolygons, e.g. archipelago coverages)
+    val envs = polys.map(_.envelope)
+    val tree = RTree.bulkLoad(envs)
+    var err: Option[String] = None
     var i = 0
-    while (i < polys.length) {
-      var j = i + 1
-      while (j < polys.length) {
-        if (polys(i).envelope.intersects(polys(j).envelope)) {
+    while (i < polys.length && err.isEmpty) {
+      tree.rangeSearch(envs(i)) { j =>
+        if (j > i) {
           val m = try Relate.relate(polys(i), polys(j)) catch { case _: Throwable => null }
           if (m != null) {
             // interiors must be disjoint and boundaries must not share 1-D parts
             if (m.charAt(Relate.II) != 'F')
-              return Some("multipolygon child interiors must not intersect")
-            if (m.charAt(Relate.BB) == '1')
-              return Some("multipolygon children must not share boundary segments")
+              err = Some("multipolygon child interiors must not intersect")
+            else if (m.charAt(Relate.BB) == '1')
+              err = Some("multipolygon children must not share boundary segments")
           }
         }
-        j += 1
+        err.isEmpty
       }
       i += 1
     }
-    None
+    err
   }
 }
