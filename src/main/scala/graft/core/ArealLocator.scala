@@ -108,9 +108,22 @@ object ArealLocator {
     }
     walk(g)
     val env = g.envelope
-    val nb = math.max(1, math.min(65536, m))
     val y0 = env.ymin
     val width = math.max(env.ymax - env.ymin, java.lang.Double.MIN_NORMAL)
+    // Bound total CSR entries to ~4x the edge count: an edge whose
+    // y-span is s lands in ~ s*nb/width + 1 buckets, so total entries
+    // ≈ nb*sumSpan/width + m; solving for <= 4m gives
+    // nb <= 3m*width/sumSpan. Comb/zigzag shapes (every edge spanning
+    // most of the height) then get few, fat buckets — degrading to the
+    // plain O(m) ray-cast scan instead of the former
+    // O(m * min(m, 65536)) time/memory blowup (up to billions of
+    // entries for a 65k-edge full-height comb).
+    var sumSpan = 0.0
+    var se = 0
+    while (se < w) { sumSpan += math.abs(ey2(se) - ey1(se)); se += 1 }
+    val nbFit =
+      if (sumSpan <= 0) m.toDouble else math.min(m.toDouble, 3.0 * m * width / sumSpan)
+    val nb = math.max(1, math.min(65536, nbFit.toInt))
     val invW = nb / width
     // CSR bucket layout: count, prefix-sum, fill
     val counts = new Array[Int](nb + 1)

@@ -293,20 +293,30 @@ object Relate {
     def sideAt(mx: Double, my: Double, dx: Double, dy: Double): Int = {
       if (tree == null) return interiorSideAt(ringSegs, mx, my, dx, dy)
       val eps = 1e-9 * math.max(1.0, math.max(math.abs(mx), math.abs(my)))
+      // several segments can lie within eps of the probe (shared
+      // corners, near-degenerate rings); the R-tree visit order is
+      // layout-dependent, so take the MINIMUM segment index among the
+      // parallel candidates — the same segment the <32-segment linear
+      // scan (interiorSideAt, ring order) would pick, keeping relateAA
+      // results independent of geometry size on degenerate inputs
       var res = 0
+      var bestIdx = Int.MaxValue
       tree.rangeSearch(Env(mx - eps, my - eps, mx + eps, my + eps)) { i =>
-        val (s, interiorLeft) = ringSegs(i)
-        if (Alg.distPointSeg(mx, my, s.x1, s.y1, s.x2, s.y2) <= eps) {
-          val sx = s.x2 - s.x1; val sy = s.y2 - s.y1
-          val cross = sx * dy - sy * dx
-          val dot = sx * dx + sy * dy
-          if (math.abs(cross) <= 1e-9 * math.abs(dot) || cross == 0) {
-            val aligned = dot > 0
-            val left = if (aligned) interiorLeft else !interiorLeft
-            res = if (left) 1 else -1
+        if (i < bestIdx) {
+          val (s, interiorLeft) = ringSegs(i)
+          if (Alg.distPointSeg(mx, my, s.x1, s.y1, s.x2, s.y2) <= eps) {
+            val sx = s.x2 - s.x1; val sy = s.y2 - s.y1
+            val cross = sx * dy - sy * dx
+            val dot = sx * dx + sy * dy
+            if (math.abs(cross) <= 1e-9 * math.abs(dot) || cross == 0) {
+              val aligned = dot > 0
+              val left = if (aligned) interiorLeft else !interiorLeft
+              res = if (left) 1 else -1
+              bestIdx = i
+            }
           }
         }
-        res == 0
+        true
       }
       res
     }

@@ -580,9 +580,16 @@ case class StOverlayPrec(op: String, left: Expression, right: Expression,
     case other => throw new IllegalArgumentException(s"unknown prec op $other")
   }
   override def nullSafeEval(av: Any, bv: Any, dv: Any): Any = {
+    val dp = GeomOps.numI(dv)
+    // beyond +-18 decimal places math.pow(10, dp) leaves the range
+    // where the snap grid is meaningful in doubles (dp >= ~309 is
+    // Infinity -> NaN coordinates, i.e. garbage WKB instead of an
+    // error) — fail controlled on hostile SQL input
+    if (dp < -18 || dp > 18) throw new IllegalArgumentException(
+      s"$prettyName: decimal places $dp out of supported range [-18, 18]")
     val a = Wkb.read(av.asInstanceOf[Array[Byte]])
     val b = Wkb.read(bv.asInstanceOf[Array[Byte]])
-    Wkb.write(SnapRound.overlay(a, b, opCode, GeomOps.numI(dv)))
+    Wkb.write(SnapRound.overlay(a, b, opCode, dp))
   }
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
@@ -724,32 +731,11 @@ case class StCellCover(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** st_refCell(geomA, geomB, level): the cell (at `level`) containing
-  * the REFERENCE POINT of the pair — the min corner of the envelope
-  * intersection. The standard duplicate-elimination device for
-  * cell-partitioned spatial joins: a candidate pair sharing k cover
-  * cells is reported only in the one cell that contains its reference
-  * point, so no post-join Distinct is needed (semantics-preserving
-  * for multiset inputs). Null when the envelopes don't intersect.
-  */
-case class StRefCell(children: Seq[Expression])
-    extends Expression with CodegenFallback {
-  require(children.length == 3, "st_refcell(a, b, level)")
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-  override def prettyName: String = "st_refcell"
-  override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
-    if (vs.contains(null)) return null
-    val ea = Wkb.read(vs(0).asInstanceOf[Array[Byte]]).envelope
-    val eb = Wkb.read(vs(1).asInstanceOf[Array[Byte]]).envelope
-    if (!ea.intersects(eb)) return null
-    Cell.cellOf(math.max(ea.xmin, eb.xmin), math.max(ea.ymin, eb.ymin),
-      GeomOps.numI(vs(2)))
-  }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(children = cs)
-}
+// (The former StRefCell envelope-reference-point dedup expression was
+// removed in round 4: the min corner of an envelope intersection is
+// not guaranteed to lie in a GEOMETRY-refined cell cover, so deduping
+// on it dropped pairs for concave/lineal inputs. Cell joins now dedup
+// on the min shared cover cell — see SpatialJoins/CellJoinRule.)
 
 /** st_cellRing(cell, k) -> Array[Long] neighbors for kNN expansion. */
 case class StCellRing(left: Expression, right: Expression)

@@ -89,21 +89,26 @@ object Dedup {
       TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
     val sizes = sh.select(col("__k"), size(col("__sh")).as("__n"))
     // the index is verification-corpus-sized; persist so the self-join
-    // reads it once instead of recomputing scan+shingle per side
-    // (freed by catalog.clearCache() or executor GC)
+    // reads it once instead of recomputing scan+shingle per side, and
+    // UNPERSIST before returning — the (small) result is materialized
+    // eagerly via localCheckpoint, so callers in a long session don't
+    // accumulate leaked cached RDDs across invocations
     val inv = sh.select(col("__k"), explode(col("__sh")).as("s")).persist()
-    val co = inv.as("a")
-      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.__k") < col("b.__k"))
-      .groupBy(col("a.__k").as("key_a"), col("b.__k").as("key_b"))
-      .agg(count(lit(1)).as("__c"))
-    // the sizes side is one row per doc of the bounded verification
-    // corpus — broadcast keeps the refine shuffle-free
-    co.join(broadcast(sizes.as("na")), col("key_a") === col("na.__k"))
-      .join(broadcast(sizes.as("nb")), col("key_b") === col("nb.__k"))
-      .withColumn("jaccard", col("__c").cast("double") /
-        (col("na.__n") + col("nb.__n") - col("__c")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("key_a"), col("key_b"), TextOps.floor6(col("jaccard")).as("jaccard"))
+    try {
+      val co = inv.as("a")
+        .join(inv.as("b"), col("a.s") === col("b.s") && col("a.__k") < col("b.__k"))
+        .groupBy(col("a.__k").as("key_a"), col("b.__k").as("key_b"))
+        .agg(count(lit(1)).as("__c"))
+      // the sizes side is one row per doc of the bounded verification
+      // corpus — broadcast keeps the refine shuffle-free
+      co.join(broadcast(sizes.as("na")), col("key_a") === col("na.__k"))
+        .join(broadcast(sizes.as("nb")), col("key_b") === col("nb.__k"))
+        .withColumn("jaccard", col("__c").cast("double") /
+          (col("na.__n") + col("nb.__n") - col("__c")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("key_a"), col("key_b"), TextOps.floor6(col("jaccard")).as("jaccard"))
+        .localCheckpoint() // eager: safe to drop the index below
+    } finally inv.unpersist()
   }
 
   /** 60-bit SimHash per document — one native scalar expression per row

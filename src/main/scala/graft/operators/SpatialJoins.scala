@@ -197,12 +197,18 @@ object SpatialJoins {
     *
     * Both sides are exploded to their cell covers at `level`, shuffled
     * on the cell key (hash partitioning → co-location), refined with
-    * the exact predicate, and deduped by the REFERENCE-POINT rule: a
-    * pair matching in several shared cells is kept only in the cell
-    * containing the min corner of its envelope intersection — exact
-    * multiset semantics with NO extra Distinct shuffle (round 2 paid a
-    * full (leftKeys ++ rightKeys) shuffle here; the rule-based plan in
-    * CellJoinRule already used this technique).
+    * the exact predicate, and deduped by the MIN-SHARED-COVER-CELL
+    * rule: each side carries its full cover array through the shuffle
+    * and a pair matching in several shared cells is kept only in
+    * array_min(array_intersect(lcov, rcov)) — exactly one survivor per
+    * pair, NO extra Distinct shuffle, exact multiset semantics.
+    *
+    * (Round 3 deduped on the cell of the envelope-intersection min
+    * corner instead; that corner's cell is in the ENVELOPE covers but
+    * not always in the geometry-refined covers the join explodes — for
+    * concave/lineal inputs the surviving cell could be absent from the
+    * join, silently dropping true pairs. The min shared cover cell is
+    * by construction a cell the pair actually met in.)
     *
     * Hot-cell skew: pass saltBuckets > 1 to salt the LEFT side's cell
     * key and replicate the RIGHT side per salt bucket — output rows are
@@ -217,8 +223,10 @@ object SpatialJoins {
       leftKeys: Seq[String],
       rightKeys: Seq[String],
       saltBuckets: Int = 1): DataFrame = {
-    val l = left.withColumn("__cell", explode(st_cellCover(col(leftGeom), lit(level))))
-    val r = right.withColumn("__cell", explode(st_cellCover(col(rightGeom), lit(level))))
+    val l = left.withColumn("__lcov", st_cellCover(col(leftGeom), lit(level)))
+      .withColumn("__cell", explode(col("__lcov")))
+    val r = right.withColumn("__rcov", st_cellCover(col(rightGeom), lit(level)))
+      .withColumn("__cell", explode(col("__rcov")))
     val (lk, rk) =
       if (saltBuckets <= 1) (l.withColumn("__salt", lit(0)), r.withColumn("__salt", lit(0)))
       else (
@@ -230,14 +238,13 @@ object SpatialJoins {
       case "within"     => st_within(col(leftGeom), col(rightGeom))
       case other => throw new IllegalArgumentException(s"unsupported join predicate '$other'")
     }
-    val refCell = org.apache.spark.sql.GraftBridge.column(
-      graft.functions.StRefCell(Seq(
-        org.apache.spark.sql.GraftBridge.expression(col(leftGeom)),
-        org.apache.spark.sql.GraftBridge.expression(col(rightGeom)),
-        org.apache.spark.sql.catalyst.expressions.Literal(level))))
+    // cell-equality dedup FIRST so the expensive exact predicate runs
+    // once per pair (in its min shared cell) instead of once per shared
+    // cell; the arrays are cheap longs, no WKB decode in the dedup
     lk.join(rk, Seq("__cell", "__salt"))
-      .filter(predCol && col("__cell") === refCell)
-      .drop("__cell", "__salt")
+      .filter(col("__cell") === array_min(array_intersect(col("__lcov"), col("__rcov")))
+        && predCol)
+      .drop("__cell", "__salt", "__lcov", "__rcov")
   }
 
   /** Partitioned within-distance join for BIG-BIG inputs (the shuffle
@@ -246,9 +253,14 @@ object SpatialJoins {
     * the right geometry at `level`, hash-co-partition both sides on
     * the shared cell (one shuffle each, salt option for hot cells),
     * refine with exact st_distance, and eliminate cover duplicates
-    * with the reference-point rule — a pair survives only in the cell
-    * holding the reference point of (padded-left-env ∩ right-env), so
-    * there is NO Distinct shuffle and multiset semantics are exact.
+    * with the MIN-SHARED-COVER-CELL rule — both cover arrays ride
+    * along and a pair survives only in
+    * array_min(array_intersect(lcov, rcov)), so there is NO Distinct
+    * shuffle and multiset semantics are exact. (The round-3
+    * reference-point rule used the min corner of
+    * padded-left-env ∩ right-ENVELOPE, whose cell need not intersect a
+    * concave/lineal right GEOMETRY — such pairs were dropped from
+    * every shared cell.)
     *
     * Padding the LEFT cover by the radius guarantees completeness:
     * any right geometry within `radius` of the left geometry
@@ -265,22 +277,19 @@ object SpatialJoins {
     val lpad = left.withColumn("__lenv", st_makeEnvelope(
       st_xmin(col(leftGeom)) - radius, st_ymin(col(leftGeom)) - radius,
       st_xmax(col(leftGeom)) + radius, st_ymax(col(leftGeom)) + radius))
-    val l0 = lpad.withColumn("__cell", explode(st_cellCover(col("__lenv"), lit(level))))
-    val r0 = right.withColumn("__cell", explode(st_cellCover(col(rightGeom), lit(level))))
+    val l0 = lpad.withColumn("__lcov", st_cellCover(col("__lenv"), lit(level)))
+      .withColumn("__cell", explode(col("__lcov")))
+    val r0 = right.withColumn("__rcov", st_cellCover(col(rightGeom), lit(level)))
+      .withColumn("__cell", explode(col("__rcov")))
     val (lk, rk) =
       if (saltBuckets <= 1) (l0.withColumn("__salt", lit(0)), r0.withColumn("__salt", lit(0)))
       else (
         l0.withColumn("__salt", pmod(xxhash64(col(saltKey)), lit(saltBuckets)).cast("int")),
         r0.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1)))))
-    val refCell = org.apache.spark.sql.GraftBridge.column(
-      graft.functions.StRefCell(Seq(
-        org.apache.spark.sql.GraftBridge.expression(col("__lenv")),
-        org.apache.spark.sql.GraftBridge.expression(col(rightGeom)),
-        org.apache.spark.sql.catalyst.expressions.Literal(level))))
     lk.join(rk, Seq("__cell", "__salt"))
-      .filter(st_distance(col(leftGeom), col(rightGeom)) <= radius &&
-        col("__cell") === refCell)
-      .drop("__cell", "__salt", "__lenv")
+      .filter(col("__cell") === array_min(array_intersect(col("__lcov"), col("__rcov")))
+        && st_distance(col(leftGeom), col(rightGeom)) <= radius)
+      .drop("__cell", "__salt", "__lenv", "__lcov", "__rcov")
   }
 
   /** Distance-kNN join: for each query point, the k nearest target

@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
-import graft.functions.{GeomBinaryOp, StCellCover, StRefCell}
+import graft.functions.{GeomBinaryOp, StCellCover}
 
 /** Logical rewrite: an inner join whose condition is a bare
   * `st_intersects(a.geom, b.geom)` / `st_contains` / `st_within` has
@@ -15,13 +15,18 @@ import graft.functions.{GeomBinaryOp, StCellCover, StRefCell}
   * product — quadratic at scale. This rule rewrites it into the
   * cell-partitioned join the SpatialJoins operator builds by hand:
   *
-  *   explode(st_cellcover(geom, level)) on each side,
+  *   explode(st_cellcover(geom, level)) on each side (the full cover
+  *     array rides along),
   *   equi-join on the cell id (hash-partitioned shuffle),
-  *   refine with the original exact predicate,
-  *   keep each pair only in the cell holding its reference point
-  *     (min corner of the envelope intersection) — duplicate
+  *   keep each pair only in its MIN SHARED COVER CELL
+  *     (array_min(array_intersect(lcov, rcov))) — duplicate
   *     elimination without a Distinct, so multiset semantics are
-  *     preserved exactly.
+  *     preserved exactly; unlike an envelope-derived reference point,
+  *     the min shared cover cell is by construction a cell BOTH
+  *     geometry-refined covers contain, so concave/lineal inputs
+  *     cannot lose pairs,
+  *   refine with the original exact predicate (evaluated once per
+  *     pair, in the surviving cell only).
   *
   * The refine predicate is the ORIGINAL expression, so the directional
   * predicates keep their orientation; the cover/equi-join/refcell
@@ -96,15 +101,25 @@ class CellJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       level: Int, hint: JoinHint): LogicalPlan = {
     val cellL = AttributeReference("__graft_cell_l", LongType, nullable = false)()
     val cellR = AttributeReference("__graft_cell_r", LongType, nullable = false)()
-    val genL = Generate(Explode(StCellCover(lg, Literal(level))),
+    // compute each cover ONCE per input row, below the Generate, so the
+    // dedup can reference the full arrays without re-covering per pair
+    val covLA = Alias(StCellCover(lg, Literal(level)), "__graft_cov_l")()
+    val covRA = Alias(StCellCover(rg, Literal(level)), "__graft_cov_r")()
+    val projL = Project(left.output :+ covLA, left)
+    val projR = Project(right.output :+ covRA, right)
+    val genL = Generate(Explode(covLA.toAttribute),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(cellL), child = left)
-    val genR = Generate(Explode(StCellCover(rg, Literal(level))),
+      generatorOutput = Seq(cellL), child = projL)
+    val genR = Generate(Explode(covRA.toAttribute),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(cellR), child = right)
+      generatorOutput = Seq(cellR), child = projR)
+    // dedup before the exact predicate: the exact geometry test then
+    // runs once per pair (in its min shared cover cell), not once per
+    // shared cell
     val cond = And(
-      And(EqualTo(cellL, cellR), exact),
-      EqualTo(cellL, StRefCell(Seq(lg, rg, Literal(level)))))
+      And(EqualTo(cellL, cellR),
+        EqualTo(cellL, ArrayMin(ArrayIntersect(covLA.toAttribute, covRA.toAttribute)))),
+      exact)
     Project((left.output ++ right.output).map(a => a: NamedExpression),
       Join(genL, genR, Inner, Some(cond), hint))
   }

@@ -106,4 +106,29 @@ class IndexStructSpec extends AnyFunSuite {
         s"trial $trial: dual-tree $best vs brute $brute")
     }
   }
+
+  test("full-height comb polygon: bucket entries stay O(edges), locate stays exact") {
+    // zigzag comb: every edge spans most of the Y extent. The round-3
+    // CSR build inserted each edge into every bucket its span crossed
+    // (nb = min(edges, 65536)), i.e. O(m * min(m, 65536)) entries —
+    // billions for a large comb. The span-aware nb bound keeps total
+    // entries <= ~4m, degrading to a plain O(m) scan per locate.
+    val teeth = 20000 // 40k edges; old layout would build ~1.6e9 entries
+    val coords = new Array[Double](2 * (2 * teeth + 3))
+    var k = 0
+    def add(x: Double, y: Double): Unit = { coords(2 * k) = x; coords(2 * k + 1) = y; k += 1 }
+    for (i <- 0 until teeth) { add(i.toDouble, 0.0); add(i + 0.5, 100.0) }
+    add(teeth.toDouble, 0.0); add(0.0, -1.0); add(0.0, 0.0)
+    val g = GPoly(Array(Seqn.xy(coords)), CT.XY)
+    val t0 = System.nanoTime()
+    val loc = ArealLocator.build(g) // OOMs/stalls under the old layout
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    assert(buildSecs < 10.0, f"comb build took $buildSecs%.1f s — bucket blowup?")
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val px = rnd.nextDouble() * teeth
+      val py = rnd.nextDouble() * 102.0 - 1.0
+      assert(loc.locate(px, py) == Alg.pointInAreal(g, px, py), s"mismatch at ($px,$py)")
+    }
+  }
 }

@@ -76,6 +76,33 @@ class SpatialJoinsSpec extends AnyFunSuite {
     assert(countsOf(fused, "bid") == expected)
   }
 
+  test("cellJoin with crossing lineal geometries matches brute force (r4 dedup fix)") {
+    // two families of diagonal lines that cross far from the min corner
+    // of their envelope intersection: the round-3 reference-point dedup
+    // kept a pair only in that corner's cell, which intersects NEITHER
+    // line's geometry-refined cover — true pairs were silently dropped.
+    val a = (0 until 40).map { i =>
+      val x = (i * 13 % 50).toDouble - 25.0
+      val y = (i * 7 % 40).toDouble - 20.0
+      (i.toLong, s"LINESTRING($x ${y + 10},${x + 10} $y)") // NW->SE diagonal
+    }.toDF("a_id", "a_wkt").withColumn("a_g", st_geomFromWKT($"a_wkt"))
+    val b = (0 until 40).map { j =>
+      val x = (j * 17 % 50).toDouble - 25.0
+      val y = (j * 11 % 40).toDouble - 20.0
+      (j.toLong, s"LINESTRING($x $y,${x + 10} ${y + 10})") // SW->NE diagonal
+    }.toDF("b_id", "b_wkt").withColumn("b_g", st_geomFromWKT($"b_wkt"))
+    val expected = a.crossJoin(b).filter(st_intersects($"a_g", $"b_g"))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    for (level <- Seq(4, 6)) {
+      val got = SpatialJoins.cellJoin(a, "a_g", b, "b_g", "intersects",
+        level = level, leftKeys = Seq("a_id"), rightKeys = Seq("b_id"))
+        .select($"a_id", $"b_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"duplicates at level $level")
+      assert(got.toSet === expected, s"wrong pairs at level $level")
+    }
+  }
+
   test("st_cellOf codegen and interpreted agree") {
     val df = (1 to 1000).map { i =>
       ((i * 937 % 720).toDouble / 2.0 - 180.0, (i * 487 % 340).toDouble / 2.0 - 85.0)

@@ -94,6 +94,44 @@ class CellJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite is result-identical for crossing lineal geometries (r4 dedup fix)") {
+    // crossing diagonals: the intersection point is far from the min
+    // corner of the envelope intersection, so the round-3 reference-
+    // point dedup dropped these pairs (that corner's cell is in neither
+    // geometry-refined cover). Min-shared-cover-cell dedup keeps them.
+    val a = (0 until 50).map { i =>
+      val x = (i * 13 % 50).toDouble - 25.0
+      val y = (i * 7 % 40).toDouble - 20.0
+      (i.toLong, s"LINESTRING($x ${y + 10},${x + 10} $y)")
+    }.toDF("a_id", "a_wkt").withColumn("a_g", st_geomFromWKT($"a_wkt")).select("a_id", "a_g")
+    val b = (0 until 50).map { j =>
+      val x = (j * 17 % 50).toDouble - 25.0
+      val y = (j * 11 % 40).toDouble - 20.0
+      (j.toLong, s"LINESTRING($x $y,${x + 10} ${y + 10})")
+    }.toDF("b_id", "b_wkt").withColumn("b_g", st_geomFromWKT($"b_wkt")).select("b_id", "b_g")
+    def joined = a.join(b, st_intersects(col("a_g"), col("b_g")))
+
+    spark.conf.unset("spark.graft.celljoin.level")
+    val expected = pairsOf(joined).sorted
+    assert(expected.nonEmpty, "test data must produce crossings")
+
+    val rule = new CellJoinRule(spark)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ rule
+    try {
+      for (level <- Seq("5", "7")) {
+        spark.conf.set("spark.graft.celljoin.level", level)
+        val got = pairsOf(joined)
+        assert(got.distinct.size == got.size, s"duplicates at level $level")
+        assert(got.sorted == expected,
+          s"level $level: got ${got.size} pairs vs ${expected.size}")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = before
+      spark.conf.unset("spark.graft.celljoin.level")
+    }
+  }
+
   test("auto level: big joins rewrite with a log4-derived level, small ones stay BNLJ") {
     val a = polys(1, 60, "a")
     val b = polys(2, 60, "b")
