@@ -739,6 +739,57 @@ object SparkEntry {
           col("byte_offset").cast("int").as("byte_offset"))
     }),
 
+    "q86_audio_meta" -> ((s, d) => {
+      // synthesize REAL audio container headers (WAV RIFF fmt/data
+      // walk, FLAC STREAMINFO bit fields, Ogg Vorbis id header) with
+      // doc_id-derived parameters, decode them back with the header
+      // parser; the oracle recomputes the parameters arithmetically
+      val ch = pmod(col("doc_id"), lit(2L)) + lit(1L)
+      val sr = pmod(col("doc_id"), lit(375L)) * lit(128L) + lit(8000L)
+      val flacBits = lit(12L) + pmod(col("doc_id"), lit(5L)) * lit(3L)
+      val durS = pmod(col("doc_id"), lit(10L)) + lit(1L)
+      def hexBE(c: Column, nBytes: Int) = lpad(hex(c), nBytes * 2, "0")
+      def hexLE16(c: Column) = concat(
+        hexBE(pmod(c, lit(256L)), 1), hexBE(floor(c / 256.0).cast("long"), 1))
+      def hexLE32(c: Column) = concat(
+        hexBE(pmod(c, lit(256L)), 1),
+        hexBE(pmod(floor(c / 256.0).cast("long"), lit(256L)), 1),
+        hexBE(pmod(floor(c / 65536.0).cast("long"), lit(256L)), 1),
+        hexBE(floor(c / 16777216.0).cast("long"), 1))
+      val byteRate = sr * ch * lit(2L) // 16-bit WAV
+      val dataLen = byteRate * durS
+      val wavHex = concat(
+        lit("52494646"), hexLE32(lit(36L) + dataLen), lit("57415645"),
+        lit("666D7420"), hexLE32(lit(16L)), hexLE16(lit(1L)), hexLE16(ch),
+        hexLE32(sr), hexLE32(byteRate), hexLE16(ch * 2L), hexLE16(lit(16L)),
+        lit("64617461"), hexLE32(dataLen))
+      val totalSamples = sr * durS // FLAC duration = total/sr
+      val flacHex = concat(
+        lit("664C6143"), lit("80000022"), lit("10001000000000000000"),
+        hexBE(floor(sr / 4096.0).cast("long"), 1),
+        hexBE(pmod(floor(sr / 16.0).cast("long"), lit(256L)), 1),
+        hexBE(pmod(sr, lit(16L)) * 16L + (ch - 1L) * 2L +
+          floor((flacBits - 1L) / 16.0).cast("long"), 1),
+        hexBE(pmod(flacBits - 1L, lit(16L)) * 16L, 1),
+        hexBE(totalSamples, 4),
+        lit("0" * 32)) // 16-byte MD5 field (unparsed)
+      val oggHex = concat(
+        lit("4F676753"), lit("0002"), lit("0" * 40), lit("01"), lit("10"),
+        lit("01"), lit("766F72626973"), lit("00000000"),
+        hexBE(ch, 1), hexLE32(sr))
+      val payloadHex = when(pmod(col("doc_id"), lit(3L)) === 0, wavHex)
+        .when(pmod(col("doc_id"), lit(3L)) === 1, flacHex)
+        .otherwise(oggHex)
+      val docs = t(s, d, "documents")
+        .withColumn("payload", to_binary(payloadHex, lit("hex")))
+      Multimodal.withAudioMeta(docs, "payload")
+        .select(col("doc_id"), col("audio_meta.format").as("format"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.bits").as("bits"),
+          col("audio_meta.duration_ms").as("duration_ms"))
+    }),
+
     // --- relational anchors -------------------------------------------
 
     "q44_events_agg" -> ((s, d) =>
@@ -1618,6 +1669,19 @@ object SparkEntry {
           |  SELECT doc_id, unnest(range(0,
           |    greatest(1, CAST(octet_length(encode(text)) / 1024 AS INTEGER)), 2)) AS frame_idx
           |  FROM documents)""".stripMargin,
+
+      "q86_audio_meta" ->
+        """SELECT doc_id,
+          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+          |       ELSE 'ogg' END AS format,
+          |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+          |  CAST((doc_id % 375) * 128 + 8000 AS INTEGER) AS sample_rate,
+          |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+          |       WHEN 0 THEN 16 WHEN 1 THEN 12 + (doc_id % 5) * 3
+          |       ELSE 0 END AS INTEGER) AS bits,
+          |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+          |       ELSE (doc_id % 10 + 1) * 1000 END AS BIGINT) AS duration_ms
+          |FROM documents""".stripMargin,
 
       "q44_events_agg" ->
         """SELECT user_id, count(*) AS n, min(value) AS vmin, max(value) AS vmax
