@@ -85,14 +85,14 @@ object Bench {
     // 23 min of measured work + margin for JVM/prep overheads.
     val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "1380").toInt
     def elapsed(): Double = (System.nanoTime() - t0Main) / 1e9
-    // 160M pages ≈ 6 GB parquet: big enough that per-job fixed cost
-    // (AQE stage scheduling, action latency, broadcast) stays a small
-    // fraction of wall time at the hi level
-    // default sized so ONE cold run (write tables + query suite + a
-    // full interleaved scaling round) fits the wall budget: at 160M
-    // pages a cold round finished at 1654 s > budget; 100M brings the
-    // 2-core random samples (the long pole) under ~100 s each
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "100000000").toLong
+    // sizing: per-job fixed cost (AQE stage scheduling, action latency,
+    // broadcast) must stay a small fraction of the hi-level sample
+    // (~8 s at 64M), while the 2-core random-layout sample (the long
+    // pole, ~45 s calm / 3-4x that under hypervisor noise bursts) stays
+    // cheap enough that SEVERAL interleaved rounds fit the budget —
+    // at 100M a noisy round took 860 s and only one round fit, leaving
+    // the efficiency gate to min-of-1 samples
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "64000000").toLong
 
     def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     // cumulative state for the incremental JSON line
@@ -155,7 +155,12 @@ object Bench {
     val hiCores = math.min(sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "8").toInt, cpus)
     val lowCores = math.max(1, math.min(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", (hiCores / 4).toString).toInt, hiCores / 4))
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+    // more, smaller rounds: against minutes-long noise bursts, samples
+    // spread over N time windows beat the same sample count packed into
+    // fewer windows (each window is all-good or all-bad)
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "8").toInt
+    val hiReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_HI_REPS", "2").toInt
+    val loReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_LO_REPS", "1").toInt
 
     // reserve wall budget for the per-query suite that runs after the
     // scaling rounds (~4-5 min at sf0.1 incl. session + warm-up)
@@ -241,11 +246,11 @@ object Bench {
           // (thermal/steal envelopes lasting minutes) doesn't always
           // land on the same level
           if (roundsRun % 2 == 0) {
-            BenchChild.fork(hiCores, 3, pathR, pathC, pathW, streamInto(hiTimes, hiTimesC))
-            BenchChild.fork(lowCores, 2, pathR, pathC, pathW, streamInto(loTimes, loTimesC))
+            BenchChild.fork(hiCores, hiReps, pathR, pathC, pathW, streamInto(hiTimes, hiTimesC))
+            BenchChild.fork(lowCores, loReps, pathR, pathC, pathW, streamInto(loTimes, loTimesC))
           } else {
-            BenchChild.fork(lowCores, 2, pathR, pathC, pathW, streamInto(loTimes, loTimesC))
-            BenchChild.fork(hiCores, 3, pathR, pathC, pathW, streamInto(hiTimes, hiTimesC))
+            BenchChild.fork(lowCores, loReps, pathR, pathC, pathW, streamInto(loTimes, loTimesC))
+            BenchChild.fork(hiCores, hiReps, pathR, pathC, pathW, streamInto(hiTimes, hiTimesC))
           }
           roundsRun += 1
           System.err.println(f"[bench] scaling round $roundsRun done (${elapsed()}%.0f s)")

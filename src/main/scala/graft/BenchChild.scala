@@ -28,7 +28,11 @@ object BenchChild {
       .getInputArguments.toArray.map(_.toString)
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
         (a.startsWith("-D") && !a.startsWith("-Dspark.ui")))
-    val heapG = math.max(4, (cores * 1.5).toInt)
+    // 2.5 GB/core (realistic executor sizing): at 1.5 GB/core the
+    // 2-core child's level-12 random-layout aggregation ran at the edge
+    // of GC pressure, amplifying host noise bursts into 3-4x sample
+    // swings
+    val heapG = math.max(5, (cores * 2.5).toInt)
     val cmd = Seq(javaBin, "-cp", cp, s"-Xmx${heapG}g", s"-Xms${heapG}g",
       s"-XX:ActiveProcessorCount=$cores", "-Dspark.ui.enabled=false") ++
       inherited ++

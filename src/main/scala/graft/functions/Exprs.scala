@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,9 +14,12 @@ import graft.tiling.Cell
   *
   * Geometry columns are BinaryType holding WKB — the reference's own
   * DB-interchange representation (reference: geom/type_geometry.go:303-337
-  * stores WKB through database/sql). Expressions are CodegenFallback
-  * for now: each op is a single JVM call on byte arrays, so the
-  * codegen boundary cost is one virtual call per row.
+  * stores WKB through database/sql). Every expression participates in
+  * whole-stage codegen (RowKernelCodegen / explicit doGenCode): the
+  * kernel itself is one JVM call on byte arrays per row, and child
+  * expressions evaluate natively inside the generated stage — no
+  * CodegenFallback left in this file, since one fallback expression
+  * kicks its whole operator out of WholeStageCodegen.
   *
   * Op dispatch is keyed by a stable string so that expression equality
   * and canonicalization work (two `GeomUnaryOp("st_area", c)` are
@@ -220,6 +223,24 @@ trait RowKernelCodegen extends Expression {
   }
 }
 
+/** Arity adapters: convert a nullSafeEval-style expression to
+  * RowKernelCodegen with one line ("extends BinaryKernelCodegen"
+  * instead of "extends BinaryExpression with CodegenFallback").
+  */
+trait UnaryKernelCodegen extends UnaryExpression with RowKernelCodegen {
+  override def genEval(vs: Array[Any]): Any =
+    if (vs(0) == null) null else nullSafeEval(vs(0))
+}
+trait BinaryKernelCodegen extends BinaryExpression with RowKernelCodegen {
+  override def genEval(vs: Array[Any]): Any =
+    if (vs(0) == null || vs(1) == null) null else nullSafeEval(vs(0), vs(1))
+}
+trait TernaryKernelCodegen extends TernaryExpression with RowKernelCodegen {
+  override def genEval(vs: Array[Any]): Any =
+    if (vs(0) == null || vs(1) == null || vs(2) == null) null
+    else nullSafeEval(vs(0), vs(1), vs(2))
+}
+
 /** Unary geometry expression dispatched on a stable op name.
   *
   * doGenCode (NOT CodegenFallback): children evaluate inside
@@ -388,7 +409,7 @@ case class StMakePoint(op: String, children: Seq[Expression])
   * st_isvalid).
   */
 case class StMakeGeom(op: String, children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with RowKernelCodegen {
   require(children.length == 1 || children.length == 2,
     s"$op(coords[, coordType])")
   override def dataType: DataType = BinaryType
@@ -422,10 +443,10 @@ case class StMakeGeom(op: String, children: Seq[Expression])
     new Seqn(flat, ct)
   }
 
-  override def eval(input: InternalRow): Any = {
-    val av = children(0).eval(input)
+  override def genEval(vs: Array[Any]): Any = {
+    val av = vs(0)
     if (av == null) return null
-    val ct = if (children.length < 2) CT.XY else children(1).eval(input) match {
+    val ct = if (children.length < 2) CT.XY else vs(1) match {
       case null => CT.XY
       case u => u.toString.toUpperCase match {
         case "XY" => CT.XY; case "XYZ" => CT.XYZ
@@ -482,7 +503,7 @@ case class StMakeEnvelope(children: Seq[Expression]) extends Expression with Row
 
 /** Unary geometry op with one numeric parameter. */
 case class GeomParamOp(op: String, left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = op match {
     case "st_geometryn" | "st_pointn" | "st_interiorringn" => BinaryType
     case _ => BinaryType
@@ -536,7 +557,7 @@ case class GeomParamOp(op: String, left: Expression, right: Expression)
   * sign per the reference's convention.
   */
 case class StBufferStyled(geom: Expression, dist: Expression, params: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryKernelCodegen {
   override def first: Expression = geom
   override def second: Expression = dist
   override def third: Expression = params
@@ -564,7 +585,7 @@ case class StBufferStyled(geom: Expression, dist: Expression, params: Expression
   */
 case class StOverlayPrec(op: String, left: Expression, right: Expression,
                          dp: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryKernelCodegen {
   override def first: Expression = left
   override def second: Expression = right
   override def third: Expression = dp
@@ -599,13 +620,12 @@ case class StOverlayPrec(op: String, left: Expression, right: Expression,
 /** st_clipByBox(geom, xmin, ymin, xmax, ymax) — Sutherland–Hodgman /
   * Liang–Barsky clip, the tile-assignment kernel.
   */
-case class StClipByBox(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class StClipByBox(children: Seq[Expression]) extends Expression with RowKernelCodegen {
   require(children.length == 5, "st_clipByBox(geom,xmin,ymin,xmax,ymax)")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "st_clipbybox"
-  override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
+  override def genEval(vs: Array[Any]): Any = {
     if (vs.contains(null)) return null
     val g = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
     val box = Env(GeomOps.numD(vs(1)), GeomOps.numD(vs(2)),
@@ -620,17 +640,15 @@ case class StClipByBox(children: Seq[Expression]) extends Expression with Codege
   * most maxVerts vertices (envelope-halving clips; PostGIS
   * ST_Subdivide semantics). Pair with explode() to materialize.
   */
-case class StSubdivide(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class StSubdivide(children: Seq[Expression]) extends Expression with RowKernelCodegen {
   require(children.length == 2, "st_subdivide(geom, maxVerts)")
   override def dataType: DataType = ArrayType(BinaryType)
   override def nullable: Boolean = true
   override def prettyName: String = "st_subdivide"
-  override def eval(input: InternalRow): Any = {
-    val g = children(0).eval(input)
-    val mv = children(1).eval(input)
-    if (g == null || mv == null) return null
-    val pieces = Algos.subdivide(Wkb.read(g.asInstanceOf[Array[Byte]]),
-      GeomOps.numD(mv).toInt)
+  override def genEval(vs: Array[Any]): Any = {
+    if (vs(0) == null || vs(1) == null) return null
+    val pieces = Algos.subdivide(Wkb.read(vs(0).asInstanceOf[Array[Byte]]),
+      GeomOps.numD(vs(1)).toInt)
     new GenericArrayData(pieces.map(p => Wkb.write(p): Any).toArray)
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
@@ -641,7 +659,7 @@ case class StSubdivide(children: Seq[Expression]) extends Expression with Codege
   * (reference: geom/de9im.go:83-121).
   */
 case class StRelateMatch(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -653,14 +671,13 @@ case class StRelateMatch(left: Expression, right: Expression)
 }
 
 /** st_exactEquals(a, b, tolerance) (reference: geom/alg_exact_equals.go:98). */
-case class StExactEquals(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class StExactEquals(children: Seq[Expression]) extends Expression with RowKernelCodegen {
   require(children.length == 3 || children.length == 4,
     "st_exactEquals(a, b, tol[, ignoreOrder])")
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def prettyName: String = "st_exactequals"
-  override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
+  override def genEval(vs: Array[Any]): Any = {
     if (vs.contains(null)) return null
     val a = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
     val b = Wkb.read(vs(1).asInstanceOf[Array[Byte]])
@@ -716,9 +733,14 @@ case class StCellOf(children: Seq[Expression]) extends Expression {
     copy(children = cs)
 }
 
-/** st_cellCover(geom, level) -> Array[Long] of intersecting cells. */
+/** st_cellCover(geom, level) -> Array[Long] of intersecting cells.
+  * Codegen'd (not CodegenFallback): it feeds the Generate(Explode(..))
+  * on the BIG side of every cell-partitioned join, and a fallback
+  * expression there kicks the whole scan->generate stage out of
+  * whole-stage codegen.
+  */
 case class StCellCover(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with RowKernelCodegen {
   override def dataType: DataType = ArrayType(LongType)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -727,6 +749,8 @@ case class StCellCover(left: Expression, right: Expression)
     val g = Wkb.read(gv.asInstanceOf[Array[Byte]])
     new GenericArrayData(Cell.coverGeom(g, GeomOps.numI(lv)).map(l => l: Any))
   }
+  override def genEval(vs: Array[Any]): Any =
+    if (vs(0) == null || vs(1) == null) null else nullSafeEval(vs(0), vs(1))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -739,7 +763,7 @@ case class StCellCover(left: Expression, right: Expression)
 
 /** st_cellRing(cell, k) -> Array[Long] neighbors for kNN expansion. */
 case class StCellRing(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = ArrayType(LongType)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -756,13 +780,12 @@ case class StCellRing(left: Expression, right: Expression)
   * (floor((lon+180)/360 * 2^level)) — bit-for-bit reproducible by the
   * SQL oracle.
   */
-case class StCellOfEquirect(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class StCellOfEquirect(children: Seq[Expression]) extends Expression with RowKernelCodegen {
   require(children.length == 3, "st_cellOfEquirect(lon,lat,level)")
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "st_cellofequirect"
-  override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
+  override def genEval(vs: Array[Any]): Any = {
     if (vs.contains(null)) return null
     val lon = GeomOps.numD(vs(0))
     val lat = GeomOps.numD(vs(1))
@@ -777,23 +800,27 @@ case class StCellOfEquirect(children: Seq[Expression]) extends Expression with C
     copy(children = cs)
 }
 
-/** Decode a cell id's X index (Morton de-interleave). */
-case class StCellIx(child: Expression) extends UnaryExpression with CodegenFallback {
+/** Decode a cell id's X index (Morton de-interleave); inline codegen. */
+case class StCellIx(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_cellix"
   override def nullSafeEval(v: Any): Any = Cell.ixOf(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.tiling.Cell.ixOf($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Decode a cell id's Y index. */
-case class StCellIy(child: Expression) extends UnaryExpression with CodegenFallback {
+/** Decode a cell id's Y index; inline codegen. */
+case class StCellIy(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_celliy"
   override def nullSafeEval(v: Any): Any = Cell.iyOf(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.tiling.Cell.iyOf($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -801,7 +828,7 @@ case class StCellIy(child: Expression) extends UnaryExpression with CodegenFallb
 /** st_cellbounds(cell) -> [xmin, ymin, xmax, ymax] — pure arithmetic,
   * no WKB round-trip (the tile-assignment hot path).
   */
-case class StCellBounds(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StCellBounds(child: Expression) extends UnaryKernelCodegen {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -813,7 +840,7 @@ case class StCellBounds(child: Expression) extends UnaryExpression with CodegenF
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class StCellGeom(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StCellGeom(child: Expression) extends UnaryKernelCodegen {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -827,7 +854,7 @@ case class StCellGeom(child: Expression) extends UnaryExpression with CodegenFal
   * (reference: carto/proj_web_mercator.go:30-57 and siblings, §2.10).
   */
 case class StProject(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -846,7 +873,7 @@ case class StProject(left: Expression, right: Expression)
   * can pre-filter without full decode.
   */
 case class StAsTwkb(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -863,14 +890,13 @@ case class StAsTwkb(left: Expression, right: Expression)
   * size header, bbox header, and per-item ID list for Multi types.
   */
 case class StAsTwkbFull(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with RowKernelCodegen {
   require(children.length == 4 || children.length == 5,
     "st_astwkbopts(g, prec, withSize, withBBox[, ids])")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "st_astwkbopts"
-  override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
+  override def genEval(vs: Array[Any]): Any = {
     if (vs.take(4).contains(null)) return null
     val g = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
     val ids =
@@ -887,7 +913,7 @@ case class StAsTwkbFull(children: Seq[Expression])
 }
 
 /** st_geomFromTWKB(bytes) -> WKB geometry (reference: geom/twkb_parser.go:17). */
-case class StGeomFromTwkb(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StGeomFromTwkb(child: Expression) extends UnaryKernelCodegen {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -901,7 +927,7 @@ case class StGeomFromTwkb(child: Expression) extends UnaryExpression with Codege
   * only, without decoding the body (reference: twkb_parser.go:34
   * UnmarshalTWKBEnvelope — the cheap petabyte-scan pre-filter).
   */
-case class StTwkbEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StTwkbEnvelope(child: Expression) extends UnaryKernelCodegen {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -915,7 +941,7 @@ case class StTwkbEnvelope(child: Expression) extends UnaryExpression with Codege
 /** st_twkbIdList: the TWKB's optional ID list without a full decode
   * (reference: geom/twkb_parser.go:30-55); null when absent.
   */
-case class StTwkbIdList(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StTwkbIdList(child: Expression) extends UnaryKernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -930,7 +956,7 @@ case class StTwkbIdList(child: Expression) extends UnaryExpression with CodegenF
   * — scan concatenated TWKBs without decoding (reference:
   * geom/twkb_parser.go:76-91); null when absent.
   */
-case class StTwkbSize(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StTwkbSize(child: Expression) extends UnaryKernelCodegen {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -946,7 +972,7 @@ case class StTwkbSize(child: Expression) extends UnaryExpression with CodegenFal
   * returning the per-feature JSON array for use with explode().
   */
 case class JsonFeatureOp(op: String, child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   override def dataType: DataType = op match {
     case "st_featuregeometry" => BinaryType
     case "st_features" => ArrayType(StringType)
@@ -980,24 +1006,24 @@ case class JsonFeatureOp(op: String, child: Expression)
   * -> Feature JSON.
   */
 case class StAsGeoJsonFeature(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with RowKernelCodegen {
   require(children.length == 3 || children.length == 4,
     "st_asgeojsonfeature(geom, props, id[, foreignMembers])")
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "st_asgeojsonfeature"
-  override def eval(input: InternalRow): Any = {
-    val gv = children(0).eval(input)
+  override def genEval(vs: Array[Any]): Any = {
+    val gv = vs(0)
     if (gv == null) return null
-    val props = children(1).eval(input) match {
+    val props = vs(1) match {
       case null => "{}"
       case u: UTF8String => u.toString
     }
-    val id = children(2).eval(input) match {
+    val id = vs(2) match {
       case null => None
       case u: UTF8String => Some(u.toString)
     }
-    val fm = if (children.length < 4) "{}" else children(3).eval(input) match {
+    val fm = if (children.length < 4) "{}" else vs(3) match {
       case null => "{}"
       case u: UTF8String => u.toString
     }

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -15,9 +14,12 @@ import graft.core._
   * 10^12-row probe side must NOT go through a ScalaUDF: a udf closure
   * forces an InternalRow -> Row -> boxed-args conversion per row and
   * inserts a non-codegen barrier right after the scan. These evaluate
-  * on InternalRow directly (CodegenFallback keeps the surrounding
-  * project/generate inside WholeStageCodegen; the call itself is one
-  * virtual eval per row, same shape as StPipCountAgg's update()).
+  * on InternalRow directly and participate in whole-stage codegen via
+  * RowKernelCodegen (a CodegenFallback expression would kick the whole
+  * scan->project/generate stage out of WholeStageCodegen — Spark's
+  * CollapseCodegenStages rejects operators containing fallback
+  * expressions); the kernel itself is one virtual eval per row, same
+  * shape as StPipCountAgg's update().
   *
   * Both resolve the executor-local prepared side (decode WKB + R-tree
   * build once per JVM per broadcast) through the same bounded-cache
@@ -84,7 +86,7 @@ case class StBroadcastMatchIdxs(
     child: Expression,
     bc: Broadcast[Array[Array[Byte]]],
     pred: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RowKernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "st_broadcast_match_idxs"
@@ -92,8 +94,8 @@ case class StBroadcastMatchIdxs(
   @transient private lazy val preparedSide = JoinProbeExprs.preparedIdx(bc)
   @transient private lazy val out = scala.collection.mutable.ArrayBuffer.empty[Long]
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def genEval(vs: Array[Any]): Any = {
+    val v = vs(0)
     if (v == null) return new GenericArrayData(Array.emptyLongArray)
     val probe = Wkb.read(v.asInstanceOf[Array[Byte]])
     val (geoms, tree) = preparedSide
@@ -119,10 +121,13 @@ case class StPointKeyMatches(
     right: Expression,
     bc: Broadcast[(Array[Long], Array[Array[Byte]])],
     interiorOnly: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with RowKernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "st_point_key_matches"
+  override def genEval(vs: Array[Any]): Any =
+    if (vs(0) == null || vs(1) == null) new GenericArrayData(Array.emptyLongArray)
+    else nullSafeEval(vs(0), vs(1))
 
   @transient private lazy val preparedSide = JoinProbeExprs.preparedKeyed(bc)
 
@@ -165,11 +170,14 @@ case class StDWithinMatches(
     right: Expression,
     bc: Broadcast[(Array[Long], Array[Double], Array[Double])],
     radius: Double)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with RowKernelCodegen {
   require(radius >= 0, "radius must be >= 0")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "st_dwithin_matches"
+  override def genEval(vs: Array[Any]): Any =
+    if (vs(0) == null || vs(1) == null) new GenericArrayData(Array.emptyLongArray)
+    else nullSafeEval(vs(0), vs(1))
 
   @transient private lazy val preparedSide = JoinProbeExprs.preparedPts(bc)
 

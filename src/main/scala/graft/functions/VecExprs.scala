@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,7 +55,7 @@ object VecOps {
   * array<double>); null if either side is null/empty or lengths differ.
   */
 case class VecCosine(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   private def isFloat(e: Expression): Boolean =
@@ -98,7 +97,7 @@ case class VecCosine(left: Expression, right: Expression)
   */
 case class VecBandKeys(child: Expression, planes: Int, bands: Int,
                        seed: Long, probeBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   require(planes % bands == 0, "planes must divide into bands")
   require(planes / bands <= 48, "band bits must fit under the band tag")
   require(planes <= 4096, "planes capped at 4096")
@@ -181,7 +180,7 @@ case class VecBandKeys(child: Expression, planes: Int, bands: Int,
   * oracle-expressible hash; see Dedup.simhashNearDups.)
   */
 case class StSimhash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any): Any = {
@@ -204,7 +203,7 @@ case class StSimhash60(child: Expression)
   */
 case class TextMinhashBandKeys(child: Expression, shingleN: Int, k: Int,
                                bands: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   require(k % bands == 0, "k must divide into bands")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

@@ -184,6 +184,50 @@ class PlanSpec extends AnyFunSuite {
       "salted cellJoin result differs from unsalted")
   }
 
+  test("cell-cover explode and join probes stay inside WholeStageCodegen (no fallback)") {
+    // r4: StCellCover / probe expressions were CodegenFallback, which
+    // disqualifies their operator from WholeStageCodegen entirely
+    // (CollapseCodegenStages rejects fallback expressions) — the
+    // scan->project->generate prefix of every cell join ran interpreted
+    val a = spark.range(200).toDF("ida")
+      .withColumn("ga", st_makeEnvelope(
+        (col("ida") % 50).cast("double"), (col("ida") % 40).cast("double"),
+        (col("ida") % 50).cast("double") + 3.0, (col("ida") % 40).cast("double") + 3.0))
+    val b = spark.range(150).toDF("idb")
+      .withColumn("gb", st_makeEnvelope(
+        (col("idb") % 45).cast("double"), (col("idb") % 35).cast("double"),
+        (col("idb") % 45).cast("double") + 4.0, (col("idb") % 35).cast("double") + 4.0))
+    val joined = SpatialJoins.cellJoin(a, "ga", b, "gb", "intersects",
+      level = 5, leftKeys = Seq("ida"), rightKeys = Seq("idb"))
+    joined.collect()
+    // AQE's toString appends an "== Initial Plan ==" echo — gate only
+    // the final executed section
+    val s = joined.queryExecution.executedPlan.toString().split("Initial Plan")(0)
+    val genLines = s.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(genLines.nonEmpty, s"no Generate in cellJoin plan:\n$s")
+    assert(genLines.forall(_.contains("*(")),
+      s"Generate(explode(st_cellcover)) not codegen'd:\n$s")
+
+    // broadcast probe side: the Generate over st_broadcast_match_idxs /
+    // st_point_key_matches must be codegen'd too
+    val pts = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("cx", (col("c_custkey") * 7919L % 23040L).cast("double") / 64.0 - 180.0)
+      .withColumn("cy", (col("c_custkey") * 104729L % 10880L).cast("double") / 64.0 - 85.0)
+    val boxes = spark.read.parquet(s"$sf/nation.parquet")
+      .withColumn("nx0", (col("n_nationkey") % 5).cast("double") * 72.0 - 180.0)
+      .withColumn("ny0", floor(col("n_nationkey") / 5.0) * 34.0 - 85.0)
+      .withColumn("box", st_makeEnvelope(col("nx0"), col("ny0"),
+        col("nx0") + 72.0, col("ny0") + 34.0))
+    val keyed = SpatialJoins.broadcastPointKeyJoin(pts, col("cx"), col("cy"),
+      boxes, "box", "n_nationkey", pred = "contains", outKey = "k")
+    keyed.collect()
+    val s1 = keyed.queryExecution.executedPlan.toString().split("Initial Plan")(0)
+    val probeGen = s1.linesIterator
+      .filter(l => l.contains("st_point_key_matches")).toSeq
+    assert(probeGen.nonEmpty && probeGen.forall(_.contains("*(")),
+      s"point-key probe not inside WholeStageCodegen:\n$s1")
+  }
+
   test("geometry predicates codegen: st_contains filter inside a WholeStageCodegen stage") {
     // GeomBinaryOp implements doGenCode (round-2 judge item #10): the
     // filter containing the predicate must sit inside a *(n) codegen
