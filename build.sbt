@@ -35,10 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   sys.env.get("GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
 // Benchmark/Verify runs (run scope): fixed, pre-touched heap — lazy heap
 // growth page-faults in the kernel mid-benchmark (observed 88%-sys-time
-// stalls); pay the zeroing cost once at JVM start instead.
+// stalls); pay the zeroing cost once at JVM start instead. 24g, not
+// 48g: the timed scaling samples run in forked children with their own
+// heaps, and the host sporadically enters a kernel-side paging
+// pathology where pre-touching 48g burned 15+ min of 70%-sys-time
+// across all GC threads before main() even started.
 run / javaOptions ++= Seq(
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+AlwaysPreTouch",
 )
 // Tests: modest lazy heap — a 48g pre-touch per forked test JVM costs

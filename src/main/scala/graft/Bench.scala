@@ -166,7 +166,7 @@ object Bench {
     // scaling rounds (~4-5 min at sf0.1 incl. session + warm-up)
     val suiteReserve =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SUITE_RESERVE",
-        if (mode == "scaling") "0" else "330").toInt
+        if (mode == "scaling") "0" else "240").toInt
 
     var md = ""
     val hiTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -261,10 +261,17 @@ object Bench {
         lastRoundSecs = (System.nanoTime() - tR) / 1e9
         updateScalingJson()
         emitLine() // parseable best-so-far survives an external kill
-        // stop when the next round (est. from the last one + 15%
-        // headroom) would eat into the suite's reserved share of the
-        // wall budget
-        continue = elapsed() + lastRoundSecs * 1.15 < budgetSecs - suiteReserve
+        // stop when the next round would eat into the suite's reserved
+        // share. The estimate is capped at a CALM round's cost: a
+        // noise-inflated round must not block further rounds — those
+        // later calm rounds are exactly what converges the min-of-N
+        // (observed: a 631 s noisy round 1 gated off the 150 s calm
+        // round 2 that would have fixed the efficiency numbers). The
+        // cap can overrun the budget by (noisy - calm) in the worst
+        // case; every sample is already emitted incrementally, so even
+        // an external kill preserves a parseable best-so-far line.
+        continue = elapsed() + math.min(lastRoundSecs, 300.0) * 1.15 <
+          budgetSecs - suiteReserve
       }
 
       if (hiTimes.nonEmpty && loTimes.nonEmpty) {
@@ -275,8 +282,10 @@ object Bench {
         val effClustered = (loSecsC / hiSecsC) / coreRatio
         val rateHi = nPages / hiSecs; val rateLo = nPages / loSecs
         val gateNote =
-          if (math.min(efficiency, effClustered) >= 0.8)
-            f"gate >= 0.8: **met on both layouts** (conservative ${math.min(efficiency, effClustered)}%.3f; efficiencies above 1.0 are lo-level noise residue, see below)"
+          if (math.max(efficiency, effClustered) > 1.15)
+            f"an efficiency this far above 1.0 is PHYSICALLY IMPOSSIBLE for a 4x core scale-up — it means every lo-level sample was still noise-inflated and the measurement did NOT converge (too few rounds fit the budget); treat the gate as unverified this run, not met"
+          else if (math.min(efficiency, effClustered) >= 0.8)
+            f"gate >= 0.8: **met on both layouts** (conservative ${math.min(efficiency, effClustered)}%.3f; values slightly above 1.0 are residual lo-level noise)"
           else if (math.max(efficiency, effClustered) >= 0.8)
             f"gate >= 0.8: **met** on the ${if (effClustered >= efficiency) "clustered" else "random"} layout"
           else

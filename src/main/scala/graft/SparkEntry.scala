@@ -841,6 +841,22 @@ object SparkEntry {
         expr("st_y(st_pointn(st_boundary(fcw), 1))").as("p2y"))
     }),
 
+    "q87_ring_diag_signed" -> ((s, d) => {
+      // st_signedarea (winding-signed shoelace), st_isring (closed AND
+      // simple), st_boundingdiagonal (envelope min->max line; Point for
+      // degenerate envelopes) — all arithmetic on the CCW triangle
+      val p = partTris(s, d)
+      p.select(col("p_partkey"),
+        expr("st_signedarea(tri)").as("sa_ccw"),
+        expr("st_signedarea(st_forcepolygoncw(tri))").as("sa_cw"),
+        expr("st_isring(st_exteriorring(tri))").as("ring_ok"),
+        expr("st_isring(st_boundingdiagonal(tri))").as("diag_ring"),
+        expr("st_x(st_startpoint(st_boundingdiagonal(tri)))").as("dx0"),
+        expr("st_y(st_endpoint(st_boundingdiagonal(tri)))").as("dy1"),
+        expr("st_geometrytype(st_boundingdiagonal(st_point(cast(ax as double), cast(ay as double))))")
+          .as("pt_diag"))
+    }),
+
     "q66_reverse_flip_snap" -> ((s, d) => {
       // reverse / flipCoordinates via start-point evidence; snapToGrid
       // on odd-128th inputs (never half-way at 1 decimal, so JVM rint
@@ -1701,6 +1717,15 @@ object SparkEntry {
       "q65_orientation" ->
         s"""SELECT p_partkey, true AS ccw0, true AS cw1,
            |  CAST(ax AS DOUBLE) AS p2x, CAST(ay + v AS DOUBLE) AS p2y
+           |FROM (SELECT p_partkey, $TRI_VARS_SQL FROM part)""".stripMargin,
+
+      "q87_ring_diag_signed" ->
+        s"""SELECT p_partkey,
+           |  CAST(u AS DOUBLE) * v / 2 AS sa_ccw,
+           |  -(CAST(u AS DOUBLE) * v / 2) AS sa_cw,
+           |  true AS ring_ok, false AS diag_ring,
+           |  CAST(ax AS DOUBLE) AS dx0, CAST(ay + v AS DOUBLE) AS dy1,
+           |  'Point' AS pt_diag
            |FROM (SELECT p_partkey, $TRI_VARS_SQL FROM part)""".stripMargin,
 
       "q66_reverse_flip_snap" ->

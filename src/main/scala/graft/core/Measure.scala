@@ -23,6 +23,22 @@ object Measure {
     case _ => 0.0
   }
 
+  /** Signed area (reference: geom/type_polygon.go:388-414 SignedArea
+    * option): positive for CCW shells with CW holes, negative for the
+    * opposite winding; ring areas SUM without abs, so consistent
+    * windings cancel holes correctly. Non-areal inputs contribute 0.
+    */
+  def signedArea(g: Geom): Double = g match {
+    case GPoly(rings, _) =>
+      var a = 0.0
+      var i = 0
+      while (i < rings.length) { a += Alg.signedRingArea(rings(i)); i += 1 }
+      a
+    case GMPoly(ps, ct) => ps.iterator.map(rs => signedArea(GPoly(rs, ct))).sum
+    case GColl(gs, _)   => gs.iterator.map(signedArea).sum
+    case _ => 0.0
+  }
+
   /** Sum of segment lengths of 1-D components
     * (reference: geom/type_geometry.go:515-539 — areal/point types
     * contribute 0; only LineString lengths count).

@@ -56,7 +56,23 @@ object GeomOps {
   /** name -> (output type, impl). Input is the decoded geometry. */
   val unary: Map[String, (DataType, Geom => Any)] = Map(
     "st_area" -> (DoubleType, g => Measure.area(g)),
+    // reference geom/type_polygon.go:388-414 (SignedArea area option)
+    "st_signedarea" -> (DoubleType, g => Measure.signedArea(g)),
     "st_length" -> (DoubleType, g => Measure.length(g)),
+    // reference geom/type_line_string.go:307-311: simple AND closed
+    "st_isring" -> (BooleanType, {
+      case l: GLine =>
+        Boolean.box(l.isClosed && Simplicity.isSimple(l).getOrElse(false))
+      case _ => null
+    }),
+    // reference geom/type_envelope.go:272-287: min->max diagonal;
+    // degenerate point envelope -> Point, empty -> empty GC
+    "st_boundingdiagonal" -> (BinaryType, g => {
+      val e = g.envelope
+      if (e.isEmpty) wkb(Geom.emptyGC)
+      else if (e.xmin == e.xmax && e.ymin == e.ymax) wkb(GPoint.xy(e.xmin, e.ymin))
+      else wkb(GLine(Seqn.xy(Array(e.xmin, e.ymin, e.xmax, e.ymax))))
+    }),
     "st_dimension" -> (IntegerType, g => g.dimension),
     "st_coorddim" -> (IntegerType, g => CT.dim(g.ct)),
     "st_numgeometries" -> (IntegerType, g => Geom.numGeometries(g)),

@@ -64,6 +64,9 @@ object ST {
   // --------------------------------------------------------- accessors
   private def u(op: String)(c: Column): Column = col(GeomUnaryOp(op, ex(c)))
   def st_area(c: Column): Column = u("st_area")(c)
+  def st_signedArea(c: Column): Column = u("st_signedarea")(c)
+  def st_isRing(c: Column): Column = u("st_isring")(c)
+  def st_boundingDiagonal(c: Column): Column = u("st_boundingdiagonal")(c)
   def st_length(c: Column): Column = u("st_length")(c)
   def st_dimension(c: Column): Column = u("st_dimension")(c)
   def st_coordDim(c: Column): Column = u("st_coorddim")(c)

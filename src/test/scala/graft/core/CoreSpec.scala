@@ -117,6 +117,21 @@ class CoreSpec extends AnyFunSuite {
 
   // ------------------------------------------------------- predicates
 
+  test("signed area: winding sign, holes cancel by winding (reference SignedArea)") {
+    // CCW unit square -> +1; CW -> -1
+    assert(Measure.signedArea(g("POLYGON((0 0,1 0,1 1,0 1,0 0))")) === 1.0)
+    assert(Measure.signedArea(g("POLYGON((0 0,0 1,1 1,1 0,0 0))")) === -1.0)
+    // CCW shell with CW hole: 9 - 1 = 8 (hole ring is summed signed)
+    assert(Measure.signedArea(
+      g("POLYGON((0 0,3 0,3 3,0 3,0 0),(1 1,1 2,2 2,2 1,1 1))")) === 8.0)
+    // multipolygon sums; non-areal inputs contribute 0
+    assert(Measure.signedArea(
+      g("MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,5 6,6 6,6 5,5 5)))")) === 0.0)
+    assert(Measure.signedArea(g("LINESTRING(0 0,5 5)")) === 0.0)
+    // abs-area unchanged by winding
+    assert(Measure.area(g("POLYGON((0 0,0 1,1 1,1 0,0 0))")) === 1.0)
+  }
+
   test("point in polygon ray casting") {
     val poly = g("POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))").asInstanceOf[GPoly]
     assert(Alg.pointInPolygon(poly, 3, 3) == 1)    // interior
