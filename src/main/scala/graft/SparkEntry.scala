@@ -688,6 +688,21 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id").as("c_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "q88_ann_ivf_topk" -> ((s, d) => {
+      // IVF-flat: deterministic centroid sample -> shuffle-free argmax
+      // assignment -> nProbe-cell equi-join -> exact refine. The oracle
+      // re-executes the SAME procedure in DuckDB (same Knuth-spread
+      // centroid sample, same cosine-desc/cell-asc tie-breaks), so it
+      // gates the IVF semantics themselves, not lucky recall.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      Ann.ivfTopK(q, "q_vec", "q_id", emb, "vec", "vec_id",
+        k = 5, nCells = 16, nProbe = 8)
+        .select(col("q_id"), col("vec_id").as("c_id"), col("rank").cast("long").as("rank"))
+    }),
+
     "q41_embed_neardups" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
@@ -1648,6 +1663,34 @@ object SparkEntry {
           |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
           |                             CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
           |  FROM embeddings q, embeddings c WHERE q.vec_id < 8)
+          |WHERE rank <= 5""".stripMargin,
+
+      "q88_ann_ivf_topk" ->
+        """WITH cent AS (
+          |  SELECT row_number() OVER (
+          |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS cell,
+          |    CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM (SELECT * FROM embeddings
+          |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16)),
+          |assigned AS (
+          |  SELECT vec_id AS c_id, emb, cell FROM (
+          |    SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS emb, cent.cell,
+          |      row_number() OVER (PARTITION BY c.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), cent.cv) DESC,
+          |                 cent.cell) AS rn
+          |    FROM embeddings c, cent) WHERE rn = 1),
+          |probes AS (
+          |  SELECT q_id, qemb, cell FROM (
+          |    SELECT q.vec_id AS q_id, CAST(q.embedding AS DOUBLE[]) AS qemb, cent.cell,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), cent.cv) DESC,
+          |                 cent.cell) AS rn
+          |    FROM embeddings q, cent WHERE q.vec_id < 8) WHERE rn <= 8)
+          |SELECT q_id, c_id, rank FROM (
+          |  SELECT p.q_id, a.c_id,
+          |    row_number() OVER (PARTITION BY p.q_id
+          |      ORDER BY list_cosine_similarity(p.qemb, a.emb) DESC, a.c_id) AS rank
+          |  FROM probes p JOIN assigned a USING (cell))
           |WHERE rank <= 5""".stripMargin,
 
       "q41_embed_neardups" ->

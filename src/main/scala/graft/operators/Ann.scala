@@ -63,6 +63,76 @@ object Ann {
     * corpora (see AnnSpec + q40's oracle). At 10^12 rows raise planes /
     * rowsPerBand (selectivity per band is 2^-rowsPerBand).
     */
+  /** IVF-flat approximate top-k: a coarse quantizer of `nCells`
+    * centroids partitions the corpus into inverted lists; each query
+    * probes its `nProbe` nearest cells and refines exactly inside them.
+    *
+    * Centroids are a DETERMINISTIC sample of the corpus — the nCells
+    * rows minimizing (key * 2654435761) mod 2^32 (a Knuth
+    * multiplicative spread), cell ids 1..nCells in that order. Real
+    * deployments train them with k-means; the sample is the seed-stable
+    * stand-in, and everything around it (collect+broadcast of the tiny
+    * centroid table, shuffle-free per-row argmax assignment of the
+    * corpus, hash-partitioned cell equi-join, windowed exact refine) is
+    * exactly the plumbing trained centroids would use.
+    *
+    * Scale shape at 10^12 rows: assignment is ONE pass over the corpus
+    * with a per-row argmax against the broadcast centroids (a
+    * higher-order aggregate — no join, no shuffle, no window); the only
+    * corpus shuffle is the equi-join on the cell id, with per-cell
+    * candidate lists ~N/nCells (raise nCells ~ sqrt(N)). A corpus row
+    * lives in exactly one cell and query probes are distinct, so no
+    * dedup is needed. Recall is governed by nProbe; the q88 oracle
+    * re-executes this exact procedure (same centroid sample, same
+    * argmax tie-break: cosine desc, cell asc) in DuckDB, so the gate
+    * checks IVF semantics, not lucky recall.
+    */
+  def ivfTopK(queries: DataFrame, qVec: String, qKey: String,
+              corpus: DataFrame, cVec: String, cKey: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val spread = pmod(col(cKey) * lit(2654435761L), lit(4294967296L))
+    val centRows = corpus
+      .select(col(cKey).as("__k"), col(cVec).as("__v"), spread.as("__h"))
+      .orderBy(col("__h"), col("__k"))
+      .limit(nCells)
+      .collect() // coarse quantizer: tiny by construction (dimension side)
+    val centLit = array(centRows.zipWithIndex.map { case (r, i) =>
+      struct(lit(i + 1).as("cell"), typedLit(r.getSeq[Double](1).toArray).as("cv"))
+    }.toIndexedSeq: _*)
+    // shuffle-free corpus assignment: fold over the centroid array,
+    // keep the strictly-best cosine — ties resolve to the LOWEST cell,
+    // matching the oracle's ORDER BY cosine DESC, cell ASC
+    def assignCell(vec: Column): Column =
+      aggregate(centLit,
+        struct(lit(0).as("cell"), lit(-2.0d).as("best")),
+        (acc, c) => {
+          val cos = ST.vec_cosine(vec, c("cv"))
+          when(cos > acc("best"), struct(c("cell").as("cell"), cos.as("best")))
+            .otherwise(acc)
+        })("cell")
+    val assigned = corpus.withColumn("__cell", assignCell(col(cVec)))
+    // query side: nProbe nearest centroids (query set is small by
+    // contract — the broadcast cross join is bounded)
+    val cent = centRows.zipWithIndex.toSeq
+      .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
+      .toDF("__cell", "__cv")
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("__pcos", ST.vec_cosine(col(qVec), col("__cv").cast("array<double>")))
+      .withColumn("__prn", row_number().over(
+        Window.partitionBy(col(qKey)).orderBy(col("__pcos").desc, col("__cell"))))
+      .filter(col("__prn") <= nProbe)
+      .select(col(qKey), col(qVec), col("__cell"))
+    val cand = probes.join(assigned, "__cell")
+      .withColumn("cosine", ST.vec_cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qKey)).orderBy(col("cosine").desc, col(cKey))
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qKey), col(cKey), TextOps.floor6(col("cosine")).as("cosine"),
+        col("__rn").as("rank"))
+  }
+
   def lshTopK(queries: DataFrame, qVec: String, qKey: String,
               corpus: DataFrame, cVec: String, cKey: String,
               k: Int, planes: Int = 32, bands: Int = 8,

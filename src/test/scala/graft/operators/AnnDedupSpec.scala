@@ -39,6 +39,32 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("ivfTopK with nProbe = nCells equals bruteForceTopK (exhaustive probe)") {
+    // probing every cell makes IVF exhaustive regardless of centroid
+    // quality — the candidate-generation plumbing must then reproduce
+    // the exact answer bit for bit
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val exact = Ann.bruteForceTopK(q, "q_vec", "q_id", emb, "vec", "vec_id", k = 5)
+      .select("q_id", "vec_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Ann.ivfTopK(q, "q_vec", "q_id", emb, "vec", "vec_id",
+      k = 5, nCells = 16, nProbe = 16)
+      .select("q_id", "vec_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf === exact)
+  }
+
+  test("ivfTopK partial probe: deterministic, k results per query, subset ranks consistent") {
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    def run() = Ann.ivfTopK(q, "q_vec", "q_id", emb, "vec", "vec_id",
+      k = 5, nCells = 16, nProbe = 8)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = run(); val b = run()
+    assert(a === b, "IVF must be deterministic")
+    assert(a.groupBy(_._1).forall(_._2.size == 5), "k results per query")
+  }
+
   test("embeddingNearDups equals brute-force threshold pairs (clones corpus)") {
     val clones = emb.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 10000L).as("vec_id"), col("vec"))
