@@ -872,6 +872,44 @@ object SparkEntry {
           .as("pt_diag"))
     }),
 
+    "q89_rings_rect_total" -> ((s, d) => {
+      // st_dumprings (exterior first, then interiors, as LineStrings —
+      // reference type_polygon.go:642-650), st_isrectangle (envelope
+      // has area — type_envelope.go:76-79), st_numtotalgeometries
+      // (recursive GC count — type_geometry_collection.go:71-81)
+      val n = t(s, d, "nation")
+        .withColumn("x0", (col("n_nationkey") * 3 % 50).cast("int"))
+        .withColumn("y0", (col("n_nationkey") * 7 % 40).cast("int"))
+        .withColumn("donut_wkt", concat(lit("POLYGON(("),
+          col("x0"), lit(" "), col("y0"), lit(","),
+          col("x0") + 8, lit(" "), col("y0"), lit(","),
+          col("x0") + 8, lit(" "), col("y0") + 6, lit(","),
+          col("x0"), lit(" "), col("y0") + 6, lit(","),
+          col("x0"), lit(" "), col("y0"), lit("),("),
+          col("x0") + 2, lit(" "), col("y0") + 2, lit(","),
+          col("x0") + 3, lit(" "), col("y0") + 2, lit(","),
+          col("x0") + 3, lit(" "), col("y0") + 3, lit(","),
+          col("x0") + 2, lit(" "), col("y0") + 3, lit(","),
+          col("x0") + 2, lit(" "), col("y0") + 2, lit("))")))
+        .withColumn("donut", expr("st_geomfromwkt(donut_wkt)"))
+        .withColumn("rings", expr("st_dumprings(donut)"))
+        .withColumn("gc_wkt", concat(
+          lit("GEOMETRYCOLLECTION(POINT("), col("x0"), lit(" "), col("y0"),
+          lit("),GEOMETRYCOLLECTION(POINT(0 0),POINT(1 1)))")))
+      n.select(col("n_nationkey"),
+        size(col("rings")).as("nrings"),
+        expr("st_numpoints(element_at(rings, 1))").as("ring0_pts"),
+        expr("st_x(st_startpoint(element_at(rings, 1)))").as("ring0_x"),
+        expr("st_x(st_startpoint(element_at(rings, 2)))").as("ring1_x"),
+        expr("st_geometrytype(element_at(rings, 1))").as("ring_type"),
+        expr("st_isrectangle(donut)").as("rect_poly"),
+        expr("st_isrectangle(st_point(cast(x0 as double), cast(y0 as double)))").as("rect_pt"),
+        expr("st_isrectangle(st_makeline(array(array(cast(x0 as double), cast(y0 as double)), " +
+          "array(cast(x0 + 5 as double), cast(y0 as double)))))").as("rect_line"),
+        expr("st_numtotalgeometries(st_geomfromwkt(gc_wkt))").as("tot_gc"),
+        expr("st_numtotalgeometries(donut)").as("tot_poly"))
+    }),
+
     "q66_reverse_flip_snap" -> ((s, d) => {
       // reverse / flipCoordinates via start-point evidence; snapToGrid
       // on odd-128th inputs (never half-way at 1 decimal, so JVM rint
@@ -1770,6 +1808,13 @@ object SparkEntry {
            |  CAST(ax AS DOUBLE) AS dx0, CAST(ay + v AS DOUBLE) AS dy1,
            |  'Point' AS pt_diag
            |FROM (SELECT p_partkey, $TRI_VARS_SQL FROM part)""".stripMargin,
+
+      "q89_rings_rect_total" ->
+        """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,
+          |  CAST(x0 AS DOUBLE) AS ring0_x, CAST(x0 + 2 AS DOUBLE) AS ring1_x,
+          |  'LineString' AS ring_type, true AS rect_poly, false AS rect_pt,
+          |  false AS rect_line, 4 AS tot_gc, CAST(NULL AS INTEGER) AS tot_poly
+          |FROM (SELECT n_nationkey, (n_nationkey * 3) % 50 AS x0 FROM nation)""".stripMargin,
 
       "q66_reverse_flip_snap" ->
         s"""SELECT o_orderkey,

@@ -76,6 +76,24 @@ object GeomOps {
     "st_dimension" -> (IntegerType, g => g.dimension),
     "st_coorddim" -> (IntegerType, g => CT.dim(g.ct)),
     "st_numgeometries" -> (IntegerType, g => Geom.numGeometries(g)),
+    // reference geom/type_geometry_collection.go:71-81: recursive count
+    // of elements, descending into nested collections; non-GC -> null
+    // (the reference defines the method only on GeometryCollection)
+    "st_numtotalgeometries" -> (IntegerType, {
+      case GColl(gs, _) =>
+        def total(g: Geom): Int = g match {
+          case GColl(cs, _) => cs.length + cs.map(total).sum
+          case _ => 0
+        }
+        Int.box(gs.length + gs.map(total).sum)
+      case _ => null
+    }),
+    // reference geom/type_envelope.go:76-79: envelope is a
+    // non-degenerate rectangle with some area
+    "st_isrectangle" -> (BooleanType, g => {
+      val e = g.envelope
+      !e.isEmpty && e.xmin != e.xmax && e.ymin != e.ymax
+    }),
     "st_numpoints" -> (IntegerType, g => g.numPoints),
     "st_isempty" -> (BooleanType, g => g.isEmpty),
     "st_isvalid" -> (BooleanType, g => Validate.isValid(g)),
@@ -148,6 +166,14 @@ object GeomOps {
     }),
     "st_dumparray" -> (ArrayType(BinaryType), g =>
       new GenericArrayData(Geom.dump(g).map(p => wkb(p): Any))),
+    // reference geom/type_polygon.go:642-650: exterior ring first, then
+    // interiors, as LineStrings; empty polygon -> zero-length array.
+    // Defined on Polygon only (null for other types, like st_exteriorring).
+    "st_dumprings" -> (ArrayType(BinaryType), {
+      case GPoly(rs, _) =>
+        new GenericArrayData(rs.map(r => wkb(GLine(r)): Any))
+      case _ => null
+    }),
     "st_pointonsurface" -> (BinaryType, g => wkb(PointOnSurface.compute(g))),
     "st_numinteriorrings" -> (IntegerType, {
       case GPoly(rs, _) => math.max(0, rs.length - 1)

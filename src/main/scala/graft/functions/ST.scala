@@ -71,6 +71,9 @@ object ST {
   def st_dimension(c: Column): Column = u("st_dimension")(c)
   def st_coordDim(c: Column): Column = u("st_coorddim")(c)
   def st_numGeometries(c: Column): Column = u("st_numgeometries")(c)
+  def st_numTotalGeometries(c: Column): Column = u("st_numtotalgeometries")(c)
+  def st_isRectangle(c: Column): Column = u("st_isrectangle")(c)
+  def st_dumpRings(c: Column): Column = u("st_dumprings")(c)
   def st_numPoints(c: Column): Column = u("st_numpoints")(c)
   def st_isEmpty(c: Column): Column = u("st_isempty")(c)
   def st_isValid(c: Column): Column = u("st_isvalid")(c)
