@@ -394,6 +394,11 @@ object Bench {
           r += 1
         }
         System.err.println(f"[bench] $name: $best%.2f s ($rows rows)")
+        // stream the cumulative line per query: an external kill
+        // mid-suite (driver timeout on a noisy host) still leaves every
+        // completed query's timing parseable, not just the scaling part
+        results = results :+ ((name, best, rows))
+        emitLine()
         (name, best, rows)
       }
       // second pass over the slowest queries: with reps=1 a single VM

@@ -872,6 +872,46 @@ object SparkEntry {
           .as("pt_diag"))
     }),
 
+    "q90_url_parts" -> ((s, d) => {
+      // URL host/domain/path/depth + canonical normalization (the
+      // crawl pipeline's per-domain key + URL-level dedup key). The
+      // oracle computes the expected values INDEPENDENTLY (literal
+      // reconstruction per case arm, not a regex replay), so it gates
+      // the parsing semantics, not shared regex bugs.
+      val docs = t(s, d, "documents").withColumn("url",
+        when(col("doc_id") % 3 === 0, concat(lit("HTTPS://WWW."),
+          col("source"), lit(".Example.COM:443/A/b/"), col("doc_id"),
+          lit("/?q="), col("lang"), lit("#frag")))
+        .when(col("doc_id") % 3 === 1, concat(lit("http://"),
+          col("source"), lit(".example.org:8080")))
+        .otherwise(concat(lit("https://cdn."), col("source"),
+          lit(".example.net/x/"), col("doc_id"), lit("/"))))
+      docs.select(col("doc_id"),
+        TextOps.urlHost(col("url")).as("host"),
+        TextOps.urlDomain(col("url")).as("domain"),
+        TextOps.urlPath(col("url")).as("path"),
+        TextOps.urlPathDepth(col("url")).as("depth"),
+        TextOps.urlNormalize(col("url")).as("norm"))
+    }),
+
+    "q91_split_assign" -> ((s, d) =>
+      // deterministic md5-keyed train/val/test split — reproducible
+      // under any partitioning/re-run and stable as the corpus grows
+      // (hash-based, not row_number/random). The oracle replays the
+      // same 6-hex-digit md5 prefix arithmetic in DuckDB.
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.splitAssign(col("doc_id"), valFrac = 0.1, testFrac = 0.1)
+          .as("split"))),
+
+    "q92_word_repetition" -> ((s, d) =>
+      // Gopher-style word-repetition quality signals, per-row (no
+      // shuffle); oracle recomputes via unnest + group-by
+      t(s, d, "documents")
+        .withColumn("rep", TextOps.wordRepetition(col("text")))
+        .select(col("doc_id"),
+          col("rep.dup_frac").as("dup_frac"),
+          col("rep.top_share").as("top_share"))),
+
     "q89_rings_rect_total" -> ((s, d) => {
       // st_dumprings (exterior first, then interiors, as LineStrings —
       // reference type_polygon.go:642-650), st_isrectangle (envelope
@@ -1808,6 +1848,50 @@ object SparkEntry {
            |  CAST(ax AS DOUBLE) AS dx0, CAST(ay + v AS DOUBLE) AS dy1,
            |  'Point' AS pt_diag
            |FROM (SELECT p_partkey, $TRI_VARS_SQL FROM part)""".stripMargin,
+
+      "q90_url_parts" ->
+        """SELECT doc_id,
+          |  CASE doc_id % 3
+          |    WHEN 0 THEN 'www.' || source || '.example.com'
+          |    WHEN 1 THEN source || '.example.org'
+          |    ELSE 'cdn.' || source || '.example.net' END AS host,
+          |  CASE doc_id % 3
+          |    WHEN 0 THEN 'example.com'
+          |    WHEN 1 THEN 'example.org'
+          |    ELSE 'example.net' END AS domain,
+          |  CASE doc_id % 3
+          |    WHEN 0 THEN '/A/b/' || doc_id || '/'
+          |    WHEN 1 THEN '/'
+          |    ELSE '/x/' || doc_id || '/' END AS path,
+          |  CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 2 END AS depth,
+          |  CASE doc_id % 3
+          |    WHEN 0 THEN 'https://www.' || source || '.example.com/A/b/' || doc_id || '?q=' || lang
+          |    WHEN 1 THEN 'http://' || source || '.example.org:8080/'
+          |    ELSE 'https://cdn.' || source || '.example.net/x/' || doc_id END AS norm
+          |FROM documents""".stripMargin,
+
+      "q91_split_assign" -> {
+        val hex6 = "list_reduce(list_transform(range(1,7), " +
+          "i -> strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1), " +
+          "(a,d) -> a*16+d)"
+        s"""SELECT doc_id,
+           |  CASE WHEN $hex6 / 16777216.0 < 0.8 THEN 'train'
+           |       WHEN $hex6 / 16777216.0 < 0.9 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin
+      },
+
+      "q92_word_repetition" ->
+        """WITH w AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents),
+          |c AS (SELECT doc_id, tok, count(*) AS n FROM w GROUP BY 1, 2),
+          |a AS (SELECT doc_id, max(n) AS topn, sum(n) AS tot, count(*) AS dist
+          |      FROM c GROUP BY 1)
+          |SELECT doc_id,
+          |  floor((1.0 - CAST(dist AS DOUBLE) / tot) * 1000000) / 1000000 AS dup_frac,
+          |  floor((CAST(topn AS DOUBLE) / tot) * 1000000) / 1000000 AS top_share
+          |FROM a""".stripMargin,
 
       "q89_rings_rect_total" ->
         """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,

@@ -151,4 +151,81 @@ object TextOps {
     val noFoot = regexp_replace(noNav, "(?s)<footer[^>]*>.*?</footer>", "")
     unescapeHtml(regexp_replace(noFoot, "<[^>]*>", ""))
   }
+
+  // ------------------------------------------------- url analysis
+
+  /** Lowercased host (authority without port) of an absolute URL. */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+      ":[0-9]+$", "")
+
+  /** Registrable-ish domain: the last two dot-labels of the host (the
+    * per-domain dedup / rate-limit key of a crawl pipeline; a full
+    * public-suffix list is a lookup-table drop-in).
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Path component (no query/fragment); empty path normalizes to "/". */
+  def urlPath(url: Column): Column = {
+    val p = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Number of non-empty path segments. */
+  def urlPathDepth(url: Column): Column =
+    size(filter(split(urlPath(url), "/"), s => s =!= ""))
+
+  /** Canonical URL for exact URL-level dedup: lowercase scheme+host,
+    * default :80/:443 ports stripped (non-default ports kept), fragment
+    * dropped, trailing path slash trimmed (root stays "/"), query
+    * preserved.
+    */
+  def urlNormalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val port = regexp_extract(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1),
+      ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") && !(scheme === "https" && port === "443")
+    val path = regexp_replace(urlPath(url), "(.)/$", "$1")
+    val query = regexp_extract(url, "(\\?[^#]*)", 1)
+    concat(scheme, lit("://"), urlHost(url),
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")), path, query)
+  }
+
+  /** Deterministic train/val/test assignment keyed on a stable id
+    * column: u = first 6 hex chars of md5(key) / 16^6 ∈ [0,1), split by
+    * cumulative fractions. Hash-based (not row_number) so the split is
+    * reproducible under any partitioning, join order, or re-run at
+    * 10^12 rows, and documents keep their split when the corpus grows —
+    * both properties a random()/monotonically_increasing_id split lacks.
+    * md5 is the hash Spark and DuckDB share bit-for-bit (q38 precedent).
+    */
+  def splitAssign(key: Column, valFrac: Double = 0.1, testFrac: Double = 0.1): Column = {
+    val u = conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    when(u < lit(1.0 - valFrac - testFrac), "train")
+      .when(u < lit(1.0 - testFrac), "val")
+      .otherwise("test")
+  }
+
+  /** Word-repetition quality signals (Gopher-style repetition filters,
+    * word-level): fraction of duplicate tokens and the share of the
+    * most frequent token. Pure per-row Column expressions — O(tokens ×
+    * distinct) per row, no shuffle; the distinct-token count of natural
+    * text is vocabulary-bounded, so the quadratic term stays small at
+    * any corpus scale. Returns struct(dup_frac, top_share), 6-dp
+    * truncated for oracle parity.
+    */
+  def wordRepetition(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = size(toks).cast("double")
+    val dist = array_distinct(toks)
+    val counts = transform(dist, w => size(filter(toks, t => t === w)))
+    val top = array_max(counts).cast("double")
+    val dupFrac = when(n > 0, floor6(lit(1.0) - size(dist).cast("double") / n))
+      .otherwise(lit(0.0))
+    val topShare = when(n > 0, floor6(top / n)).otherwise(lit(0.0))
+    struct(dupFrac.as("dup_frac"), topShare.as("top_share"))
+  }
 }

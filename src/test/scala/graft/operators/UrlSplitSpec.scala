@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SparkTestSession
+
+/** URL parsing/normalization edge cases beyond the q90 oracle's three
+  * synthetic shapes, plus split-assignment distribution/stability and
+  * word-repetition degeneracies.
+  */
+class UrlSplitSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def urlRow(u: String): (String, String, String, Int, String) = {
+    val r = Seq(u).toDF("url").select(
+      TextOps.urlHost(col("url")),
+      TextOps.urlDomain(col("url")),
+      TextOps.urlPath(col("url")),
+      TextOps.urlPathDepth(col("url")),
+      TextOps.urlNormalize(col("url"))).head()
+    (r.getString(0), r.getString(1), r.getString(2), r.getInt(3), r.getString(4))
+  }
+
+  test("urlNormalize strips default ports, keeps non-default, drops fragment") {
+    assert(urlRow("http://A.B.example.com:80/x#f") ===
+      (("a.b.example.com", "example.com", "/x", 1, "http://a.b.example.com/x")))
+    assert(urlRow("https://ex.org:443/") ===
+      (("ex.org", "ex.org", "/", 0, "https://ex.org/")))
+    assert(urlRow("https://ex.org:8443/a/b/c?k=v&x=2#frag") ===
+      (("ex.org", "ex.org", "/a/b/c", 3, "https://ex.org:8443/a/b/c?k=v&x=2")))
+    // no path at all -> "/" and root slash is preserved
+    assert(urlRow("HTTP://EX.ORG") === (("ex.org", "ex.org", "/", 0, "http://ex.org/")))
+    // query on bare host, plus empty path segments don't count
+    assert(urlRow("https://ex.org?q=1") ===
+      (("ex.org", "ex.org", "/", 0, "https://ex.org/?q=1")))
+    assert(urlRow("https://ex.org//a//b/") ===
+      (("ex.org", "ex.org", "//a//b/", 2, "https://ex.org//a//b")))
+  }
+
+  test("splitAssign is deterministic, total, and near the target fractions") {
+    val ids = spark.range(0, 20000).toDF("id")
+    val assigned = ids.withColumn("s", TextOps.splitAssign(col("id")))
+    val counts = assigned.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 20000L)
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.01)
+    assert(math.abs(counts("test") / 20000.0 - 0.1) < 0.01)
+    // stability: the same key keeps its split in a differently-sized,
+    // differently-partitioned corpus (the property random() lacks)
+    val again = spark.range(0, 5000).repartition(7).toDF("id")
+      .withColumn("s2", TextOps.splitAssign(col("id")))
+    val joined = assigned.join(again, "id")
+      .filter(col("s") =!= col("s2")).count()
+    assert(joined === 0L)
+  }
+
+  test("wordRepetition: distinct text, fully-repeated text, single token") {
+    val df = Seq(
+      (1L, "a b c d"),        // all distinct
+      (2L, "x x x x"),        // one token repeated
+      (3L, "w"),              // single token
+      (4L, "a b a b a b")     // dup_frac 2/3, top_share 1/2
+    ).toDF("id", "text").withColumn("r", TextOps.wordRepetition(col("text")))
+    val m = df.select(col("id"), col("r.dup_frac"), col("r.top_share"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m(1L) === ((0.0, 0.25)))
+    assert(m(2L) === ((0.75, 1.0)))
+    assert(m(3L) === ((0.0, 1.0)))
+    assert(m(4L)._1 > 0.666 && m(4L)._1 < 0.667)
+    assert(m(4L)._2 === 0.5)
+  }
+}
