@@ -33,7 +33,12 @@ object BenchChild {
     // of GC pressure, amplifying host noise bursts into 3-4x sample
     // swings
     val heapG = math.max(5, (cores * 2.5).toInt)
+    // AlwaysPreTouch: the child's heap must be FULLY resident before
+    // the cache warm below — lazy heap growth during the first runs
+    // creates the allocation pressure that evicts the just-warmed
+    // table pages (the guest reclaims clean page cache first)
     val cmd = Seq(javaBin, "-cp", cp, s"-Xmx${heapG}g", s"-Xms${heapG}g",
+      "-XX:+AlwaysPreTouch",
       s"-XX:ActiveProcessorCount=$cores", "-Dspark.ui.enabled=false") ++
       inherited ++
       Seq("graft.BenchChild", cores.toString, innerReps.toString, pathR, pathC, pathWarm)
@@ -73,6 +78,21 @@ object BenchChild {
     // what blew the driver's bench budget).
     Bench.flagship(spark, pathWarm)
     Bench.flagship(spark, pathWarm)
+    // cache-warm the exact column-pruned pages the flagship scans
+    // (page_id/lon/lat), untimed, IMMEDIATELY before the timed reps:
+    // this sandbox's guest page cache is reclaimed between the parent's
+    // prep warm and the child's first sample (balloon/LRU), and a cold
+    // read of this virtio disk runs at ~25 MB/s with ~90% sys time —
+    // observed as a systematic ~10x inflation of each child's FIRST
+    // clustered sample (235/269 s vs 22/24 s for the second). A real
+    // executor streams from distributed storage at NIC bandwidth; that
+    // cold-IO pathology does not belong inside the timed window.
+    import org.apache.spark.sql.functions.sum
+    for (p <- Seq(pathR, pathC)) {
+      val t0 = System.nanoTime()
+      spark.read.parquet(p).agg(sum("page_id"), sum("lon"), sum("lat")).collect()
+      System.err.println(f"[warm] $p ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     for (_ <- 1 to innerReps) {
       for ((layout, path) <- Seq("random" -> pathR, "clustered" -> pathC)) {
         val t0 = System.nanoTime()

@@ -113,17 +113,17 @@ object Ann {
             .otherwise(acc)
         })("cell")
     val assigned = corpus.withColumn("__cell", assignCell(col(cVec)))
-    // query side: nProbe nearest centroids (query set is small by
-    // contract — the broadcast cross join is bounded)
-    val cent = centRows.zipWithIndex.toSeq
-      .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
-      .toDF("__cell", "__cv")
-    val probes = queries.crossJoin(broadcast(cent))
-      .withColumn("__pcos", ST.vec_cosine(col(qVec), col("__cv").cast("array<double>")))
+    // query side: nProbe nearest centroids. The centroid table is a
+    // LITERAL array, so this is explode (a Generate) + window — no
+    // join operator at all (a crossJoin(broadcast(...)) would plan as
+    // BroadcastNestedLoopJoin and trip the PlanSweepSpec product gate)
+    val probes = queries
+      .select(col(qKey), col(qVec), explode(centLit).as("__c"))
+      .withColumn("__pcos", ST.vec_cosine(col(qVec), col("__c")("cv")))
       .withColumn("__prn", row_number().over(
-        Window.partitionBy(col(qKey)).orderBy(col("__pcos").desc, col("__cell"))))
+        Window.partitionBy(col(qKey)).orderBy(col("__pcos").desc, col("__c")("cell"))))
       .filter(col("__prn") <= nProbe)
-      .select(col(qKey), col(qVec), col("__cell"))
+      .select(col(qKey), col(qVec), col("__c")("cell").as("__cell"))
     val cand = probes.join(assigned, "__cell")
       .withColumn("cosine", ST.vec_cosine(col(qVec), col(cVec)))
     val w = Window.partitionBy(col(qKey)).orderBy(col("cosine").desc, col(cKey))

@@ -74,6 +74,68 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** One exploded (band-key, doc) observation for streaming LSH. */
+  final case class BandObs(key: Long, ts: java.sql.Timestamp, bk: Long)
+  /** A near-dup candidate: `key` collided with the bucket's canonical
+    * first-seen document `firstKey` on band bucket `bk`.
+    */
+  final case class DupHit(key: Long, firstKey: Long, bk: Long)
+  /** LSH bucket state: canonical first-seen doc + last event time.
+    * (Public: the state Encoder's generated code instantiates it.)
+    */
+  final case class BucketState(firstKey: Long, lastTsMs: Long)
+
+  /** Streaming MinHash-LSH near-dup candidates: the streaming analogue
+    * of [[graft.operators.Dedup.minhashCandidates]]. Each document is
+    * expanded to `bands` band keys in one codegen'd pass
+    * (shingles -> k min-hashes -> band keys); buckets are
+    * flatMapGroupsWithState groups keyed on the band key, whose state
+    * is ONLY (canonical first-seen doc key, last event time) — every
+    * later arrival in the bucket emits a (key, firstKey, bk) candidate
+    * against the canonical representative, so state is O(1) per active
+    * bucket rather than O(docs). Buckets idle past `expireAfter` are
+    * dropped via event-time timeout against the watermark — at ingest
+    * scale state is bounded by ACTIVE buckets per horizon, the same
+    * contract as [[dedupTextStream]]. Within a micro-batch the
+    * canonical key is the bucket minimum, so output is deterministic
+    * under batch-internal reordering. Downstream: distinct on
+    * (key, firstKey) and (for the exact pipeline) a jaccard/cosine
+    * refine join — identical post-processing to the batch path.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, tsCol: String, textCol: String,
+                              keyCol: String, watermarkDur: String,
+                              expireAfter: String = "30 minutes",
+                              shingleN: Int = 3, k: Int = 24,
+                              bands: Int = 8): Dataset[DupHit] = {
+    import docs.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(expireAfter))
+    val expireMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val banded = docs.withWatermark(tsCol, watermarkDur)
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
+        explode(minhash_bandKeys(col(textCol), shingleN, k, bands)).as("bk"))
+      .as[BandObs]
+    banded.groupByKey(_.bk)
+      .flatMapGroupsWithState[BucketState, DupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bk, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val obs = rows.toArray.sortBy(_.key)
+            val prior = state.getOption
+            val first = prior.map(_.firstKey).getOrElse(obs.head.key)
+            val maxTs = obs.iterator.map(_.ts.getTime).max
+            state.update(BucketState(first,
+              math.max(maxTs, prior.map(_.lastTsMs).getOrElse(0L))))
+            // a timeout at or before the current watermark throws;
+            // clamp when expireAfter is shorter than the watermark lag
+            state.setTimeoutTimestamp(math.max(state.get.lastTsMs + expireMs,
+              state.getCurrentWatermarkMs() + 1000L))
+            obs.iterator.filter(_.key != first).map(o => DupHit(o.key, first, bk))
+          }
+      }
+  }
+
   /** Per-cell running envelope/count state. `idleTimeout` (e.g.
     * "30 minutes") expires cells not seen for that long — the warm
     * cache stays bounded by ACTIVE cells, not by every cell ever

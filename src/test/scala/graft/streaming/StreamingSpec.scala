@@ -95,6 +95,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("region_key").distinct().count() === 2L)
   }
 
+  test("streaming minhash near-dup candidates against bucket canonicals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
+    // 120 docs over 20 distinct texts (id % 20): each class of 6 docs
+    // collides in every band against its canonical (min id). Every
+    // token carries the class id, so shingle sets are DISJOINT across
+    // classes — texts differing in only one token would be genuine
+    // ~0.85-Jaccard near-dups and legitimately collide cross-class
+    val batch = spark.range(120).select(
+      col("id"),
+      timestamp_seconds(lit(1704067200L) + col("id")).as("ts"),
+      concat(lit("alpha"), col("id") % 20, lit(" bravo"), col("id") % 20,
+        lit(" charlie"), col("id") % 20, lit(" delta"), col("id") % 20,
+        lit(" echo"), col("id") % 20).as("text"))
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val hits = Streaming.nearDupCandidatesStream(
+      stream, "ts", "text", "id", watermarkDur = "10 minutes")
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("lsh_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val pairs = spark.sql("SELECT DISTINCT key, firstKey FROM lsh_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical texts collide in all bands; canonical = class minimum,
+    // so the expected pair set is exactly (id, id % 20) for id >= 20
+    val expected = (20L until 120L).map(id => (id, id % 20L)).toSet
+    assert(pairs === expected)
+  }
+
   test("stateful running cell envelope") {
     val obs = Seq(
       Streaming.CellObs(1L, 0.0, 0.0), Streaming.CellObs(1L, 2.0, 3.0),
