@@ -178,6 +178,8 @@ object ST {
 
   // ----------------------------------------------- vectors / simhash
   def vec_cosine(a: Column, b: Column): Column = col(VecCosine(ex(a), ex(b)))
+  def vec_argmax_cosine(v: Column, centroids: Array[Array[Double]]): Column =
+    col(VecArgmaxCosine(ex(v), centroids))
   def vec_bandKeys(v: Column, planes: Int, bands: Int,
                    seed: Long = 42L, probeBits: Int = 0): Column =
     col(VecBandKeys(ex(v), planes, bands, seed, probeBits))

@@ -79,6 +79,64 @@ case class VecCosine(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** IVF coarse-quantizer assignment: the 1-based index of the centroid
+  * with the highest cosine similarity to the vector (strictly-greater
+  * wins, so ties resolve to the LOWEST index — identical to the
+  * `aggregate(..., when(cos > best, c))` fold it replaces and to the
+  * q88 oracle's ORDER BY cosine DESC, cell ASC). Returns 0 when no
+  * centroid yields a defined cosine (empty/zero/length-mismatched
+  * vector), which matches the fold's initial accumulator and joins to
+  * no probe cell.
+  *
+  * The centroid matrix is a plan-time constant (collected and
+  * broadcast-as-literal by Ann.ivfTopK), so it lives in the expression
+  * itself: per-corpus-row work is one tight nCells x dim loop on the
+  * array data — the HOF version evaluated interpreted with
+  * per-element boxing and was the dominant cost of q88 (4.2 s at
+  * sf0.1). The per-centroid cosine uses EXACTLY VecCosine's
+  * arithmetic (dot / (sqrt(nx) * sqrt(ny)), norms precomputed) so
+  * near-tie orderings cannot drift from the oracle by a rounding
+  * difference.
+  */
+case class VecArgmaxCosine(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryKernelCodegen {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val sqrtNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n == 0) return 0
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val x = VecOps.elem(v, i, isFloat); nx += x * x; i += 1 }
+    if (nx == 0.0) return 0 // zero vector: every cosine is undefined
+    val sqrtNx = math.sqrt(nx)
+    var best = Double.NegativeInfinity
+    var bestCell = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      if (cv.length == n && sqrtNorms(c) > 0.0) {
+        var dot = 0.0; var j = 0
+        while (j < n) { dot += VecOps.elem(v, j, isFloat) * cv(j); j += 1 }
+        val score = dot / (sqrtNx * sqrtNorms(c))
+        if (score > best) { best = score; bestCell = c + 1 }
+      }
+      c += 1
+    }
+    bestCell
+  }
+  override protected def withNewChildInternal(c: Expression): VecArgmaxCosine =
+    copy(child = c)
+}
+
 /** Banded hyperplane-LSH keys for a vector column, in ONE pass:
   * project onto `planes` deterministic Rademacher hyperplanes, take
   * sign bits, split into `bands` bands of planes/bands bits, and emit

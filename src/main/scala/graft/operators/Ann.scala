@@ -101,18 +101,15 @@ object Ann {
     val centLit = array(centRows.zipWithIndex.map { case (r, i) =>
       struct(lit(i + 1).as("cell"), typedLit(r.getSeq[Double](1).toArray).as("cv"))
     }.toIndexedSeq: _*)
-    // shuffle-free corpus assignment: fold over the centroid array,
-    // keep the strictly-best cosine — ties resolve to the LOWEST cell,
-    // matching the oracle's ORDER BY cosine DESC, cell ASC
-    def assignCell(vec: Column): Column =
-      aggregate(centLit,
-        struct(lit(0).as("cell"), lit(-2.0d).as("best")),
-        (acc, c) => {
-          val cos = ST.vec_cosine(vec, c("cv"))
-          when(cos > acc("best"), struct(c("cell").as("cell"), cos.as("best")))
-            .otherwise(acc)
-        })("cell")
-    val assigned = corpus.withColumn("__cell", assignCell(col(cVec)))
+    // shuffle-free corpus assignment: a native codegen'd argmax over
+    // the centroid matrix — strictly-best cosine wins, ties resolve to
+    // the LOWEST cell, matching the oracle's ORDER BY cosine DESC,
+    // cell ASC. (The previous `aggregate(...)` fold was a higher-order
+    // function: interpreted evaluation with per-element boxing made
+    // the corpus pass the dominant cost of q88.)
+    val centMatrix = centRows.map(_.getSeq[Double](1).toArray)
+    val assigned = corpus.withColumn("__cell",
+      ST.vec_argmax_cosine(col(cVec), centMatrix))
     // query side: nProbe nearest centroids. The centroid table is a
     // LITERAL array, so this is explode (a Generate) + window — no
     // join operator at all (a crossJoin(broadcast(...)) would plan as
