@@ -39,6 +39,22 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("vec_argmax_cosine edges: lowest-cell ties, zero vector, length mismatch, float input") {
+    val cents = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0, 1.0))
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("cell", ST.vec_argmax_cosine(col("v"), cents))
+        .select("cell").collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    // duplicate centroids 1 and 2: strictly-greater keeps the first
+    assert(assign(Seq(Seq(2.0, 0.0)).toDF("v")) === Seq(1))
+    assert(assign(Seq(Seq(0.0, 3.0)).toDF("v")) === Seq(3))
+    // zero / empty vectors: no defined cosine -> cell 0 (joins nothing)
+    assert(assign(Seq(Seq(0.0, 0.0), Seq.empty[Double]).toDF("v")) === Seq(0, 0))
+    // 3-dim input only matches the 3-dim centroid
+    assert(assign(Seq(Seq(-1.0, -1.0, -1.0)).toDF("v")) === Seq(4))
+    // float arrays take the same kernel
+    assert(assign(Seq(Seq(0.5f, 0.0f)).toDF("v")) === Seq(1))
+  }
+
   test("ivfTopK with nProbe = nCells equals bruteForceTopK (exhaustive probe)") {
     // probing every cell makes IVF exhaustive regardless of centroid
     // quality — the candidate-generation plumbing must then reproduce
