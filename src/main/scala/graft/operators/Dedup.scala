@@ -72,43 +72,66 @@ object Dedup {
       .select(col("key_a"), col("key_b"), TextOps.floor6(col("jaccard")).as("jaccard"))
   }
 
-  /** Exact all-pairs n-gram Jaccard over a (small) corpus via shingle
-    * inverted index — the oracle-checkable ground truth for the LSH
-    * path. Scales as sum over shingles of df² — fine for verification
-    * corpora, not the 100 TB path.
+  /** Exact all-pairs n-gram Jaccard via a PREFIX-FILTERED similarity
+    * join (SSJoin, Chaudhuri et al. ICDE'06; All-Pairs, Bayardo et al.
+    * WWW'07): under any global token order, J(A,B) >= t implies A and
+    * B share a token inside each side's first |X| - ceil(t*|X|) + 1
+    * tokens — so only those PREFIX tokens are indexed, and the
+    * quadratic blowup runs over prefix document frequencies, not full
+    * ones. The global order is rare-first (df asc), which pushes the
+    * highest-df tokens out of every prefix: the former full
+    * inverted-index self-join scaled as sum over ALL shingles of df²
+    * and was the one documented quadratic in the suite. Candidates
+    * also pass the size filter (t*|A| <= |B| <= |A|/t) before the
+    * exact array-intersect refine, and the refine recomputes the same
+    * integer |intersection| / (|A|+|B|-|inter|) arithmetic as before,
+    * so the output (and the DuckDB oracle) is bit-identical.
+    *
+    * Scale shape at 10^12 rows: two linear shuffles (df count, per-doc
+    * prefix window), a prefix-token equi-join whose skew is capped by
+    * the rare-first order, and two hash joins keyed on doc id to
+    * attach the full shingle arrays of the (few) candidates.
     */
   def jaccardPairsExact(df: DataFrame, textCol: String, keyCol: String,
                         shingleN: Int, threshold: Double): DataFrame = {
-    // count-based set algebra: |A ∩ B| = co-occurrence count in the
-    // inverted index (wordShingles is array_distinct'd, so each shingle
-    // contributes once per doc), |A ∪ B| = |A| + |B| − |A ∩ B|. One
-    // equi-join + one groupBy — no distinct-then-rejoin of the shingle
-    // arrays (the previous shape carried the arrays through two extra
-    // shuffles and recomputed them per join side).
+    // wordShingles is array_distinct'd: arrays are sets
     val sh = df.select(col(keyCol).as("__k"),
-      TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
-    val sizes = sh.select(col("__k"), size(col("__sh")).as("__n"))
-    // the index is verification-corpus-sized; persist so the self-join
-    // reads it once instead of recomputing scan+shingle per side, and
-    // UNPERSIST before returning — the (small) result is materialized
-    // eagerly via localCheckpoint, so callers in a long session don't
-    // accumulate leaked cached RDDs across invocations
-    val inv = sh.select(col("__k"), explode(col("__sh")).as("s")).persist()
+      TextOps.wordShingles(col(textCol), shingleN).as("__sh")).persist()
     try {
-      val co = inv.as("a")
-        .join(inv.as("b"), col("a.s") === col("b.s") && col("a.__k") < col("b.__k"))
-        .groupBy(col("a.__k").as("key_a"), col("b.__k").as("key_b"))
-        .agg(count(lit(1)).as("__c"))
-      // the sizes side is one row per doc of the bounded verification
-      // corpus — broadcast keeps the refine shuffle-free
-      co.join(broadcast(sizes.as("na")), col("key_a") === col("na.__k"))
-        .join(broadcast(sizes.as("nb")), col("key_b") === col("nb.__k"))
+      val inv = sh.select(col("__k"), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("s"))
+      val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      // required overlap for J >= t is ceil(t*|A|) in EXACT arithmetic;
+      // the 1e-9 slack only ever rounds the requirement down (prefix
+      // one longer), never up — fp noise can add candidates, not drop
+      // pairs
+      def prefixLen(n: Column): Column =
+        n - ceil(n * threshold - 1e-9).cast("int") + 1
+      val wDoc = Window.partitionBy(col("__k")).orderBy(col("__df"), col("s"))
+      val prefix = inv.join(dfreq, "s")
+        .withColumn("__rn", row_number().over(wDoc))
+        .filter(col("__rn") <= prefixLen(col("__n")))
+        .select(col("__k"), col("__n"), col("s"))
+        .persist()
+      val eps = 1e-9
+      val cand = prefix.as("a")
+        .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.__k") < col("b.__k")
+          && col("b.__n") >= col("a.__n") * threshold - eps
+          && col("a.__n") >= col("b.__n") * threshold - eps)
+        .select(col("a.__k").as("key_a"), col("b.__k").as("key_b"))
+        .distinct()
+      val out = cand
+        .join(sh.as("A"), col("key_a") === col("A.__k"))
+        .join(sh.as("B"), col("key_b") === col("B.__k"))
+        .withColumn("__c", size(array_intersect(col("A.__sh"), col("B.__sh"))))
         .withColumn("jaccard", col("__c").cast("double") /
-          (col("na.__n") + col("nb.__n") - col("__c")).cast("double"))
+          (size(col("A.__sh")) + size(col("B.__sh")) - col("__c")).cast("double"))
         .filter(col("jaccard") >= threshold)
         .select(col("key_a"), col("key_b"), TextOps.floor6(col("jaccard")).as("jaccard"))
-        .localCheckpoint() // eager: safe to drop the index below
-    } finally inv.unpersist()
+        .localCheckpoint() // eager: safe to drop the cached inputs below
+      prefix.unpersist()
+      out
+    } finally sh.unpersist()
   }
 
   /** 60-bit SimHash per document — one native scalar expression per row

@@ -121,6 +121,26 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(blocked.nonEmpty) // the " zz qq xx" copies must be near in simhash space
   }
 
+  test("prefix-filtered jaccardPairsExact equals brute-force all-pairs at several thresholds") {
+    // brute force: every pair, exact set jaccard on the shingle arrays
+    val sh = corpusDocs.select(col("k"),
+      TextOps.wordShingles(col("text"), 3).as("sh"))
+    def brute(t: Double) = sh.as("a").join(sh.as("b"), col("a.k") < col("b.k"))
+      .withColumn("c", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("j", col("c").cast("double") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("c")).cast("double"))
+      .filter(col("j") >= t)
+      .select(col("a.k"), col("b.k"), TextOps.floor6(col("j")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 0.5 hits the integral-ceil edge (t*n exact for even n); 0.3/0.72
+    // exercise fractional prefixes and the size filter both ways
+    for (t <- Seq(0.3, 0.5, 0.72)) {
+      val fast = Dedup.jaccardPairsExact(corpusDocs, "text", "k", shingleN = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast === brute(t), s"threshold $t")
+    }
+  }
+
   test("minhash LSH candidates cover all exact Jaccard >= 0.5 pairs") {
     val exact = Dedup.jaccardPairsExact(corpusDocs, "text", "k", shingleN = 3, threshold = 0.5)
       .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
