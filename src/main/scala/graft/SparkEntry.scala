@@ -912,6 +912,50 @@ object SparkEntry {
           col("rep.dup_frac").as("dup_frac"),
           col("rep.top_share").as("top_share"))),
 
+    "q93_png_pixels" -> ((s, d) => {
+      // FULL PNG pixel path end-to-end: encode doc_id-derived RGB
+      // gradients as spec-conformant PNGs (zlib IDAT, CRC32 chunks,
+      // the scanline filter type VARYING per row so all five filter
+      // inverses are exercised), fully decode them back, reduce to
+      // per-channel means. The oracle recomputes the means from the
+      // closed-form pixel function — any inflate/filter/offset error
+      // in the decoder shifts them.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType, BinaryType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("png", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val withPng = docs.mapPartitions { iter =>
+        iter.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 24 + 8).toInt; val h = (id * 3 % 24 + 8).toInt
+          val raw = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              raw(o) = ((id * 3 + x * 7 + y * 11) % 256).toByte
+              raw(o + 1) = ((id * 5 + x * 13 + y * 3) % 256).toByte
+              raw(o + 2) = ((id * 7 + x * 5 + y * 17) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, Multimodal.encodePng(w, h, 3, raw, yy => ((id + yy) % 5).toInt))
+        }
+      }
+      Multimodal.withPngPixelStats(withPng, "png")
+        .select(col("doc_id"),
+          col("pixel_stats.width").as("width"),
+          col("pixel_stats.height").as("height"),
+          col("pixel_stats.channels").as("channels"),
+          TextOps.floor6(col("pixel_stats.mean_c1")).as("mean_r"),
+          TextOps.floor6(col("pixel_stats.mean_c2")).as("mean_g"),
+          TextOps.floor6(col("pixel_stats.mean_c3")).as("mean_b"))
+    }),
+
     "q89_rings_rect_total" -> ((s, d) => {
       // st_dumprings (exterior first, then interiors, as LineStrings —
       // reference type_polygon.go:642-650), st_isrectangle (envelope
@@ -1892,6 +1936,19 @@ object SparkEntry {
           |  floor((1.0 - CAST(dist AS DOUBLE) / tot) * 1000000) / 1000000 AS dup_frac,
           |  floor((CAST(topn AS DOUBLE) / tot) * 1000000) / 1000000 AS top_share
           |FROM a""".stripMargin,
+
+      "q93_png_pixels" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+          |                  CAST((doc_id * 3) % 24 + 8 AS INTEGER) AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h, x, y
+          |       FROM d, LATERAL unnest(range(0, w)) gx(x),
+          |               LATERAL unnest(range(0, h)) gy(y))
+          |SELECT doc_id, w AS width, h AS height, 3 AS channels,
+          |  floor(avg((doc_id * 3 + x * 7 + y * 11) % 256) * 1000000) / 1000000 AS mean_r,
+          |  floor(avg((doc_id * 5 + x * 13 + y * 3) % 256) * 1000000) / 1000000 AS mean_g,
+          |  floor(avg((doc_id * 7 + x * 5 + y * 17) % 256) * 1000000) / 1000000 AS mean_b
+          |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
       "q89_rings_rect_total" ->
         """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,

@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   *
   * Image metadata extraction parses REAL container headers from the
   * bytes (PNG IHDR, JPEG SOF segment scan, GIF logical screen
-  * descriptor, WebP VP8X) with zero dependencies — full pixel decode
-  * would need image libraries this container doesn't ship, but header
-  * geometry is what a pipeline filters on before batch-decoding.
-  * Everything Spark-side — schema, batching, partition sizing,
-  * mapPartitions signature — is the real shape for swapping in a full
-  * decoder.
+  * descriptor, WebP VP8X) with zero dependencies. PNG additionally
+  * gets a FULL pixel decode (encodePng/decodePngPixels below): its
+  * data path is zlib + five scanline filters, both implementable on
+  * the bare JDK. JPEG/WebP pixel decode would need image libraries
+  * this container doesn't ship (DCT/Huffman/VP8), so those stay
+  * header-only; everything Spark-side — schema, batching, partition
+  * sizing, mapPartitions signature — is the real shape either way.
   */
 object Multimodal {
 
@@ -172,6 +173,246 @@ object Multimodal {
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
         val (fmt, ch, sr, bits, dur) = decodeAudioMeta(bytes)
         Row.fromSeq(r.toSeq :+ Row(fmt, ch, sr, bits, dur))
+      }
+    }
+  }
+
+  // ------------------------------------------------- PNG pixel codec
+  //
+  // FULL pixel decode for PNG — REAL, zero dependencies: PNG's data
+  // path is zlib (java.util.zip.Inflater, in the JDK) plus five
+  // per-scanline byte filters (RFC 2083 §6), so unlike JPEG (DCT +
+  // Huffman) it needs no image library. This closes the "full pixel
+  // decode" gap for one format end-to-end; JPEG/WebP/video remain
+  // header-only by container-complexity necessity.
+
+  /** Decoded image: 8-bit samples, channels in {1 gray, 2 gray+alpha,
+    * 3 RGB, 4 RGBA}; palette images are expanded to RGB.
+    */
+  final case class PngImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def crcChunk(out: java.io.ByteArrayOutputStream, typ: String,
+                       data: Array[Byte]): Unit = {
+    def be(v: Int): Array[Byte] =
+      Array(((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+        ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    out.write(be(data.length))
+    val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(tb); out.write(data); out.write(be(crc.getValue.toInt))
+  }
+
+  /** Encode 8-bit samples as a REAL, spec-conformant PNG (zlib IDAT,
+    * CRC32'd chunks). `filterFor(y)` picks the scanline filter type
+    * (0..4) — the synthetic corpus varies it per row so a decoder must
+    * implement ALL five inverses correctly to reproduce the pixels.
+    * channels: 1 = grayscale, 2 = gray+alpha, 3 = RGB, 4 = RGBA.
+    */
+  def encodePng(width: Int, height: Int, channels: Int, raw: Array[Byte],
+                filterFor: Int => Int = _ => 0): Array[Byte] = {
+    val colorType = channels match {
+      case 1 => 0
+      case 2 => 4
+      case 3 => 2
+      case 4 => 6
+      case _ => throw new IllegalArgumentException(s"channels $channels")
+    }
+    assemblePng(width, height, channels, colorType, raw, filterFor, null)
+  }
+
+  /** Encode a palette (color type 3) PNG: one index byte per pixel,
+    * palette = packed RGB triples.
+    */
+  def encodePngPalette(width: Int, height: Int, indices: Array[Byte],
+                       palette: Array[Byte],
+                       filterFor: Int => Int = _ => 0): Array[Byte] =
+    assemblePng(width, height, 1, 3, indices, filterFor, palette)
+
+  private def assemblePng(width: Int, height: Int, channels: Int, colorType: Int,
+                          raw: Array[Byte], filterFor: Int => Int,
+                          palette: Array[Byte]): Array[Byte] = {
+    require(raw.length == width * height * channels, "raw size mismatch")
+    val stride = width * channels
+    val filtered = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val f = filterFor(y) % 5
+      filtered(y * (1 + stride)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val x = raw(y * stride + i) & 0xFF
+        val a = if (i >= channels) raw(y * stride + i - channels) & 0xFF else 0
+        val b = if (y > 0) raw((y - 1) * stride + i) & 0xFF else 0
+        val c = if (y > 0 && i >= channels) raw((y - 1) * stride + i - channels) & 0xFF else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 => x - paeth(a, b, c)
+        }
+        filtered(y * (1 + stride) + 1 + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    crcChunk(out, "IHDR", ihdr.array())
+    if (palette != null) crcChunk(out, "PLTE", palette)
+    crcChunk(out, "IDAT", zbuf.toByteArray)
+    crcChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** FULL PNG pixel decode: walks chunks, inflates the concatenated
+    * IDAT stream, inverts all five scanline filters. Supports bit
+    * depth 8, non-interlaced, color types 0 (gray), 2 (RGB),
+    * 3 (palette — expanded to RGB via PLTE), 4 (gray+alpha), 6 (RGBA).
+    * Returns null for anything else or for malformed bytes (never
+    * throws — decoder errors must not kill a 10^12-row job; the
+    * pipeline filters nulls into a quarantine bucket).
+    */
+  def decodePngPixels(b: Array[Byte]): PngImage = {
+    try {
+      if (b == null || b.length < 45 || (b(0) & 0xFF) != 0x89 ||
+          b(1) != 'P' || b(2) != 'N' || b(3) != 'G') return null
+      var width = 0; var height = 0; var colorType = -1
+      var palette: Array[Byte] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var end = false
+      while (!end && i + 8 <= b.length) {
+        val len = be32(b, i)
+        if (len < 0 || i + 12 + len > b.length) return null
+        val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return null
+            width = be32(b, i + 8); height = be32(b, i + 12)
+            val bitDepth = b(i + 16) & 0xFF
+            colorType = b(i + 17) & 0xFF
+            val interlace = b(i + 20) & 0xFF
+            if (bitDepth != 8 || interlace != 0) return null
+          case "PLTE" => palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+          case "IDAT" => idat.write(b, i + 8, len)
+          case "IEND" => end = true
+          case _ => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      val channels = colorType match {
+        case 0 => 1
+        case 2 => 3
+        case 3 => 1 // palette indices; expanded below
+        case 4 => 2
+        case 6 => 4
+        case _ => return null
+      }
+      if (width <= 0 || height <= 0 || width.toLong * height > (1L << 26)) return null
+      val stride = width * channels
+      val expect = height * (1 + stride)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val filtered = new Array[Byte](expect)
+      var off = 0
+      while (off < expect && !inflater.finished()) {
+        val n = inflater.inflate(filtered, off, expect - off)
+        if (n == 0 && inflater.needsInput()) return null // truncated
+        off += n
+      }
+      inflater.end()
+      if (off != expect) return null
+      val raw = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val f = filtered(y * (1 + stride)) & 0xFF
+        var j = 0
+        while (j < stride) {
+          val x = filtered(y * (1 + stride) + 1 + j) & 0xFF
+          val a = if (j >= channels) raw(y * stride + j - channels) & 0xFF else 0
+          val pb = if (y > 0) raw((y - 1) * stride + j) & 0xFF else 0
+          val pc = if (y > 0 && j >= channels) raw((y - 1) * stride + j - channels) & 0xFF else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + pb
+            case 3 => x + ((a + pb) >> 1)
+            case 4 => x + paeth(a, pb, pc)
+            case _ => return null
+          }
+          raw(y * stride + j) = (v & 0xFF).toByte
+          j += 1
+        }
+        y += 1
+      }
+      if (colorType == 3) {
+        if (palette == null) return null
+        val rgb = new Array[Byte](width * height * 3)
+        var k = 0
+        while (k < width * height) {
+          val idx = raw(k) & 0xFF
+          if (3 * idx + 2 >= palette.length) return null
+          rgb(3 * k) = palette(3 * idx); rgb(3 * k + 1) = palette(3 * idx + 1)
+          rgb(3 * k + 2) = palette(3 * idx + 2)
+          k += 1
+        }
+        PngImage(width, height, 3, rgb)
+      } else PngImage(width, height, channels, raw)
+    } catch { case _: Exception => null }
+  }
+
+  val pixelStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_c1", DoubleType),
+    StructField("mean_c2", DoubleType),
+    StructField("mean_c3", DoubleType),
+    StructField("mean_c4", DoubleType)))
+
+  /** Per-image channel means from the FULL pixel decode, via the same
+    * mapPartitions batch shape as the metadata extractors. Channels
+    * the image lacks come back null; undecodable bytes yield a null
+    * struct (quarantine-filterable).
+    */
+  def withPngPixelStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("pixel_stats", pixelStatsSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { iter =>
+      iter.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val img = decodePngPixels(bytes)
+        val stats = if (img == null) null else {
+          val n = img.width.toLong * img.height
+          val sums = new Array[Long](img.channels)
+          var k = 0
+          while (k < img.pixels.length) {
+            sums(k % img.channels) += img.pixels(k) & 0xFF
+            k += 1
+          }
+          def mean(c: Int): Any =
+            if (c < img.channels && n > 0) sums(c).toDouble / n else null
+          Row(img.width, img.height, img.channels, mean(0), mean(1), mean(2), mean(3))
+        }
+        Row.fromSeq(r.toSeq :+ stats)
       }
     }
   }

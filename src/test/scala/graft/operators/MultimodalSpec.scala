@@ -99,4 +99,83 @@ class MultimodalSpec extends AnyFunSuite {
     val gif = hex("474946383961" + "8002" + "E001" + "F70000")
     assert(Multimodal.decodeImageMeta(gif) === ((640, 480, "gif", gif.length)))
   }
+
+  private def gradient(w: Int, h: Int, ch: Int, seed: Int): Array[Byte] = {
+    val raw = new Array[Byte](w * h * ch)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      raw((y * w + x) * ch + c) = ((seed + x * (7 + c) + y * (11 + 2 * c)) % 256).toByte
+    raw
+  }
+
+  test("PNG pixel round-trip: all channel counts, all filter types, degenerate sizes") {
+    for (ch <- Seq(1, 2, 3, 4); (w, h) <- Seq((1, 1), (1, 7), (5, 1), (13, 9), (32, 32))) {
+      val raw = gradient(w, h, ch, seed = 37 * ch + w)
+      // vary the filter per row: every scanline filter 0..4 appears
+      val png = Multimodal.encodePng(w, h, ch, raw, y => y % 5)
+      val img = Multimodal.decodePngPixels(png)
+      assert(img != null, s"ch=$ch ${w}x$h")
+      assert((img.width, img.height, img.channels) === ((w, h, ch)))
+      assert(java.util.Arrays.equals(img.pixels, raw), s"ch=$ch ${w}x$h")
+      // each fixed filter type alone must also invert correctly
+      for (f <- 0 to 4) {
+        val one = Multimodal.decodePngPixels(Multimodal.encodePng(w, h, ch, raw, _ => f))
+        assert(one != null && java.util.Arrays.equals(one.pixels, raw), s"filter $f")
+      }
+    }
+  }
+
+  test("PNG palette decode expands PLTE to RGB") {
+    val w = 6; val h = 4
+    val indices = Array.tabulate(w * h)(i => (i % 3).toByte)
+    val palette = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val img = Multimodal.decodePngPixels(
+      Multimodal.encodePngPalette(w, h, indices, palette, y => (y + 2) % 5))
+    assert(img != null && img.channels === 3)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(img.pixels(3 * i + c) === palette(3 * (i % 3) + c))
+  }
+
+  test("PNG decoder vs the JDK's own ImageIO codec (independent oracle, both directions)") {
+    val w = 23; val h = 17
+    val raw = gradient(w, h, 3, seed = 5)
+    // our encoder -> ImageIO decoder
+    val viaImageIO = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(w, h, 3, raw, y => y % 5)))
+    assert(viaImageIO.getWidth === w && viaImageIO.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = viaImageIO.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((rgb >> 16) & 0xFF) === (raw(o) & 0xFF), s"r @($x,$y)")
+      assert(((rgb >> 8) & 0xFF) === (raw(o + 1) & 0xFF), s"g @($x,$y)")
+      assert((rgb & 0xFF) === (raw(o + 2) & 0xFF), s"b @($x,$y)")
+    }
+    // ImageIO encoder -> our decoder
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      bi.setRGB(x, y, ((raw(o) & 0xFF) << 16) | ((raw(o + 1) & 0xFF) << 8) | (raw(o + 2) & 0xFF))
+    }
+    val buf = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", buf))
+    val ours = Multimodal.decodePngPixels(buf.toByteArray)
+    assert(ours != null && ours.width === w && ours.height === h && ours.channels === 3)
+    assert(java.util.Arrays.equals(ours.pixels, raw))
+  }
+
+  test("PNG decoder never throws on hostile bytes") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(b)
+      Multimodal.decodePngPixels(b) // must not throw
+    }
+    val full = Multimodal.encodePng(9, 7, 3, gradient(9, 7, 3, 1), y => y % 5)
+    for (n <- 0 to full.length)
+      Multimodal.decodePngPixels(full.take(n)) // truncations must not throw
+    // bit flips: either null or a decoded image, never an exception
+    for (i <- full.indices) {
+      val mut = full.clone(); mut(i) = (mut(i) ^ 0x40).toByte
+      Multimodal.decodePngPixels(mut)
+    }
+  }
 }
