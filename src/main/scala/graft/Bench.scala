@@ -20,7 +20,7 @@ import graft.operators.{Pages, SpatialJoins}
   *    interleaved round fit the budget).
   * 2. Times every SparkEntry query at SPARK_GRAFT_SF_DIR on
   *    local[SPARK_GRAFT_CPUS], inside a wall share protected by
-  *    SPARK_GRAFT_BENCH_SUITE_RESERVE (default 330 s).
+  *    SPARK_GRAFT_BENCH_SUITE_RESERVE (default 240 s).
   *
   * The whole main honors a wall-clock budget
   * (SPARK_GRAFT_BENCH_BUDGET_SECS, default 1380 s): scaling rounds stop
@@ -266,7 +266,7 @@ object Bench {
             if (fresh.ready()) {
               if (hi) hiChild = fresh else loChild = fresh
               fresh.run(layout).foreach(recordSample(hi, layout, _))
-            }
+            } else fresh.close() // never leak a pre-touched multi-GB JVM
         }
       }
 
@@ -453,10 +453,13 @@ object Bench {
              if elapsed() + prev * 1.3 < budgetSecs + 120) {
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          // a thrown re-run must NOT be recorded: its time-to-failure
+          // would masquerade as a (bogus) faster timing
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
           val secs = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
-          if (secs < prev) {
+          if (ok && secs < prev) {
             retimed(name) = secs
             System.err.println(f"[bench] $name re-timed: $prev%.2f -> $secs%.2f s")
           }

@@ -98,8 +98,12 @@ object Ann {
       .orderBy(col("__h"), col("__k"))
       .limit(nCells)
       .collect() // coarse quantizer: tiny by construction (dimension side)
+    // getSeq[Number]: the corpus vector column may be array<double> OR
+    // array<float> (both supported by the cosine kernels); a bare
+    // getSeq[Double] would ClassCastException on float embeddings here
     val centLit = array(centRows.zipWithIndex.map { case (r, i) =>
-      struct(lit(i + 1).as("cell"), typedLit(r.getSeq[Double](1).toArray).as("cv"))
+      struct(lit(i + 1).as("cell"),
+        typedLit(r.getSeq[Number](1).map(_.doubleValue()).toArray).as("cv"))
     }.toIndexedSeq: _*)
     // shuffle-free corpus assignment: a native codegen'd argmax over
     // the centroid matrix — strictly-best cosine wins, ties resolve to
@@ -107,7 +111,7 @@ object Ann {
     // cell ASC. (The previous `aggregate(...)` fold was a higher-order
     // function: interpreted evaluation with per-element boxing made
     // the corpus pass the dominant cost of q88.)
-    val centMatrix = centRows.map(_.getSeq[Double](1).toArray)
+    val centMatrix = centRows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     val assigned = corpus.withColumn("__cell",
       ST.vec_argmax_cosine(col(cVec), centMatrix))
     // query side: nProbe nearest centroids. The centroid table is a

@@ -105,7 +105,13 @@ object Multimodal {
     * Vorbis identification header), zero dependencies. Unknown or
     * truncated payloads yield format "unknown".
     */
-  def decodeAudioMeta(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+  def decodeAudioMeta(b: Array[Byte]): (String, Int, Int, Int, Long) = try {
+    decodeAudioMeta0(b)
+  } catch { // decoder errors must not kill a 10^12-row job
+    case _: Exception => ("unknown", 0, 0, 0, 0L)
+  }
+
+  private def decodeAudioMeta0(b: Array[Byte]): (String, Int, Int, Int, Long) = {
     val unknown = ("unknown", 0, 0, 0, 0L)
     if (b == null || b.length < 16) return unknown
     // WAV: "RIFF" size "WAVE", then chunk walk; "fmt " carries
@@ -116,15 +122,19 @@ object Multimodal {
       var i = 12
       var ch = 0; var sr = 0; var bits = 0; var byteRate = 0L; var dataLen = -1L
       while (i + 8 <= b.length && (ch == 0 || dataLen < 0)) {
-        val len = le32(b, i + 4)
+        val len = le32(b, i + 4) // unsigned: 0 .. 2^32-1
         if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
             i + 24 <= b.length) {
           ch = le16(b, i + 10); sr = le32(b, i + 12).toInt
           byteRate = le32(b, i + 16); bits = le16(b, i + 22)
         } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
           dataLen = len
-        i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
-        if (len < 0) return unknown
+        // LONG arithmetic + clamp: a hostile length like 0xFFFFFFF8
+        // would make `8 + len.toInt` zero or negative (never-advancing
+        // or negative-index walk); clamping the next offset to the
+        // buffer end always terminates the loop
+        val next = i.toLong + 8L + len + (len & 1L)
+        i = if (next > b.length) b.length else next.toInt
       }
       if (ch == 0) return unknown
       val dur = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
@@ -243,7 +253,7 @@ object Multimodal {
     val filtered = new Array[Byte](height * (1 + stride))
     var y = 0
     while (y < height) {
-      val f = filterFor(y) % 5
+      val f = ((filterFor(y) % 5) + 5) % 5 // floor-mod: negatives clamp into 0..4
       filtered(y * (1 + stride)) = f.toByte
       var i = 0
       while (i < stride) {
@@ -334,7 +344,11 @@ object Multimodal {
       var off = 0
       while (off < expect && !inflater.finished()) {
         val n = inflater.inflate(filtered, off, expect - off)
-        if (n == 0 && inflater.needsInput()) return null // truncated
+        // needsDictionary: a zlib FDICT stream makes inflate() return 0
+        // with needsInput()=false forever — without this test the loop
+        // spins at 100% cpu on one crafted row
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return null // truncated or preset-dictionary stream
         off += n
       }
       inflater.end()

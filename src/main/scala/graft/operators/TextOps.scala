@@ -188,7 +188,10 @@ object TextOps {
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") && !(scheme === "https" && port === "443")
     val path = regexp_replace(urlPath(url), "(.)/$", "$1")
-    val query = regexp_extract(url, "(\\?[^#]*)", 1)
+    // the query is the first '?' BEFORE any '#': an unanchored
+    // "(\\?[^#]*)" would match a '?' inside the fragment and leak
+    // fragment content into the canonical dedup key
+    val query = regexp_extract(url, "^[^#?]*(\\?[^#]*)", 1)
     concat(scheme, lit("://"), urlHost(url),
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")), path, query)
   }

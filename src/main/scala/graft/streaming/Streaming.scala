@@ -110,6 +110,10 @@ object Streaming {
     import docs.sparkSession.implicits._
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(expireAfter))
+    // months have no fixed millisecond width; silently mapping "1 month"
+    // to ~0 ms would drop every bucket's state at the watermark
+    require(iv.months == 0,
+      s"expireAfter must be day-or-smaller denominated, got '$expireAfter'")
     val expireMs = iv.days * 86400000L + iv.microseconds / 1000L
     val banded = docs.withWatermark(tsCol, watermarkDur)
       .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),

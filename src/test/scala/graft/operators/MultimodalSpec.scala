@@ -162,6 +162,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(ours.pixels, raw))
   }
 
+  test("WAV chunk walk terminates on hostile chunk lengths") {
+    // a JUNK chunk whose length 0xFFFFFFF8 made `8 + len.toInt` zero —
+    // the walk never advanced (infinite loop); other high-bit lengths
+    // drove the index negative (AIOOBE)
+    for (evil <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x7FFFFFFFL, 0x80000000L)) {
+      val out = new ByteArrayOutputStream()
+      def le32(v: Long): Unit =
+        out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(v.toInt).array())
+      out.write("RIFF".getBytes); le32(100); out.write("WAVE".getBytes)
+      out.write("JUNK".getBytes); le32(evil)
+      out.write(new Array[Byte](32))
+      assert(Multimodal.decodeAudioMeta(out.toByteArray) === (("unknown", 0, 0, 0, 0L)))
+    }
+  }
+
+  test("PNG decoder rejects a zlib FDICT stream instead of spinning") {
+    // zlib header 0x78 0x20: FDICT set, checksum valid — Inflater then
+    // returns 0 with needsDictionary()=true forever; the decoder must
+    // return null, not hang
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(ByteBuffer.allocate(4).putInt(data.length).array())
+      val tb = typ.getBytes
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data)
+      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", ByteBuffer.allocate(13).putInt(4).putInt(4)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array())
+    chunk("IDAT", Array[Byte](0x78, 0x20, 0, 0, 0, 1, 0, 0))
+    chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePngPixels(out.toByteArray) === null)
+  }
+
   test("PNG decoder never throws on hostile bytes") {
     val rnd = new scala.util.Random(4242)
     for (_ <- 0 until 300) {

@@ -38,6 +38,13 @@ class UrlSplitSpec extends AnyFunSuite {
       (("ex.org", "ex.org", "/", 0, "https://ex.org/?q=1")))
     assert(urlRow("https://ex.org//a//b/") ===
       (("ex.org", "ex.org", "//a//b/", 2, "https://ex.org//a//b")))
+    // a '?' INSIDE the fragment is fragment content, not a query: it
+    // must not leak into the canonical key (regression: the query
+    // regex was unanchored and matched the first '?' anywhere)
+    assert(urlRow("https://ex.org/a#sec?b=1") ===
+      (("ex.org", "ex.org", "/a", 1, "https://ex.org/a")))
+    assert(urlRow("https://ex.org/a?q=1#sec?b=2") ===
+      (("ex.org", "ex.org", "/a", 1, "https://ex.org/a?q=1")))
   }
 
   test("splitAssign is deterministic, total, and near the target fractions") {
