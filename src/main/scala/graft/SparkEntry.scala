@@ -956,6 +956,55 @@ object SparkEntry {
           TextOps.floor6(col("pixel_stats.mean_c3")).as("mean_b"))
     }),
 
+    "q94_png_resize" -> ((s, d) => {
+      // the full multimodal image pipeline: decode -> box-downsample to
+      // (w/2, h/2) -> RE-ENCODE -> decode again -> channel means. The
+      // resize is all-integer (per-cell floor-average over the
+      // x*outW/w block partition), so DuckDB reproduces every output
+      // sample exactly with a two-level GROUP BY.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType,
+        IntegerType, DoubleType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("out_w", IntegerType), StructField("out_h", IntegerType),
+        StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+        StructField("mean_b", DoubleType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      docs.mapPartitions { iter =>
+        iter.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 24 + 8).toInt; val h = (id * 3 % 24 + 8).toInt
+          val raw = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              raw(o) = ((id * 3 + x * 7 + y * 11) % 256).toByte
+              raw(o + 1) = ((id * 5 + x * 13 + y * 3) % 256).toByte
+              raw(o + 2) = ((id * 7 + x * 5 + y * 17) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val png = Multimodal.encodePng(w, h, 3, raw, yy => ((id + yy) % 5).toInt)
+          val resized = Multimodal.resizeBox(
+            Multimodal.decodePngPixels(png), w / 2, h / 2)
+          val round = Multimodal.decodePngPixels(
+            Multimodal.encodePng(resized.width, resized.height, 3,
+              resized.pixels, yy => yy % 5))
+          val n = round.width * round.height
+          val sums = new Array[Long](3)
+          var k = 0
+          while (k < round.pixels.length) { sums(k % 3) += round.pixels(k) & 0xFF; k += 1 }
+          def m(c: Int): Double =
+            math.floor(sums(c).toDouble / n * 1e6) / 1e6
+          Row(id, round.width, round.height, m(0), m(1), m(2))
+        }
+      }
+    }),
+
     "q89_rings_rect_total" -> ((s, d) => {
       // st_dumprings (exterior first, then interiors, as LineStrings —
       // reference type_polygon.go:642-650), st_isrectangle (envelope
@@ -1949,6 +1998,24 @@ object SparkEntry {
           |  floor(avg((doc_id * 5 + x * 13 + y * 3) % 256) * 1000000) / 1000000 AS mean_g,
           |  floor(avg((doc_id * 7 + x * 5 + y * 17) % 256) * 1000000) / 1000000 AS mean_b
           |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+      "q94_png_resize" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+          |                  CAST((doc_id * 3) % 24 + 8 AS INTEGER) AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh, x, y
+          |       FROM d, LATERAL unnest(range(0, w)) gx(x),
+          |               LATERAL unnest(range(0, h)) gy(y)),
+          |blk AS (SELECT doc_id, ow, oh, (x * ow) // w AS bx, (y * oh) // h AS by,
+          |          sum((doc_id * 3 + x * 7 + y * 11) % 256) // count(*) AS br,
+          |          sum((doc_id * 5 + x * 13 + y * 3) % 256) // count(*) AS bg,
+          |          sum((doc_id * 7 + x * 5 + y * 17) % 256) // count(*) AS bb
+          |        FROM px GROUP BY 1, 2, 3, 4, 5)
+          |SELECT doc_id, CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+          |  floor(avg(br) * 1000000) / 1000000 AS mean_r,
+          |  floor(avg(bg) * 1000000) / 1000000 AS mean_g,
+          |  floor(avg(bb) * 1000000) / 1000000 AS mean_b
+          |FROM blk GROUP BY 1, 2, 3""".stripMargin,
 
       "q89_rings_rect_total" ->
         """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,

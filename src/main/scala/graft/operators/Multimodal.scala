@@ -392,6 +392,49 @@ object Multimodal {
     } catch { case _: Exception => null }
   }
 
+  /** Box-downsample an image to outW x outH: input pixel (x, y) maps
+    * to output cell (x*outW/w, y*outH/h) (integer division — every
+    * input contributes to exactly one output cell and every cell is
+    * non-empty for outW <= w), each output sample is the floor-average
+    * of its block. All-integer arithmetic, so a SQL oracle reproduces
+    * it exactly; identity when outW = w and outH = h.
+    */
+  def resizeBox(img: PngImage, outW: Int, outH: Int): PngImage = {
+    require(outW > 0 && outH > 0 && outW <= img.width && outH <= img.height,
+      s"resize ${img.width}x${img.height} -> ${outW}x$outH")
+    val ch = img.channels
+    val sums = new Array[Long](outW * outH * ch)
+    val counts = new Array[Int](outW * outH)
+    var y = 0
+    while (y < img.height) {
+      val cy = y * outH / img.height
+      var x = 0
+      while (x < img.width) {
+        val cx = x * outW / img.width
+        val cell = cy * outW + cx
+        counts(cell) += 1
+        var c = 0
+        while (c < ch) {
+          sums(cell * ch + c) += img.pixels((y * img.width + x) * ch + c) & 0xFF
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Byte](outW * outH * ch)
+    var cell = 0
+    while (cell < outW * outH) {
+      var c = 0
+      while (c < ch) {
+        out(cell * ch + c) = (sums(cell * ch + c) / counts(cell)).toByte
+        c += 1
+      }
+      cell += 1
+    }
+    PngImage(outW, outH, ch, out)
+  }
+
   val pixelStatsSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),

@@ -198,6 +198,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePngPixels(out.toByteArray) === null)
   }
 
+  test("resizeBox: identity, exact block averages, non-divisible sizes") {
+    // identity
+    val img = Multimodal.PngImage(4, 2, 1, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    val same = Multimodal.resizeBox(img, 4, 2)
+    assert(java.util.Arrays.equals(same.pixels, img.pixels))
+    // 4x2 -> 2x1: each output = floor-average of a 2x2 block
+    val half = Multimodal.resizeBox(img, 2, 1)
+    assert(half.width === 2 && half.height === 1)
+    assert(half.pixels.toSeq === Seq[Byte](
+      ((10 + 20 + 50 + 60) / 4).toByte, ((30 + 40 + 70 + 80) / 4).toByte))
+    // non-divisible: 5 -> 2 partitions inputs by x*2/5 = [0,0,0,1,1]
+    val row5 = Multimodal.PngImage(5, 1, 1, Array[Byte](0, 10, 20, 30, 40))
+    val two = Multimodal.resizeBox(row5, 2, 1)
+    assert(two.pixels.toSeq === Seq[Byte](((0 + 10 + 20) / 3).toByte, ((30 + 40) / 2).toByte))
+    // multi-channel + values above 127 (signed-byte handling)
+    val rgb = Multimodal.PngImage(2, 1, 3,
+      Array(200, 210, 220, 250, 240, 230).map(_.toByte))
+    val one = Multimodal.resizeBox(rgb, 1, 1)
+    assert(one.pixels.map(_ & 0xFF).toSeq === Seq((200 + 250) / 2, (210 + 240) / 2, (220 + 230) / 2))
+  }
+
   test("PNG decoder never throws on hostile bytes") {
     val rnd = new scala.util.Random(4242)
     for (_ <- 0 until 300) {
