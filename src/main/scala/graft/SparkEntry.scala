@@ -1005,6 +1005,54 @@ object SparkEntry {
       }
     }),
 
+    "q95_gif_pixels" -> ((s, d) => {
+      // the GIF pixel path end-to-end: encode doc_id-derived palette
+      // indices as a real single-frame GIF (LZW, sub-blocks), decode
+      // through the full variable-width LZW decoder, expand via the
+      // palette, reduce to channel means the oracle recomputes from
+      // the closed-form index/palette functions
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType,
+        IntegerType, DoubleType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("width", IntegerType), StructField("height", IntegerType),
+        StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+        StructField("mean_b", DoubleType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      docs.mapPartitions { iter =>
+        val palette = Array.tabulate(768) { j =>
+          val i = j / 3
+          (j % 3 match {
+            case 0 => i
+            case 1 => (i * 2) % 256
+            case 2 => (i * 3) % 256
+          }).toByte
+        }
+        iter.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 24 + 8).toInt; val h = (id * 3 % 24 + 8).toInt
+          val indices = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              indices(y * w + x) = ((id + x * 7 + y * 11) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val img = Multimodal.decodeGifPixels(Multimodal.encodeGif(w, h, indices, palette))
+          val n = img.width * img.height
+          val sums = new Array[Long](3)
+          var k = 0
+          while (k < img.pixels.length) { sums(k % 3) += img.pixels(k) & 0xFF; k += 1 }
+          def m(c: Int): Double = math.floor(sums(c).toDouble / n * 1e6) / 1e6
+          Row(id, img.width, img.height, m(0), m(1), m(2))
+        }
+      }
+    }),
+
     "q89_rings_rect_total" -> ((s, d) => {
       // st_dumprings (exterior first, then interiors, as LineStrings —
       // reference type_polygon.go:642-650), st_isrectangle (envelope
@@ -2016,6 +2064,20 @@ object SparkEntry {
           |  floor(avg(bg) * 1000000) / 1000000 AS mean_g,
           |  floor(avg(bb) * 1000000) / 1000000 AS mean_b
           |FROM blk GROUP BY 1, 2, 3""".stripMargin,
+
+      "q95_gif_pixels" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+          |                  CAST((doc_id * 3) % 24 + 8 AS INTEGER) AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h,
+          |              (doc_id + x * 7 + y * 11) % 256 AS idx
+          |       FROM d, LATERAL unnest(range(0, w)) gx(x),
+          |               LATERAL unnest(range(0, h)) gy(y))
+          |SELECT doc_id, w AS width, h AS height,
+          |  floor(avg(idx) * 1000000) / 1000000 AS mean_r,
+          |  floor(avg((idx * 2) % 256) * 1000000) / 1000000 AS mean_g,
+          |  floor(avg((idx * 3) % 256) * 1000000) / 1000000 AS mean_b
+          |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
       "q89_rings_rect_total" ->
         """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,

@@ -392,6 +392,219 @@ object Multimodal {
     } catch { case _: Exception => null }
   }
 
+  // ------------------------------------------------- GIF pixel codec
+  //
+  // Second REAL pixel decode, zero deps: GIF's data path is LZW
+  // (variable-width codes, CLEAR/EOI, 12-bit cap) over palette
+  // indices — implementable on the bare JVM like PNG's zlib path.
+
+  /** Decode the FIRST frame of a GIF to RGB via the active (local or
+    * global) color table: header + LSD, extension-block skipping, LZW
+    * with dynamic code width, interlace reordering. Returns the
+    * frame's own dimensions. Transparency is treated as its palette
+    * color (metadata, not pixel math). Null on malformed/unsupported
+    * bytes — never throws, never hangs.
+    */
+  def decodeGifPixels(b: Array[Byte]): PngImage = {
+    try {
+      if (b == null || b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+          b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+      var i = 6
+      val packedLsd = b(i + 4) & 0xFF
+      i += 7
+      var gct: Array[Byte] = null
+      if ((packedLsd & 0x80) != 0) {
+        val n = 3 * (1 << ((packedLsd & 0x07) + 1))
+        if (i + n > b.length) return null
+        gct = java.util.Arrays.copyOfRange(b, i, i + n)
+        i += n
+      }
+      while (i < b.length) {
+        (b(i) & 0xFF) match {
+          case 0x3B => return null // trailer before any image
+          case 0x21 => // extension: label, then sub-blocks until 0
+            i += 2
+            while (i < b.length && (b(i) & 0xFF) != 0) i += 1 + (b(i) & 0xFF)
+            i += 1
+          case 0x2C =>
+            if (i + 10 > b.length) return null
+            val w = le16(b, i + 5); val h = le16(b, i + 7)
+            val packed = b(i + 9) & 0xFF
+            i += 10
+            var pal = gct
+            if ((packed & 0x80) != 0) {
+              val n = 3 * (1 << ((packed & 0x07) + 1))
+              if (i + n > b.length) return null
+              pal = java.util.Arrays.copyOfRange(b, i, i + n)
+              i += n
+            }
+            if (pal == null || w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return null
+            if (i >= b.length) return null
+            val minCode = b(i) & 0xFF
+            i += 1
+            if (minCode < 2 || minCode > 11) return null
+            // concatenate the LZW sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            while (i < b.length && (b(i) & 0xFF) != 0) {
+              val n = b(i) & 0xFF
+              if (i + 1 + n > b.length) return null
+              data.write(b, i + 1, n)
+              i += 1 + n
+            }
+            val indices = lzwDecode(data.toByteArray, minCode, w * h)
+            if (indices == null) return null
+            val interlaced = (packed & 0x40) != 0
+            val ordered =
+              if (!interlaced) indices
+              else { // 4-pass row reordering
+                val out = new Array[Byte](indices.length)
+                var src = 0
+                for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                  var y = start
+                  while (y < h) {
+                    System.arraycopy(indices, src * w, out, y * w, w)
+                    src += 1; y += step
+                  }
+                }
+                out
+              }
+            val rgb = new Array[Byte](w * h * 3)
+            var k = 0
+            while (k < w * h) {
+              val idx = ordered(k) & 0xFF
+              if (3 * idx + 2 >= pal.length) return null
+              rgb(3 * k) = pal(3 * idx); rgb(3 * k + 1) = pal(3 * idx + 1)
+              rgb(3 * k + 2) = pal(3 * idx + 2)
+              k += 1
+            }
+            return PngImage(w, h, 3, rgb)
+          case _ => return null
+        }
+      }
+      null
+    } catch { case _: Exception => null }
+  }
+
+  /** GIF-variant LZW: codes packed little-endian-bit-order, width
+    * starts at minCode+1 and grows as the dictionary fills (12-bit
+    * cap), CLEAR resets, EOI ends. Returns exactly nPixels indices or
+    * null.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int, nPixels: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // dictionary as prefix links: prefix(code), last byte, length
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Byte](maxDict)
+    val length = new Array[Int](maxDict)
+    var dictSize = eoi + 1
+    var codeWidth = minCode + 1
+    java.util.Arrays.fill(prefix, -1)
+    for (c <- 0 until clear) { suffix(c) = c.toByte; length(c) = 1 }
+    val out = new Array[Byte](nPixels)
+    var outPos = 0
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    var prev = -1
+    def readCode(): Int = {
+      if (bitPos + codeWidth > totalBits) return -1
+      var v = 0; var j = 0
+      while (j < codeWidth) {
+        val p = bitPos + j
+        if ((data((p >> 3).toInt) & (1 << (p & 7).toInt)) != 0) v |= 1 << j
+        j += 1
+      }
+      bitPos += codeWidth
+      v
+    }
+    def emit(code: Int): Boolean = { // write the code's expansion
+      val len = length(code)
+      if (outPos + len > nPixels) return false
+      var c = code; var p = outPos + len - 1
+      while (c >= 0 && p >= outPos) { out(p) = suffix(c); p -= 1; c = prefix(c) }
+      outPos += len
+      true
+    }
+    var running = true
+    while (running && outPos < nPixels) {
+      val code = readCode()
+      if (code < 0 || code == eoi) running = false
+      else if (code == clear) {
+        dictSize = eoi + 1; codeWidth = minCode + 1; prev = -1
+      } else if (prev < 0) {
+        if (code >= clear) return null // first code must be a root
+        if (!emit(code)) return null
+        prev = code
+      } else {
+        val known = code < dictSize && (code < clear || code > eoi)
+        if (!known && (code != dictSize || dictSize >= maxDict)) return null
+        // new entry: prev + first byte of (known ? code : prev)
+        val firstOf = { var c = if (known) code else prev; while (prefix(c) >= 0) c = prefix(c); suffix(c) }
+        if (dictSize < maxDict) {
+          prefix(dictSize) = prev; suffix(dictSize) = firstOf
+          length(dictSize) = length(prev) + 1
+          dictSize += 1
+        }
+        if (!emit(if (known) code else dictSize - 1)) return null
+        if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        prev = if (known) code else dictSize - 1
+      }
+    }
+    if (outPos != nPixels) null else out
+  }
+
+  /** Encode palette indices as a REAL single-frame GIF89a (global
+    * color table, LZW with CLEAR-reset literal coding — valid LZW, no
+    * compression). palette = packed RGB triples, 256 entries max.
+    */
+  def encodeGif(width: Int, height: Int, indices: Array[Byte],
+                palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height, "index size mismatch")
+    require(palette.length % 3 == 0 && palette.length <= 768, "palette size")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(width); le16(height)
+    out.write(0x80 | 0x07) // GCT present, 256 entries
+    out.write(0); out.write(0)
+    out.write(palette)
+    out.write(new Array[Byte](768 - palette.length)) // pad GCT to 256
+    out.write(0x2C); le16(0); le16(0); le16(width); le16(height); out.write(0)
+    val minCode = 8
+    out.write(minCode)
+    val clear = 1 << minCode // 256
+    val eoi = clear + 1
+    // bit-packer (little-endian bit order), 9-bit codes throughout:
+    // a CLEAR is emitted before the dictionary would force 10-bit codes
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << nBits; nBits += 9
+      while (nBits >= 8) { bits.write((acc & 0xFF).toInt); acc >>>= 8; nBits -= 8 }
+    }
+    putCode(clear)
+    var sinceClear = 0
+    for (ix <- indices) {
+      putCode(ix & 0xFF)
+      sinceClear += 1
+      // decoder dict: 258 after CLEAR, +1 per literal; reset before 512
+      if (sinceClear == 253) { putCode(clear); sinceClear = 0 }
+    }
+    putCode(eoi)
+    if (nBits > 0) bits.write((acc & 0xFF).toInt)
+    val packed = bits.toByteArray
+    var off = 0
+    while (off < packed.length) { // 255-byte sub-blocks
+      val n = math.min(255, packed.length - off)
+      out.write(n); out.write(packed, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
   /** Box-downsample an image to outW x outH: input pixel (x, y) maps
     * to output cell (x*outW/w, y*outH/h) (integer division — every
     * input contributes to exactly one output cell and every cell is

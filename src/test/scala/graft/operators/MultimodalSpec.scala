@@ -198,6 +198,91 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePngPixels(out.toByteArray) === null)
   }
 
+  test("GIF pixel round-trip: literal-LZW encoder -> full LZW decoder") {
+    val palette = Array.tabulate(768)(i => ((i / 3 * (1 + i % 3 * 2)) % 256).toByte)
+    for ((w, h) <- Seq((1, 1), (7, 3), (40, 25), (64, 64))) {
+      // > 253 pixels exercises the encoder's CLEAR-reset cadence and
+      // the decoder's dictionary growth/reset
+      val indices = Array.tabulate(w * h)(i => ((i * 31 + 7) % 256).toByte)
+      val img = Multimodal.decodeGifPixels(Multimodal.encodeGif(w, h, indices, palette))
+      assert(img != null, s"${w}x$h")
+      assert((img.width, img.height, img.channels) === ((w, h, 3)))
+      for (k <- 0 until w * h; c <- 0 until 3)
+        assert(img.pixels(3 * k + c) === palette(3 * (indices(k) & 0xFF) + c), s"px $k ch $c")
+    }
+  }
+
+  test("GIF decoder vs the JDK's own ImageIO codec (real compressed LZW, both directions)") {
+    val w = 37; val h = 23
+    def rgbAt(x: Int, y: Int): Int = { // few distinct colors -> GIF-safe
+      val v = ((x / 5 + y / 3) % 8) * 32
+      (v << 16) | (((v + 64) % 256) << 8) | ((v + 128) % 256)
+    }
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgbAt(x, y))
+    val buf = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", buf)) // real LZW compression
+    val ours = Multimodal.decodeGifPixels(buf.toByteArray)
+    assert(ours != null && ours.width === w && ours.height === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val exp = rgbAt(x, y)
+      assert((ours.pixels(o) & 0xFF) === ((exp >> 16) & 0xFF), s"r @($x,$y)")
+      assert((ours.pixels(o + 1) & 0xFF) === ((exp >> 8) & 0xFF), s"g @($x,$y)")
+      assert((ours.pixels(o + 2) & 0xFF) === (exp & 0xFF), s"b @($x,$y)")
+    }
+    // our encoder -> ImageIO decoder
+    val palette = Array.tabulate(768)(i => ((i / 3) ^ (i % 3 * 85)).toByte)
+    val indices = Array.tabulate(w * h)(i => ((i * 13) % 256).toByte)
+    val viaImageIO = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeGif(w, h, indices, palette)))
+    assert(viaImageIO.getWidth === w && viaImageIO.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = indices(y * w + x) & 0xFF
+      val rgb = viaImageIO.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) === (palette(3 * idx) & 0xFF), s"r @($x,$y)")
+      assert(((rgb >> 8) & 0xFF) === (palette(3 * idx + 1) & 0xFF), s"g @($x,$y)")
+      assert((rgb & 0xFF) === (palette(3 * idx + 2) & 0xFF), s"b @($x,$y)")
+    }
+  }
+
+  test("GIF interlace: 4-pass row reordering decodes to natural order") {
+    val w = 5; val h = 10
+    val palette = Array.tabulate(768)(_.toByte)
+    val natural = Array.tabulate(w * h)(i => (i % 256).toByte)
+    // stream rows in interlace pass order (0,8 / 4 / 2,6 / 1,3,5,7,9)
+    val passRows = Seq(0 until h by 8, 4 until h by 8, 2 until h by 4, 1 until h by 2).flatten
+    val streamed = new Array[Byte](w * h)
+    for ((destRow, srcPos) <- passRows.zipWithIndex)
+      System.arraycopy(natural, destRow * w, streamed, srcPos * w, w)
+    val gif = Multimodal.encodeGif(w, h, streamed, palette)
+    // set the interlace flag (bit 6 of the image-descriptor packed byte,
+    // 9 bytes past the 0x2C separator)
+    var sep = 13 + 768 // header+LSD+GCT
+    assert((gif(sep) & 0xFF) === 0x2C)
+    gif(sep + 9) = (gif(sep + 9) | 0x40).toByte
+    val img = Multimodal.decodeGifPixels(gif)
+    assert(img != null)
+    for (k <- 0 until w * h)
+      assert(img.pixels(3 * k) === palette(3 * (natural(k) & 0xFF)), s"px $k")
+  }
+
+  test("GIF decoder never throws or hangs on hostile bytes") {
+    val rnd = new scala.util.Random(777)
+    for (_ <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(b)
+      Multimodal.decodeGifPixels(b)
+    }
+    val palette = Array.tabulate(768)(_.toByte)
+    val full = Multimodal.encodeGif(20, 10, Array.tabulate(200)(_.toByte), palette)
+    for (n <- 0 to full.length) Multimodal.decodeGifPixels(full.take(n))
+    for (i <- full.indices) {
+      val mut = full.clone(); mut(i) = (mut(i) ^ 0x11).toByte
+      Multimodal.decodeGifPixels(mut)
+    }
+  }
+
   test("resizeBox: identity, exact block averages, non-divisible sizes") {
     // identity
     val img = Multimodal.PngImage(4, 2, 1, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
