@@ -122,6 +122,43 @@ object SparkEntry {
     * oracle bounded. The SCALE path (LSH banding) is what the bench
     * flagship exercises.
     */
+  /** doc_id-derived synthetic image field shared by q93/q94: dims and
+    * per-channel closed-form values. The q93/q94 oracle SQL replays
+    * exactly these formulas — they exist in ONE place on the Scala
+    * side so the copies cannot drift out of bit-exactness.
+    */
+  private def synthImgDims(id: Long): (Int, Int) =
+    ((id % 24 + 8).toInt, (id * 3 % 24 + 8).toInt)
+  private def synthRgb(id: Long, w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        raw(o) = ((id * 3 + x * 7 + y * 11) % 256).toByte
+        raw(o + 1) = ((id * 5 + x * 13 + y * 3) % 256).toByte
+        raw(o + 2) = ((id * 7 + x * 5 + y * 17) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    raw
+  }
+
+  /** floor6'd per-channel means of a decoded RGB image; nulls when the
+    * decode failed (img == null) so a decoder regression surfaces as
+    * an oracle row mismatch instead of an NPE killing the whole stage.
+    */
+  private def rgbMeans(img: Multimodal.PngImage): Array[java.lang.Double] = {
+    if (img == null || img.channels != 3) return Array(null, null, null)
+    val n = img.width * img.height
+    val sums = new Array[Long](3)
+    var k = 0
+    while (k < img.pixels.length) { sums(k % 3) += img.pixels(k) & 0xFF; k += 1 }
+    sums.map(sm => java.lang.Double.valueOf(math.floor(sm.toDouble / n * 1e6) / 1e6))
+  }
+
   private def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(col("doc_id") < 400)
@@ -929,21 +966,9 @@ object SparkEntry {
       val withPng = docs.mapPartitions { iter =>
         iter.map { r =>
           val id = r.getLong(0)
-          val w = (id % 24 + 8).toInt; val h = (id * 3 % 24 + 8).toInt
-          val raw = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val o = (y * w + x) * 3
-              raw(o) = ((id * 3 + x * 7 + y * 11) % 256).toByte
-              raw(o + 1) = ((id * 5 + x * 13 + y * 3) % 256).toByte
-              raw(o + 2) = ((id * 7 + x * 5 + y * 17) % 256).toByte
-              x += 1
-            }
-            y += 1
-          }
-          Row(id, Multimodal.encodePng(w, h, 3, raw, yy => ((id + yy) % 5).toInt))
+          val (w, h) = synthImgDims(id)
+          Row(id, Multimodal.encodePng(w, h, 3, synthRgb(id, w, h),
+            yy => ((id + yy) % 5).toInt))
         }
       }
       Multimodal.withPngPixelStats(withPng, "png")
@@ -974,33 +999,24 @@ object SparkEntry {
       docs.mapPartitions { iter =>
         iter.map { r =>
           val id = r.getLong(0)
-          val w = (id % 24 + 8).toInt; val h = (id * 3 % 24 + 8).toInt
-          val raw = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val o = (y * w + x) * 3
-              raw(o) = ((id * 3 + x * 7 + y * 11) % 256).toByte
-              raw(o + 1) = ((id * 5 + x * 13 + y * 3) % 256).toByte
-              raw(o + 2) = ((id * 7 + x * 5 + y * 17) % 256).toByte
-              x += 1
+          val (w, h) = synthImgDims(id)
+          val png = Multimodal.encodePng(w, h, 3, synthRgb(id, w, h),
+            yy => ((id + yy) % 5).toInt)
+          val decoded = Multimodal.decodePngPixels(png)
+          // a decode failure yields a null-stats row (oracle mismatch),
+          // never an NPE that kills the stage
+          val round =
+            if (decoded == null) null
+            else {
+              val resized = Multimodal.resizeBox(decoded, w / 2, h / 2)
+              Multimodal.decodePngPixels(Multimodal.encodePng(
+                resized.width, resized.height, 3, resized.pixels, yy => yy % 5))
             }
-            y += 1
-          }
-          val png = Multimodal.encodePng(w, h, 3, raw, yy => ((id + yy) % 5).toInt)
-          val resized = Multimodal.resizeBox(
-            Multimodal.decodePngPixels(png), w / 2, h / 2)
-          val round = Multimodal.decodePngPixels(
-            Multimodal.encodePng(resized.width, resized.height, 3,
-              resized.pixels, yy => yy % 5))
-          val n = round.width * round.height
-          val sums = new Array[Long](3)
-          var k = 0
-          while (k < round.pixels.length) { sums(k % 3) += round.pixels(k) & 0xFF; k += 1 }
-          def m(c: Int): Double =
-            math.floor(sums(c).toDouble / n * 1e6) / 1e6
-          Row(id, round.width, round.height, m(0), m(1), m(2))
+          val ms = rgbMeans(round)
+          Row(id,
+            if (round == null) null else round.width,
+            if (round == null) null else round.height,
+            ms(0), ms(1), ms(2))
         }
       }
     }),
@@ -1031,7 +1047,7 @@ object SparkEntry {
         }
         iter.map { r =>
           val id = r.getLong(0)
-          val w = (id % 24 + 8).toInt; val h = (id * 3 % 24 + 8).toInt
+          val (w, h) = synthImgDims(id)
           val indices = new Array[Byte](w * h)
           var y = 0
           while (y < h) {
@@ -1043,12 +1059,11 @@ object SparkEntry {
             y += 1
           }
           val img = Multimodal.decodeGifPixels(Multimodal.encodeGif(w, h, indices, palette))
-          val n = img.width * img.height
-          val sums = new Array[Long](3)
-          var k = 0
-          while (k < img.pixels.length) { sums(k % 3) += img.pixels(k) & 0xFF; k += 1 }
-          def m(c: Int): Double = math.floor(sums(c).toDouble / n * 1e6) / 1e6
-          Row(id, img.width, img.height, m(0), m(1), m(2))
+          val ms = rgbMeans(img) // nulls (not NPE) on a decode failure
+          Row(id,
+            if (img == null) null else img.width,
+            if (img == null) null else img.height,
+            ms(0), ms(1), ms(2))
         }
       }
     }),
