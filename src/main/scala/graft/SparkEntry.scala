@@ -1068,6 +1068,58 @@ object SparkEntry {
       }
     }),
 
+    "q96_jpeg_pixels" -> ((s, d) => {
+      // the JPEG pixel path end-to-end: encode doc_id-derived
+      // block-flat grayscale images as REAL baseline JPEGs (FDCT +
+      // canonical Huffman + byte stuffing; restart interval VARYING
+      // per doc so RSTn resync is exercised), decode through the full
+      // Huffman+IDCT decoder, reduce to the pixel mean. Flat 8x8
+      // blocks survive the DCT bit-exactly at quant=1 (lone DC term
+      // 8*(v-128)), so DuckDB recomputes the mean from the closed-form
+      // block-value function — any Huffman/dequant/IDCT/restart error
+      // shifts it.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType,
+        IntegerType, DoubleType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("width", IntegerType), StructField("height", IntegerType),
+        StructField("mean_gray", DoubleType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      docs.mapPartitions { iter =>
+        iter.map { r =>
+          val id = r.getLong(0)
+          val w = ((id % 3) + 1).toInt * 8
+          val h = ((id * 5 % 4) + 1).toInt * 8
+          val raw = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raw(y * w + x) = ((id * 31 + (x / 8) * 7 + (y / 8) * 13) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val img = Jpeg.decode(Jpeg.encodeGray(w, h, raw,
+            restartInterval = (id % 4).toInt))
+          val mean =
+            if (img == null) null // decode failure -> oracle mismatch, not NPE
+            else {
+              var sum = 0L
+              var k = 0
+              while (k < img.pixels.length) { sum += img.pixels(k) & 0xFF; k += 1 }
+              java.lang.Double.valueOf(
+                math.floor(sum.toDouble / img.pixels.length * 1e6) / 1e6)
+            }
+          Row(id,
+            if (img == null) null else img.width,
+            if (img == null) null else img.height,
+            mean)
+        }
+      }
+    }),
+
     "q89_rings_rect_total" -> ((s, d) => {
       // st_dumprings (exterior first, then interiors, as LineStrings —
       // reference type_polygon.go:642-650), st_isrectangle (envelope
@@ -2093,6 +2145,19 @@ object SparkEntry {
           |  floor(avg((idx * 2) % 256) * 1000000) / 1000000 AS mean_g,
           |  floor(avg((idx * 3) % 256) * 1000000) / 1000000 AS mean_b
           |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+      "q96_jpeg_pixels" ->
+        """WITH d AS (SELECT doc_id,
+          |             CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS w,
+          |             CAST(((doc_id * 5) % 4 + 1) * 8 AS INTEGER) AS h
+          |           FROM documents),
+          |blk AS (SELECT doc_id, w, h,
+          |               (doc_id * 31 + bx * 7 + by * 13) % 256 AS v
+          |        FROM d, LATERAL unnest(range(0, w // 8)) gx(bx),
+          |                LATERAL unnest(range(0, h // 8)) gy(by))
+          |SELECT doc_id, w AS width, h AS height,
+          |  floor(avg(v) * 1000000) / 1000000 AS mean_gray
+          |FROM blk GROUP BY 1, 2, 3""".stripMargin,
 
       "q89_rings_rect_total" ->
         """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,

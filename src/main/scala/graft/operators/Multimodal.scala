@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   *
   * Image metadata extraction parses REAL container headers from the
   * bytes (PNG IHDR, JPEG SOF segment scan, GIF logical screen
-  * descriptor, WebP VP8X) with zero dependencies. PNG additionally
-  * gets a FULL pixel decode (encodePng/decodePngPixels below): its
-  * data path is zlib + five scanline filters, both implementable on
-  * the bare JDK. JPEG/WebP pixel decode would need image libraries
-  * this container doesn't ship (DCT/Huffman/VP8), so those stay
-  * header-only; everything Spark-side — schema, batching, partition
-  * sizing, mapPartitions signature — is the real shape either way.
+  * descriptor, WebP VP8X) with zero dependencies. Three formats
+  * additionally get FULL pixel decodes: PNG (zlib + five scanline
+  * filters, below), GIF (variable-width LZW, below) and baseline JPEG
+  * (canonical Huffman + IDCT, graft.operators.Jpeg) — all on the bare
+  * JDK. WebP pixel decode would need a VP8 codec this container
+  * doesn't ship, so it stays header-only; everything Spark-side —
+  * schema, batching, partition sizing, mapPartitions signature — is
+  * the real shape either way.
   */
 object Multimodal {
 
