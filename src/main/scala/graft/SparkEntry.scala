@@ -1120,6 +1120,46 @@ object SparkEntry {
       }
     }),
 
+    "q97_video_meta" -> ((s, d) => {
+      // the REAL video container path: assemble doc_id-derived ISO-BMFF
+      // (MP4) box trees, parse them back through the full box walk
+      // (mvhd duration, tkhd 16.16 dims, hdlr routing, stsd codecs +
+      // audio fields, multi-run stts frame counts, stss keyframes),
+      // and explode the keyframe sample plan. The oracle recomputes
+      // every field and the keyframe-index arithmetic in closed form.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType, BinaryType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val vidSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("vid", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(vidSchema)
+      val withVid = docs.mapPartitions { iter =>
+        iter.map { r =>
+          val id = r.getLong(0)
+          val ts = 600 * ((id % 3) + 1).toInt
+          Row(id, Mp4.encodeMp4("mp42", ts, ts.toLong * ((id % 50) + 5),
+            (((id % 8) + 1) * 160).toInt, (((id % 5) + 1) * 90).toInt,
+            ((id % 200) + 30).toInt, ((id % 7) + 2).toInt,
+            ((id % 2) + 1).toInt, if (id % 2 == 0) 44100 else 48000))
+        }
+      }
+      val meta = Mp4.withVideoMeta(withVid, "vid").select(col("doc_id"),
+        col("video_meta.brand").as("brand"),
+        col("video_meta.duration_ms").as("dur_ms"),
+        col("video_meta.video_codec").as("video_codec"),
+        col("video_meta.width").as("width"),
+        col("video_meta.height").as("height"),
+        col("video_meta.n_frames").as("n_frames"),
+        col("video_meta.n_keyframes").as("n_keyframes"),
+        col("video_meta.audio_codec").as("audio_codec"),
+        col("video_meta.audio_channels").as("audio_channels"),
+        col("video_meta.audio_rate").as("audio_rate"))
+      val plan = Mp4.keyframeSamplePlan(withVid, "vid")
+        .groupBy("doc_id")
+        .agg(sum("frame_idx").as("kf_sum"), max("frame_idx").as("kf_max"))
+      meta.join(plan, Seq("doc_id"))
+    }),
+
     "q89_rings_rect_total" -> ((s, d) => {
       // st_dumprings (exterior first, then interiors, as LineStrings —
       // reference type_polygon.go:642-650), st_isrectangle (envelope
@@ -2158,6 +2198,26 @@ object SparkEntry {
           |SELECT doc_id, w AS width, h AS height,
           |  floor(avg(v) * 1000000) / 1000000 AS mean_gray
           |FROM blk GROUP BY 1, 2, 3""".stripMargin,
+
+      "q97_video_meta" ->
+        """WITH d AS (SELECT doc_id,
+          |    CAST(doc_id % 200 + 30 AS INTEGER) AS nf,
+          |    doc_id % 7 + 2 AS k
+          |  FROM documents),
+          |e AS (SELECT *, (nf - 1) // k + 1 AS nkf FROM d)
+          |SELECT doc_id, 'mp42' AS brand,
+          |  (doc_id % 50 + 5) * 1000 AS dur_ms,
+          |  'avc1' AS video_codec,
+          |  CAST((doc_id % 8 + 1) * 160 AS INTEGER) AS width,
+          |  CAST((doc_id % 5 + 1) * 90 AS INTEGER) AS height,
+          |  nf AS n_frames, CAST(nkf AS INTEGER) AS n_keyframes,
+          |  'mp4a' AS audio_codec,
+          |  CAST(doc_id % 2 + 1 AS INTEGER) AS audio_channels,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END AS INTEGER)
+          |    AS audio_rate,
+          |  nkf + k * ((nkf - 1) * nkf // 2) AS kf_sum,
+          |  CAST(1 + (nkf - 1) * k AS INTEGER) AS kf_max
+          |FROM e""".stripMargin,
 
       "q89_rings_rect_total" ->
         """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,
