@@ -1160,6 +1160,59 @@ object SparkEntry {
       meta.join(plan, Seq("doc_id"))
     }),
 
+    "q98_webp_pixels" -> ((s, d) => {
+      // the WebP-lossless (VP8L) pixel path end-to-end: encode
+      // doc_id-derived RGBA fields as spec-valid VP8L streams (real
+      // code-length-coded Huffman definitions + RIFF container),
+      // decode through the full canonical-Huffman/transform decoder
+      // (itself cross-validated bit-exactly against libwebp fixtures
+      // in WebpSpec), reduce to per-channel means the oracle
+      // recomputes from the closed-form pixel function.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType,
+        IntegerType, DoubleType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("width", IntegerType), StructField("height", IntegerType),
+        StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+        StructField("mean_b", DoubleType), StructField("mean_a", DoubleType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      docs.mapPartitions { iter =>
+        iter.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = synthImgDims(id)
+          val rgba = new Array[Byte](w * h * 4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 4
+              rgba(o) = ((id * 3 + x * 7 + y * 11) % 256).toByte
+              rgba(o + 1) = ((id * 5 + x * 13 + y * 3) % 256).toByte
+              rgba(o + 2) = ((id * 7 + x * 5 + y * 17) % 256).toByte
+              rgba(o + 3) = ((id + x * 3 + y * 7) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val img = Webp.decodeLossless(Webp.encodeLossless(w, h, rgba))
+          def mean(c: Int): java.lang.Double =
+            if (img == null) null
+            else {
+              var sum = 0L
+              var k = c
+              while (k < img.pixels.length) { sum += img.pixels(k) & 0xFF; k += 4 }
+              java.lang.Double.valueOf(
+                math.floor(sum.toDouble / (img.width.toLong * img.height) * 1e6) / 1e6)
+            }
+          Row(id,
+            if (img == null) null else img.width,
+            if (img == null) null else img.height,
+            mean(0), mean(1), mean(2), mean(3))
+        }
+      }
+    }),
+
     "q89_rings_rect_total" -> ((s, d) => {
       // st_dumprings (exterior first, then interiors, as LineStrings —
       // reference type_polygon.go:642-650), st_isrectangle (envelope
@@ -2218,6 +2271,20 @@ object SparkEntry {
           |  nkf + k * ((nkf - 1) * nkf // 2) AS kf_sum,
           |  CAST(1 + (nkf - 1) * k AS INTEGER) AS kf_max
           |FROM e""".stripMargin,
+
+      "q98_webp_pixels" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 24 + 8 AS INTEGER) AS w,
+          |                  CAST((doc_id * 3) % 24 + 8 AS INTEGER) AS h
+          |           FROM documents),
+          |px AS (SELECT doc_id, w, h, x, y
+          |       FROM d, LATERAL unnest(range(0, w)) gx(x),
+          |               LATERAL unnest(range(0, h)) gy(y))
+          |SELECT doc_id, w AS width, h AS height,
+          |  floor(avg((doc_id * 3 + x * 7 + y * 11) % 256) * 1000000) / 1000000 AS mean_r,
+          |  floor(avg((doc_id * 5 + x * 13 + y * 3) % 256) * 1000000) / 1000000 AS mean_g,
+          |  floor(avg((doc_id * 7 + x * 5 + y * 17) % 256) * 1000000) / 1000000 AS mean_b,
+          |  floor(avg((doc_id + x * 3 + y * 7) % 256) * 1000000) / 1000000 AS mean_a
+          |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
       "q89_rings_rect_total" ->
         """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,

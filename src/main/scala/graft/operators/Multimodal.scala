@@ -63,11 +63,26 @@ object Multimodal {
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return (le16(b, 6), le16(b, 8), "gif", b.length)
-    // WebP: RIFF....WEBP VP8X: canvas w-1 (LE24)@24, h-1 (LE24)@27
-    if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+    // WebP: RIFF....WEBP, then VP8X / VP8L / VP8(space) first chunk
+    if (b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P' &&
-        b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X')
-      return (le24(b, 24) + 1, le24(b, 27) + 1, "webp", b.length)
+        b(12) == 'V' && b(13) == 'P' && b(14) == '8') {
+      // VP8X extended header: canvas w-1 (LE24)@24, h-1 (LE24)@27
+      if (b(15) == 'X' && b.length >= 30)
+        return (le24(b, 24) + 1, le24(b, 27) + 1, "webp", b.length)
+      // VP8L lossless: 0x2F signature, then 14-bit w-1 / h-1 LSB-first
+      if (b(15) == 'L' && (b(20) & 0xFF) == 0x2F) {
+        val w = ((b(21) & 0xFF) | ((b(22) & 0x3F) << 8)) + 1
+        val h = (((b(22) & 0xFF) >>> 6) | ((b(23) & 0xFF) << 2) |
+          ((b(24) & 0x0F) << 10)) + 1
+        return (w, h, "webp", b.length)
+      }
+      // VP8 lossy: 3-byte frame tag, 0x9D012A start code, 14-bit dims
+      if (b(15) == ' ' && b.length >= 30 &&
+          (b(23) & 0xFF) == 0x9D && (b(24) & 0xFF) == 0x01 && (b(25) & 0xFF) == 0x2A)
+        return (le16(b, 26) & 0x3FFF, le16(b, 28) & 0x3FFF, "webp", b.length)
+      return (0, 0, "webp", b.length)
+    }
     (0, 0, "unknown", b.length)
   }
 
