@@ -1213,6 +1213,48 @@ object SparkEntry {
       }
     }),
 
+    "q99_pii_scrub" -> ((s, d) => {
+      // PII redaction pass: emails / international phones / IPv4s ->
+      // typed placeholders + removal counts. Patterns restricted to
+      // the Java-regex/RE2 common subset so DuckDB replays them
+      // exactly; PII is embedded deterministically (some rows carry
+      // none, gating false positives too).
+      val docs = t(s, d, "documents").withColumn("t",
+        when(col("doc_id") % 5 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.org or +1 555 01"), col("doc_id") % 10000,
+            lit(" from 10."), col("doc_id") % 256, lit(".0."),
+            col("doc_id") % 100, lit(" thanks"))))
+      docs.withColumn("p", TextOps.piiScrub(col("t")))
+        .select(col("doc_id"),
+          col("p.clean").as("clean"),
+          col("p.n_email").as("n_email"),
+          col("p.n_phone").as("n_phone"),
+          col("p.n_ip").as("n_ip"))
+    }),
+
+    "q100_domain_stats" -> ((s, d) => {
+      // the crawl pipeline's domain-level filter pass: per-host corpus
+      // stats in ONE hash aggregation (count, exact token sum, min/max
+      // quality, distinct langs). Min/max over per-row floor6'd
+      // quality and a LONG token sum keep every aggregate order-
+      // independent, so the oracle matches bit-exactly.
+      val docs = t(s, d, "documents").withColumn("url",
+        when(col("doc_id") % 3 === 0, concat(lit("HTTPS://WWW."),
+          col("source"), lit(".Example.COM:443/A/b/"), col("doc_id"),
+          lit("/?q="), col("lang"), lit("#frag")))
+        .when(col("doc_id") % 3 === 1, concat(lit("http://"),
+          col("source"), lit(".example.org:8080")))
+        .otherwise(concat(lit("https://cdn."), col("source"),
+          lit(".example.net/x/"), col("doc_id"), lit("/"))))
+      docs.groupBy(TextOps.urlHost(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"),
+          min(TextOps.qualityScore(col("text"))).as("min_quality"),
+          max(TextOps.qualityScore(col("text"))).as("max_quality"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     "q89_rings_rect_total" -> ((s, d) => {
       // st_dumprings (exterior first, then interiors, as LineStrings —
       // reference type_polygon.go:642-650), st_isrectangle (envelope
@@ -2285,6 +2327,56 @@ object SparkEntry {
           |  floor(avg((doc_id * 7 + x * 5 + y * 17) % 256) * 1000000) / 1000000 AS mean_b,
           |  floor(avg((doc_id + x * 3 + y * 7) % 256) * 1000000) / 1000000 AS mean_a
           |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+      "q99_pii_scrub" ->
+        """WITH d AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN text
+          |         ELSE text || ' contact user' || doc_id ||
+          |              '@mail.example.org or +1 555 01' || (doc_id % 10000) ||
+          |              ' from 10.' || (doc_id % 256) || '.0.' ||
+          |              (doc_id % 100) || ' thanks' END AS t
+          |  FROM documents),
+          |s1 AS (SELECT doc_id, t,
+          |    len(regexp_split_to_array(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_email,
+          |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          |  FROM d),
+          |s2 AS (SELECT doc_id, n_email,
+          |    len(regexp_split_to_array(t1, '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,10}')) - 1 AS n_phone,
+          |    regexp_replace(t1, '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,10}', '<PHONE>', 'g') AS t2
+          |  FROM s1)
+          |SELECT doc_id,
+          |  regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean,
+          |  CAST(n_email AS INTEGER) AS n_email,
+          |  CAST(n_phone AS INTEGER) AS n_phone,
+          |  CAST(len(regexp_split_to_array(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) - 1
+          |       AS INTEGER) AS n_ip
+          |FROM s2""".stripMargin,
+
+      "q100_domain_stats" ->
+        """WITH q AS (
+          |  SELECT doc_id, lang,
+          |    CASE doc_id % 3
+          |      WHEN 0 THEN 'www.' || source || '.example.com'
+          |      WHEN 1 THEN source || '.example.org'
+          |      ELSE 'cdn.' || source || '.example.net' END AS host,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+          |    CAST(length(text) AS DOUBLE) AS l,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+          |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+          |  FROM documents),
+          |s AS (SELECT doc_id, lang, host, toks,
+          |    floor((least(l / 500.0, 1.0) * 0.25 +
+          |           (CASE WHEN l > 0 THEN alpha / l ELSE 0.0 END) * 0.35 +
+          |           (1.0 - (CASE WHEN l > 0 THEN least(punct / l * 10.0, 1.0) ELSE 0.0 END)) * 0.15 +
+          |           (CASE WHEN toks > 0 THEN
+          |              (CASE WHEN l / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+          |            ELSE 0.0 END) * 0.25) * 1000000) / 1000000 AS quality
+          |  FROM q)
+          |SELECT host, count(*) AS n_docs, sum(toks) AS tokens,
+          |  min(quality) AS min_quality, max(quality) AS max_quality,
+          |  count(DISTINCT lang) AS n_langs
+          |FROM s GROUP BY 1""".stripMargin,
 
       "q89_rings_rect_total" ->
         """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,

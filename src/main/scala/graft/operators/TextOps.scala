@@ -231,4 +231,31 @@ object TextOps {
     val topShare = when(n > 0, floor6(top / n)).otherwise(lit(0.0))
     struct(dupFrac.as("dup_frac"), topShare.as("top_share"))
   }
+
+  // PII patterns chosen to parse identically under Java regex (Spark)
+  // and RE2 (DuckDB): character classes, bounded repeats and \b only —
+  // no backrefs or lookaround.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,10}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction pass (training-data hygiene): replace emails,
+    * international-format phone numbers and IPv4 addresses with typed
+    * placeholder tokens, and count what was removed. Pure codegen'd
+    * regexp Columns — per-row, no shuffle, scan-speed at 100 TB.
+    * Returns struct(clean, n_email, n_phone, n_ip).
+    */
+  def piiScrub(text: Column): Column = {
+    def countOf(c: Column, re: String): Column =
+      when(length(c) === 0, 0)
+        .otherwise(size(split(c, re, -1)) - 1)
+    val nEmail = countOf(text, EmailRe)
+    val t1 = regexp_replace(text, EmailRe, "<EMAIL>")
+    val nPhone = countOf(t1, PhoneRe)
+    val t2 = regexp_replace(t1, PhoneRe, "<PHONE>")
+    val nIp = countOf(t2, Ipv4Re)
+    val t3 = regexp_replace(t2, Ipv4Re, "<IP>")
+    struct(t3.as("clean"), nEmail.as("n_email"),
+      nPhone.as("n_phone"), nIp.as("n_ip"))
+  }
 }

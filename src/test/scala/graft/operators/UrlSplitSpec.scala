@@ -65,6 +65,34 @@ class UrlSplitSpec extends AnyFunSuite {
     assert(joined === 0L)
   }
 
+  test("piiScrub: redacts and counts emails/phones/IPs; clean text untouched") {
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.co.uk now"),          // one email
+      (2L, "call +44 123 4567890 or +1 555 0100 today"), // two phones
+      (3L, "from 10.0.0.1 to 192.168.255.254"),          // two IPs
+      (4L, "nothing sensitive here"),                    // clean
+      (5L, ""),                                          // empty
+      (6L, "x@y.io a@b.org 1.2.3.4 +7 999 1234")         // mixed
+    ).toDF("id", "text").withColumn("p", TextOps.piiScrub(col("text")))
+    val m = df.select(col("id"), col("p.clean"), col("p.n_email"),
+        col("p.n_phone"), col("p.n_ip"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(m(1L) === (("mail <EMAIL> now", 1, 0, 0)))
+    assert(m(2L) === (("call <PHONE> or <PHONE> today", 0, 2, 0)))
+    assert(m(3L) === (("from <IP> to <IP>", 0, 0, 2)))
+    assert(m(4L) === (("nothing sensitive here", 0, 0, 0)))
+    assert(m(5L) === (("", 0, 0, 0)))
+    assert(m(6L) === (("<EMAIL> <EMAIL> <IP> <PHONE>", 2, 1, 1)))
+    // a bare national-format number and a 3-part version string are NOT
+    // redacted (no false positives on version strings / plain numbers)
+    val r = Seq((7L, "v1.2.3 released; ring 555 0100 x"))
+      .toDF("id", "text").select(TextOps.piiScrub(col("text")).as("p"))
+      .select(col("p.n_phone"), col("p.n_ip")).head()
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) === 0)
+  }
+
   test("wordRepetition: distinct text, fully-repeated text, single token") {
     val df = Seq(
       (1L, "a b c d"),        // all distinct
