@@ -1255,6 +1255,55 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    "q101_vp8_pixels" -> ((s, d) => {
+      // the lossy-VP8 (WebP) pixel path end-to-end: encode
+      // doc_id-parameterized spec-valid VP8 keyframes (minimal
+      // encoder: B_PRED/B_DC modes, one DC coefficient per luma
+      // block, real boolean-coder streams libwebp itself decodes),
+      // decode through the FULL RFC 6386 decoder (cross-validated
+      // bit-exactly against libwebp on real lossy fixtures in
+      // Vp8Spec), reduce to block-grid aggregates. Intra prediction
+      // cascades across the block grid, so the oracle replays the
+      // exact 2-D clip/shift recursion with a recursive CTE over
+      // anti-diagonals — a genuinely independent re-derivation.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType,
+        IntegerType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("width", IntegerType), StructField("height", IntegerType),
+        StructField("y_sum", LongType), StructField("y_corner", IntegerType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      docs.mapPartitions { iter =>
+        iter.map { r =>
+          val id = r.getLong(0)
+          val w = 16 * (1 + (id % 3).toInt)
+          val h = 16 * (1 + (id % 5).toInt % 2)
+          val qi = Array(8, 26, 60, 100)((id % 4).toInt)
+          val dc = 1 + (id % 9).toInt
+          val img = Vp8.decodeLossyYuv(Vp8.encodeMinimal(w, h, qi, dc))
+          if (img == null) Row(id, null, null, null, null)
+          else {
+            var sum = 0L
+            var corner = 0
+            val bW = w / 4; val bH = h / 4
+            var by = 0
+            while (by < bH) {
+              var bx = 0
+              while (bx < bW) {
+                val v = img.y((by * 4 + 1) * w + bx * 4 + 2) & 0xFF
+                sum += v
+                if (bx == bW - 1 && by == bH - 1) corner = v
+                bx += 1
+              }
+              by += 1
+            }
+            Row(id, img.width, img.height, sum, corner)
+          }
+        }
+      }
+    }),
+
     "q89_rings_rect_total" -> ((s, d) => {
       // st_dumprings (exterior first, then interiors, as LineStrings —
       // reference type_polygon.go:642-650), st_isrectangle (envelope
@@ -2377,6 +2426,52 @@ object SparkEntry {
           |  min(quality) AS min_quality, max(quality) AS max_quality,
           |  count(DISTINCT lang) AS n_langs
           |FROM s GROUP BY 1""".stripMargin,
+
+      // The decoded luma of q101's minimal VP8 streams is the 2-D
+      // recursion v(bx,by) = clip8(((4*A + 4*L + 4) >> 3) + r) with
+      // A/L = neighbor block values (127/129 at frame borders) and
+      // r = (dcq*dc + 4) >> 3 — replayed here over anti-diagonals
+      // (each iteration depends only on the previous one) with the
+      // single-recursive-reference contribution trick. DC dequant
+      // values are RFC 6386 14.1 table entries at the four chosen
+      // quantizer indices.
+      "q101_vp8_pixels" ->
+        """WITH RECURSIVE q AS (
+          |  SELECT doc_id,
+          |    16 * (1 + doc_id % 3) AS w,
+          |    16 * (1 + (doc_id % 5) % 2) AS h,
+          |    (16 * (1 + doc_id % 3)) // 4 AS bw,
+          |    (16 * (1 + (doc_id % 5) % 2)) // 4 AS bh,
+          |    (CASE doc_id % 4 WHEN 0 THEN 11 WHEN 1 THEN 24
+          |                     WHEN 2 THEN 55 ELSE 98 END
+          |     * (1 + doc_id % 9) + 4) // 8 AS r
+          |  FROM documents),
+          |cells(doc_id, bx, by, v) AS (
+          |  SELECT doc_id, 0, 0,
+          |    least(255, greatest(0, (4*127 + 4*129 + 4) // 8 + r))
+          |  FROM q
+          |  UNION ALL
+          |  SELECT doc_id, tbx, tby,
+          |    least(255, greatest(0,
+          |      (4 * coalesce(max(CASE WHEN role = 'A' THEN v END), 127) +
+          |       4 * coalesce(max(CASE WHEN role = 'L' THEN v END), 129) + 4) // 8
+          |      + min(r)))
+          |  FROM (
+          |    SELECT c.doc_id, g.r, g.bw, g.bh, rr.role, c.v,
+          |      CASE WHEN rr.role = 'A' THEN c.bx ELSE c.bx + 1 END AS tbx,
+          |      CASE WHEN rr.role = 'A' THEN c.by + 1 ELSE c.by END AS tby
+          |    FROM cells c
+          |    JOIN q g ON g.doc_id = c.doc_id
+          |    CROSS JOIN (VALUES ('A'), ('L')) rr(role))
+          |  WHERE tbx < bw AND tby < bh
+          |  GROUP BY doc_id, tbx, tby)
+          |SELECT c.doc_id,
+          |  CAST(g.w AS INTEGER) AS width, CAST(g.h AS INTEGER) AS height,
+          |  CAST(sum(c.v) AS BIGINT) AS y_sum,
+          |  CAST(max(CASE WHEN c.bx = g.bw - 1 AND c.by = g.bh - 1 THEN c.v END)
+          |       AS INTEGER) AS y_corner
+          |FROM cells c JOIN q g ON g.doc_id = c.doc_id
+          |GROUP BY 1, 2, 3""".stripMargin,
 
       "q89_rings_rect_total" ->
         """SELECT n_nationkey, 2 AS nrings, 5 AS ring0_pts,

@@ -673,6 +673,24 @@ object Multimodal {
     StructField("mean_c3", DoubleType),
     StructField("mean_c4", DoubleType)))
 
+  /** Unified pixel decode across all four REAL codec paths: PNG
+    * (zlib + filters), GIF (LZW), baseline JPEG (Huffman + IDCT),
+    * and WebP — both lossless VP8L and lossy VP8 keyframes. Format
+    * is dispatched on magic bytes; undecodable or hostile input
+    * returns null (quarantine), never throws.
+    */
+  def decodeImagePixels(b: Array[Byte]): PngImage = {
+    if (b == null || b.length < 12) return null
+    if ((b(0) & 0xFF) == 0x89 && b(1) == 'P') decodePngPixels(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeGifPixels(b)
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) Jpeg.decode(b)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+             b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      val ll = Webp.decodeLossless(b)
+      if (ll != null) ll else Vp8.decodeLossy(b)
+    } else null
+  }
+
   /** Per-image channel means from the FULL pixel decode, via the same
     * mapPartitions batch shape as the metadata extractors. Channels
     * the image lacks come back null; undecodable bytes yield a null
@@ -685,7 +703,7 @@ object Multimodal {
     df.mapPartitions { iter =>
       iter.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val img = decodePngPixels(bytes)
+        val img = decodeImagePixels(bytes)
         val stats = if (img == null) null else {
           val n = img.width.toLong * img.height
           val sums = new Array[Long](img.channels)

@@ -886,6 +886,194 @@ object Vp8 {
   }
 
   // ---------------------------------------------------------------
+  // Minimal spec-valid VP8 keyframe ENCODER (the GIF/JPEG/VP8L
+  // fixed-code spirit): every MB is B_PRED with all-B_DC subblock
+  // modes, loop filter 0, one partition, no segmentation, and each
+  // luma block carries a single DC coefficient — so the decoded frame
+  // is a closed-form 2-D recursion v(bx,by) = clip(((4*A + 4*L + 4)
+  // >> 3) + (dq*dc + 4 >> 3)) over the 4x4 block grid (A/L = flat
+  // neighbor values, 127/129 at the frame borders) that a SQL
+  // recursive CTE replays exactly (the q101 oracle). The byte-level
+  // encoding was cross-validated against the system libwebp decoder
+  // during development (tools/gen_vp8_fixtures.py provenance notes).
+  private final class BoolEnc {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var range = 255
+    private var bottom = 0L
+    private var cnt = 24
+    private def carry(): Unit = {
+      var i = out.length - 1
+      var done = false
+      while (i >= 0 && !done) {
+        if (out(i) == 0xFF.toByte) { out(i) = 0; i -= 1 }
+        else { out(i) = (out(i) + 1).toByte; done = true }
+      }
+    }
+    def put(bit: Int, prob: Int): Unit = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      if (bit == 1) { bottom += split; range -= split }
+      else range = split
+      while (range < 128) {
+        range <<= 1
+        if ((bottom & (1L << 31)) != 0) carry()
+        bottom = (bottom << 1) & 0xFFFFFFFFL
+        cnt -= 1
+        if (cnt == 0) {
+          out += ((bottom >> 24) & 0xFF).toByte
+          bottom &= 0xFFFFFF
+          cnt = 8
+        }
+      }
+    }
+    def bit(v: Int): Unit = put(v, 128)
+    def literal(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bit((v >> k) & 1); k -= 1 }
+    }
+    def flush(): Array[Byte] = {
+      var k = 0
+      while (k < 32) {
+        if ((bottom & (1L << 31)) != 0) carry()
+        bottom = (bottom << 1) & 0xFFFFFFFFL
+        cnt -= 1
+        if (cnt == 0) {
+          out += ((bottom >> 24) & 0xFF).toByte
+          bottom &= 0xFFFFFF
+          cnt = 8
+        }
+        k += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** Encode a w x h (multiples of 16) lossy WebP whose every luma
+    * block is B_DC-predicted with one DC coefficient `dc` (1..10),
+    * quantizer index `qi`, chroma all-zero, loop filter off. */
+  def encodeMinimal(w: Int, h: Int, qi: Int, dc: Int): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0)
+    require(dc >= 1 && dc <= 10 && qi >= 0 && qi <= 127)
+    val mbW = w / 16; val mbH = h / 16
+    // first partition: header + modes
+    val e1 = new BoolEnc
+    e1.bit(0); e1.bit(0) // color space, clamp
+    e1.bit(0)            // segmentation off
+    e1.bit(0); e1.literal(0, 6); e1.literal(0, 3) // normal filter, level 0
+    e1.bit(0)            // lf deltas off
+    e1.literal(0, 2)     // one partition
+    e1.literal(qi, 7)
+    var i = 0
+    while (i < 5) { e1.bit(0); i += 1 } // no quant deltas
+    e1.bit(0)            // refresh entropy
+    i = 0
+    while (i < CoeffUpdateProbs.length) { e1.put(0, CoeffUpdateProbs(i)); i += 1 }
+    e1.bit(0)            // mb_no_coeff_skip off
+    var mb = 0
+    while (mb < mbW * mbH) {
+      e1.put(0, KfYModeProbs(0)) // ymode = B_PRED
+      i = 0
+      while (i < 16) { e1.put(0, KfBModeProbs(0)); i += 1 } // B_DC (ctx 0,0)
+      e1.put(0, KfUvModeProbs(0)) // uv DC
+      mb += 1
+    }
+    val p1 = e1.flush()
+    // token partition
+    val e2 = new BoolEnc
+    def dcToken(ctx: Int): Unit = {
+      val po = ((3 * 8 + Bands(0)) * 3 + ctx) * 11
+      e2.put(1, probsAt(po)); e2.put(1, probsAt(po + 1))
+      var nc = 0
+      if (dc == 1) { e2.put(0, probsAt(po + 2)); nc = 1 }
+      else {
+        e2.put(1, probsAt(po + 2)); nc = 2
+        if (dc <= 4) {
+          e2.put(0, probsAt(po + 3))
+          if (dc == 2) e2.put(0, probsAt(po + 4))
+          else { e2.put(1, probsAt(po + 4)); e2.put(if (dc == 4) 1 else 0, probsAt(po + 5)) }
+        } else {
+          e2.put(1, probsAt(po + 3))
+          val cat = if (dc < 7) 0 else 1
+          e2.put(0, probsAt(po + 6)); e2.put(cat, probsAt(po + 7))
+          val extra = dc - CatBase(cat); val cp = CatProbs(cat)
+          var k = 0
+          while (k < cp.length) {
+            e2.put((extra >> (cp.length - 1 - k)) & 1, cp(k)); k += 1
+          }
+        }
+      }
+      e2.put(0, 128) // sign +
+      val po2 = ((3 * 8 + Bands(1)) * 3 + nc) * 11
+      e2.put(0, probsAt(po2)) // EOB
+    }
+    val aNzY = new Array[Int](mbW * 4)
+    var mby = 0
+    while (mby < mbH) {
+      var mbx = 0
+      val lNzY = new Array[Int](4)
+      while (mbx < mbW) {
+        i = 0
+        while (i < 16) {
+          val sbx = i & 3; val sby = i >> 2
+          dcToken(aNzY(mbx * 4 + sbx) + lNzY(sby))
+          aNzY(mbx * 4 + sbx) = 1; lNzY(sby) = 1
+          i += 1
+        }
+        var p = 0
+        while (p < 2) { // U then V: all-zero blocks, ctx stays 0
+          i = 0
+          while (i < 4) {
+            e2.put(0, probsAt(((2 * 8 + Bands(0)) * 3 + 0) * 11))
+            i += 1
+          }
+          p += 1
+        }
+        mbx += 1
+      }
+      mby += 1
+    }
+    val p2 = e2.flush()
+    val fps = p1.length
+    val tag = (3 << 1) | (1 << 4) | (fps << 5)
+    val frame = Array[Byte]((tag & 0xFF).toByte, ((tag >> 8) & 0xFF).toByte,
+      ((tag >> 16) & 0xFF).toByte, 0x9D.toByte, 0x01, 0x2A,
+      (w & 0xFF).toByte, ((w >> 8) & 0x3F).toByte,
+      (h & 0xFF).toByte, ((h >> 8) & 0x3F).toByte) ++ p1 ++ p2
+    val sz = frame.length
+    val riffLen = 12 + sz + (sz & 1)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(riffLen)
+    bb.put("WEBP".getBytes); bb.put("VP8 ".getBytes); bb.putInt(sz)
+    bb.put(frame)
+    if ((sz & 1) == 1) bb.put(0.toByte)
+    bb.array()
+  }
+
+  private def probsAt(i: Int): Int = CoeffProbs(i)
+
+  /** The closed-form expected luma block value of encodeMinimal's
+    * output: the same 2-D recursion the q101 DuckDB oracle replays. */
+  def minimalExpected(w: Int, h: Int, qi: Int, dc: Int): Array[Array[Int]] = {
+    val bW = w / 4; val bH = h / 4
+    val r = (DcQ(qi) * dc + 4) >> 3
+    val v = Array.ofDim[Int](bH, bW)
+    var by = 0
+    while (by < bH) {
+      var bx = 0
+      while (bx < bW) {
+        val a = if (by == 0) 127 else v(by - 1)(bx)
+        val l = if (bx == 0) 129 else v(by)(bx - 1)
+        val p = (4 * a + 4 * l + 4) >> 3
+        val x = p + r
+        v(by)(bx) = if (x < 0) 0 else if (x > 255) 255 else x
+        bx += 1
+      }
+      by += 1
+    }
+    v
+  }
+
+  // ---------------------------------------------------------------
   // loop filters (RFC 15). A VERTICAL edge at column x0 filters the
   // horizontally adjacent pixels p3..q3 = p(base-4)..p(base+3) on
   // each of `count` rows starting at y0; a horizontal edge at row y0

