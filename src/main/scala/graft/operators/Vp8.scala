@@ -444,7 +444,7 @@ object Vp8 {
           while (i < 16) {
             val sbx = i & 3; val sby = i >> 2
             val bx = mbx * 16 + sbx * 4; val by = mby * 16 + sby * 4
-            pred4(py, yW, yH, bx, by, bmodes(i), sbx == 3, mby * 16)
+            pred4(py, yW, bx, by, bmodes(i), sbx == 3, mby * 16)
             idctAdd(coeffs, i * 16, py, yW, by * yW + bx)
             i += 1
           }
@@ -757,7 +757,7 @@ object Vp8 {
     * in the MB's rightmost column, so its above-right pixels come
     * from the row above the ENTIRE macroblock (mbTop-1), not from
     * this MB's partially reconstructed interior. */
-  private def pred4(p: Array[Byte], stride: Int, planeH: Int, bx: Int, by: Int,
+  private def pred4(p: Array[Byte], stride: Int, bx: Int, by: Int,
                     mode: Int, rightEdge: Boolean, mbTop: Int): Unit = {
     val a = new Array[Int](8) // above 0..3 + above-right 4..7
     val l = new Array[Int](4)
