@@ -949,10 +949,15 @@ object Vp8 {
 
   /** Encode a w x h (multiples of 16) lossy WebP whose every luma
     * block is B_DC-predicted with one DC coefficient `dc` (1..10),
-    * quantizer index `qi`, chroma all-zero, loop filter off. */
-  def encodeMinimal(w: Int, h: Int, qi: Int, dc: Int): Array[Byte] = {
+    * quantizer index `qi`, chroma all-zero, loop filter off.
+    * `nparts` (1/2/4/8) splits token data across partitions by MB
+    * row — exercises the decoder's partition-table path, which real
+    * libwebp encodes only with its advanced API. */
+  def encodeMinimal(w: Int, h: Int, qi: Int, dc: Int,
+                    nparts: Int = 1): Array[Byte] = {
     require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0)
     require(dc >= 1 && dc <= 10 && qi >= 0 && qi <= 127)
+    require(nparts == 1 || nparts == 2 || nparts == 4 || nparts == 8)
     val mbW = w / 16; val mbH = h / 16
     // first partition: header + modes
     val e1 = new BoolEnc
@@ -960,7 +965,7 @@ object Vp8 {
     e1.bit(0)            // segmentation off
     e1.bit(0); e1.literal(0, 6); e1.literal(0, 3) // normal filter, level 0
     e1.bit(0)            // lf deltas off
-    e1.literal(0, 2)     // one partition
+    e1.literal(Integer.numberOfTrailingZeros(nparts), 2)
     e1.literal(qi, 7)
     var i = 0
     while (i < 5) { e1.bit(0); i += 1 } // no quant deltas
@@ -977,8 +982,10 @@ object Vp8 {
       mb += 1
     }
     val p1 = e1.flush()
-    // token partition
-    val e2 = new BoolEnc
+    // token partitions (MB row r -> partition r % nparts); the nz
+    // contexts span partitions exactly as the decoder tracks them
+    val tokEnc = Array.fill(nparts)(new BoolEnc)
+    var e2: BoolEnc = tokEnc(0)
     def dcToken(ctx: Int): Unit = {
       val po = ((3 * 8 + Bands(0)) * 3 + ctx) * 11
       e2.put(1, probsAt(po)); e2.put(1, probsAt(po + 1))
@@ -1008,6 +1015,7 @@ object Vp8 {
     val aNzY = new Array[Int](mbW * 4)
     var mby = 0
     while (mby < mbH) {
+      e2 = tokEnc(mby % nparts)
       var mbx = 0
       val lNzY = new Array[Int](4)
       while (mbx < mbW) {
@@ -1031,7 +1039,18 @@ object Vp8 {
       }
       mby += 1
     }
-    val p2 = e2.flush()
+    val toks = tokEnc.map(_.flush())
+    // partition size table: (nparts-1) LE24 sizes, then the partitions
+    val sizeTable = new Array[Byte]((nparts - 1) * 3)
+    var pi2 = 0
+    while (pi2 < nparts - 1) {
+      val s = toks(pi2).length
+      sizeTable(pi2 * 3) = (s & 0xFF).toByte
+      sizeTable(pi2 * 3 + 1) = ((s >> 8) & 0xFF).toByte
+      sizeTable(pi2 * 3 + 2) = ((s >> 16) & 0xFF).toByte
+      pi2 += 1
+    }
+    val p2 = sizeTable ++ toks.flatten
     val fps = p1.length
     val tag = (3 << 1) | (1 << 4) | (fps << 5)
     val frame = Array[Byte]((tag & 0xFF).toByte, ((tag >> 8) & 0xFF).toByte,

@@ -155,8 +155,9 @@ class Vp8Spec extends AnyFunSuite {
         |out = b"".join(bytes(y[r*ys.value:r*ys.value+w.value]) for r in range(h.value))
         |sys.stdout.buffer.write(struct.pack('<II', w.value, h.value) + out)
         |""".stripMargin.getBytes)
-    for ((w, h, qi, dc) <- Seq((16, 16, 26, 1), (32, 32, 60, 3), (48, 16, 0, 9))) {
-      val bytes = Vp8.encodeMinimal(w, h, qi, dc)
+    for ((w, h, qi, dc, np) <- Seq((16, 16, 26, 1, 1), (32, 32, 60, 3, 1),
+        (48, 16, 0, 9, 1), (32, 48, 26, 2, 2), (48, 80, 40, 5, 4))) {
+      val bytes = Vp8.encodeMinimal(w, h, qi, dc, np)
       val f = tmp.resolve(s"t_${w}x${h}_$qi-$dc.webp")
       Files.write(f, bytes)
       val pr = new ProcessBuilder("python3", script.toString, f.toString).start()
@@ -167,8 +168,35 @@ class Vp8Spec extends AnyFunSuite {
       val mine = Vp8.decodeLossyYuv(bytes)
       val libY = java.util.Arrays.copyOfRange(out, 8, 8 + w * h)
       assert(java.util.Arrays.equals(mine.y, libY),
-        s"libwebp and our decoder disagree on our own stream $w x $h qi=$qi dc=$dc")
+        s"libwebp and our decoder disagree on our own stream $w x $h qi=$qi dc=$dc np=$np")
     }
+  }
+
+  test("multi-partition token streams decode to the same closed form") {
+    for (np <- Seq(2, 4, 8); (w, h) <- Seq((32, 64), (48, 128))) {
+      val one = Vp8.decodeLossyYuv(Vp8.encodeMinimal(w, h, 26, 3, 1))
+      val many = Vp8.decodeLossyYuv(Vp8.encodeMinimal(w, h, 26, 3, np))
+      assert(many != null, s"np=$np $w x $h")
+      assert(java.util.Arrays.equals(one.y, many.y), s"np=$np $w x $h")
+    }
+  }
+
+  test("VP8X-wrapped lossy payloads decode via the chunk walk") {
+    val inner = Vp8.encodeMinimal(16, 16, 26, 2)
+    // strip RIFF, rewrap with a VP8X chunk before the VP8 chunk
+    val frame = java.util.Arrays.copyOfRange(inner, 20, inner.length)
+    val vp8x = Array[Byte]('V', 'P', '8', 'X', 10, 0, 0, 0,
+      0, 0, 0, 0, 15, 0, 0, 15, 0, 0) // canvas 16x16 (w-1/h-1 LE24)
+    val riffLen = 4 + vp8x.length + 8 + frame.length
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(riffLen); bb.put("WEBP".getBytes)
+    bb.put(vp8x)
+    bb.put("VP8 ".getBytes); bb.putInt(frame.length); bb.put(frame)
+    val img = Vp8.decodeLossyYuv(bb.array())
+    assert(img != null && img.width === 16 && img.height === 16)
+    val direct = Vp8.decodeLossyYuv(inner)
+    assert(java.util.Arrays.equals(img.y, direct.y))
   }
 
   test("lossless payloads and non-webp bytes return null") {
