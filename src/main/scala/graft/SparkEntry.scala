@@ -1255,6 +1255,90 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    "q102_mixed_decode" -> ((s, d) => {
+      // the dispatcher itself: ONE binary column carrying five image
+      // formats (PNG gray, GIF palette, baseline JPEG, VP8L lossless,
+      // lossy VP8), routed by magic bytes through
+      // Multimodal.decodeImagePixels — the real shape of a crawl's
+      // media column. Reduced to a format-independent metric (mean
+      // over every decoded byte) that the oracle recomputes per
+      // format from each codec's closed form, including the VP8
+      // branch's intra recursion + BT.601 integer conversion.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType,
+        IntegerType, DoubleType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("fmt", IntegerType), StructField("width", IntegerType),
+        StructField("height", IntegerType), StructField("channels", IntegerType),
+        StructField("mean_byte", DoubleType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      docs.mapPartitions { iter =>
+        iter.map { r =>
+          val id = r.getLong(0)
+          val fmt = (id % 5).toInt
+          val bytes: Array[Byte] = fmt match {
+            case 0 =>
+              val raw = new Array[Byte](16 * 16)
+              var k = 0
+              while (k < raw.length) {
+                raw(k) = ((id * 7 + (k % 16) * 3 + (k / 16) * 5) % 256).toByte
+                k += 1
+              }
+              Multimodal.encodePng(16, 16, 1, raw)
+            case 1 =>
+              val idx = new Array[Byte](16 * 8)
+              var k = 0
+              while (k < idx.length) {
+                idx(k) = ((id + (k % 16) + (k / 16) * 2) % 4).toByte
+                k += 1
+              }
+              val pal = new Array[Byte](12)
+              var i = 0
+              while (i < 4) {
+                pal(i * 3) = ((id + i * 11) % 256).toByte
+                pal(i * 3 + 1) = ((id * 2 + i * 17) % 256).toByte
+                pal(i * 3 + 2) = ((id * 3 + i * 23) % 256).toByte
+                i += 1
+              }
+              Multimodal.encodeGif(16, 8, idx, pal)
+            case 2 =>
+              val raw = new Array[Byte](16 * 16)
+              var k = 0
+              while (k < raw.length) {
+                raw(k) = ((id * 31 + (k % 16 / 8) * 7 + (k / 16 / 8) * 13) % 256).toByte
+                k += 1
+              }
+              Jpeg.encodeGray(16, 16, raw, restartInterval = (id % 4).toInt)
+            case 3 =>
+              val rgba = new Array[Byte](8 * 8 * 4)
+              var k = 0
+              while (k < 64) {
+                val x = k % 8; val y = k / 8
+                rgba(k * 4) = ((id * 3 + x * 7 + y * 11) % 256).toByte
+                rgba(k * 4 + 1) = ((id * 5 + x * 13 + y * 3) % 256).toByte
+                rgba(k * 4 + 2) = ((id * 7 + x * 5 + y * 17) % 256).toByte
+                rgba(k * 4 + 3) = ((id + x * 3 + y * 7) % 256).toByte
+                k += 1
+              }
+              Webp.encodeLossless(8, 8, rgba)
+            case _ =>
+              Vp8.encodeMinimal(16, 16, Array(8, 26, 60, 100)((id % 4).toInt),
+                1 + (id % 9).toInt)
+          }
+          val img = Multimodal.decodeImagePixels(bytes)
+          if (img == null) Row(id, fmt, null, null, null, null)
+          else {
+            var sum = 0L
+            var k = 0
+            while (k < img.pixels.length) { sum += img.pixels(k) & 0xFF; k += 1 }
+            Row(id, fmt, img.width, img.height, img.channels,
+              math.floor(sum.toDouble / img.pixels.length * 1e6) / 1e6)
+          }
+        }
+      }
+    }),
+
     "q101_vp8_pixels" -> ((s, d) => {
       // the lossy-VP8 (WebP) pixel path end-to-end: encode
       // doc_id-parameterized spec-valid VP8 keyframes (minimal
@@ -2426,6 +2510,70 @@ object SparkEntry {
           |  min(quality) AS min_quality, max(quality) AS max_quality,
           |  count(DISTINCT lang) AS n_langs
           |FROM s GROUP BY 1""".stripMargin,
+
+      // One branch per format, each re-deriving the decoded bytes from
+      // that codec's closed form; the lossy-VP8 branch replays the
+      // intra recursion (q101's CTE, grid fixed at 4x4) and the
+      // BT.601 integer conversion toRgb applies.
+      "q102_mixed_decode" ->
+        """WITH RECURSIVE
+          |f0 AS (SELECT doc_id, 0 AS fmt, 16 AS width, 16 AS height, 1 AS channels,
+          |    floor(avg((doc_id*7 + x*3 + y*5) % 256) * 1000000) / 1000000 AS mean_byte
+          |  FROM documents, LATERAL unnest(range(0,16)) gx(x),
+          |       LATERAL unnest(range(0,16)) gy(y)
+          |  WHERE doc_id % 5 = 0 GROUP BY 1),
+          |f1 AS (SELECT doc_id, 1 AS fmt, 16 AS width, 8 AS height, 3 AS channels,
+          |    floor(CAST(sum((doc_id + i*11) % 256 + (doc_id*2 + i*17) % 256 +
+          |               (doc_id*3 + i*23) % 256) AS DOUBLE) / 384 * 1000000)
+          |      / 1000000 AS mean_byte
+          |  FROM (SELECT doc_id, (doc_id + x + y*2) % 4 AS i
+          |        FROM documents, LATERAL unnest(range(0,16)) gx(x),
+          |             LATERAL unnest(range(0,8)) gy(y)
+          |        WHERE doc_id % 5 = 1) GROUP BY 1),
+          |f2 AS (SELECT doc_id, 2 AS fmt, 16 AS width, 16 AS height, 1 AS channels,
+          |    floor(avg((doc_id*31 + bx*7 + by*13) % 256) * 1000000) / 1000000 AS mean_byte
+          |  FROM documents, LATERAL unnest(range(0,2)) gx(bx),
+          |       LATERAL unnest(range(0,2)) gy(by)
+          |  WHERE doc_id % 5 = 2 GROUP BY 1),
+          |f3 AS (SELECT doc_id, 3 AS fmt, 8 AS width, 8 AS height, 4 AS channels,
+          |    floor(CAST(sum((doc_id*3 + x*7 + y*11) % 256 + (doc_id*5 + x*13 + y*3) % 256 +
+          |               (doc_id*7 + x*5 + y*17) % 256 + (doc_id + x*3 + y*7) % 256)
+          |          AS DOUBLE) / 256 * 1000000) / 1000000 AS mean_byte
+          |  FROM documents, LATERAL unnest(range(0,8)) gx(x),
+          |       LATERAL unnest(range(0,8)) gy(y)
+          |  WHERE doc_id % 5 = 3 GROUP BY 1),
+          |q4 AS (SELECT doc_id,
+          |    (CASE doc_id % 4 WHEN 0 THEN 11 WHEN 1 THEN 24
+          |                     WHEN 2 THEN 55 ELSE 98 END
+          |     * (1 + doc_id % 9) + 4) // 8 AS r
+          |  FROM documents WHERE doc_id % 5 = 4),
+          |cells4(doc_id, bx, by, v) AS (
+          |  SELECT doc_id, 0, 0,
+          |    least(255, greatest(0, (4*127 + 4*129 + 4) // 8 + r)) FROM q4
+          |  UNION ALL
+          |  SELECT doc_id, tbx, tby,
+          |    least(255, greatest(0,
+          |      (4 * coalesce(max(CASE WHEN role = 'A' THEN v END), 127) +
+          |       4 * coalesce(max(CASE WHEN role = 'L' THEN v END), 129) + 4) // 8
+          |      + min(r)))
+          |  FROM (
+          |    SELECT c.doc_id, g.r, rr.role, c.v,
+          |      CASE WHEN rr.role = 'A' THEN c.bx ELSE c.bx + 1 END AS tbx,
+          |      CASE WHEN rr.role = 'A' THEN c.by + 1 ELSE c.by END AS tby
+          |    FROM cells4 c JOIN q4 g ON g.doc_id = c.doc_id
+          |    CROSS JOIN (VALUES ('A'), ('L')) rr(role))
+          |  WHERE tbx < 4 AND tby < 4
+          |  GROUP BY doc_id, tbx, tby),
+          |f4 AS (SELECT doc_id, 4 AS fmt, 16 AS width, 16 AS height, 3 AS channels,
+          |    floor(avg(least(255, greatest(0, (298*(v - 16) + 128) // 256)))
+          |          * 1000000) / 1000000 AS mean_byte
+          |  FROM cells4 GROUP BY 1)
+          |SELECT doc_id, CAST(fmt AS INTEGER) AS fmt,
+          |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+          |  CAST(channels AS INTEGER) AS channels, mean_byte
+          |FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+          |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+          |      UNION ALL SELECT * FROM f4)""".stripMargin,
 
       // The decoded luma of q101's minimal VP8 streams is the 2-D
       // recursion v(bx,by) = clip8(((4*A + 4*L + 4) >> 3) + r) with
