@@ -971,7 +971,7 @@ object SparkEntry {
             yy => ((id + yy) % 5).toInt))
         }
       }
-      Multimodal.withPngPixelStats(withPng, "png")
+      Multimodal.withPixelStats(withPng, "png")
         .select(col("doc_id"),
           col("pixel_stats.width").as("width"),
           col("pixel_stats.height").as("height"),
@@ -1222,7 +1222,8 @@ object SparkEntry {
       val docs = t(s, d, "documents").withColumn("t",
         when(col("doc_id") % 5 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" contact user"), col("doc_id"),
-            lit("@mail.example.org or +1 555 01"), col("doc_id") % 10000,
+            lit("@mail.example.org or +1 555 "),
+            lpad(col("doc_id") % 10000, 4, "0"),
             lit(" from 10."), col("doc_id") % 256, lit(".0."),
             col("doc_id") % 100, lit(" thanks"))))
       docs.withColumn("p", TextOps.piiScrub(col("t")))
@@ -2465,7 +2466,8 @@ object SparkEntry {
         """WITH d AS (SELECT doc_id,
           |    CASE WHEN doc_id % 5 = 0 THEN text
           |         ELSE text || ' contact user' || doc_id ||
-          |              '@mail.example.org or +1 555 01' || (doc_id % 10000) ||
+          |              '@mail.example.org or +1 555 ' ||
+          |              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
           |              ' from 10.' || (doc_id % 256) || '.0.' ||
           |              (doc_id % 100) || ' thanks' END AS t
           |  FROM documents),

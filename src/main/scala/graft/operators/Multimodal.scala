@@ -9,14 +9,14 @@ import org.apache.spark.sql.types._
   *
   * Image metadata extraction parses REAL container headers from the
   * bytes (PNG IHDR, JPEG SOF segment scan, GIF logical screen
-  * descriptor, WebP VP8X) with zero dependencies. Three formats
-  * additionally get FULL pixel decodes: PNG (zlib + five scanline
-  * filters, below), GIF (variable-width LZW, below) and baseline JPEG
-  * (canonical Huffman + IDCT, graft.operators.Jpeg) — all on the bare
-  * JDK. WebP pixel decode would need a VP8 codec this container
-  * doesn't ship, so it stays header-only; everything Spark-side —
-  * schema, batching, partition sizing, mapPartitions signature — is
-  * the real shape either way.
+  * descriptor, WebP VP8X) with zero dependencies. Every recognized
+  * format additionally gets a FULL pixel decode on the bare JDK: PNG
+  * (zlib + five scanline filters, below), GIF (variable-width LZW,
+  * below), baseline JPEG (canonical Huffman + IDCT,
+  * graft.operators.Jpeg), WebP lossless (graft.operators.Webp) and
+  * lossy VP8 (graft.operators.Vp8) — dispatched by magic bytes via
+  * decodeImagePixels. Everything Spark-side — schema, batching,
+  * partition sizing, mapPartitions signature — is the real shape.
   */
 object Multimodal {
 
@@ -673,7 +673,7 @@ object Multimodal {
     StructField("mean_c3", DoubleType),
     StructField("mean_c4", DoubleType)))
 
-  /** Unified pixel decode across all four REAL codec paths: PNG
+  /** Unified pixel decode across the five REAL codec paths: PNG
     * (zlib + filters), GIF (LZW), baseline JPEG (Huffman + IDCT),
     * and WebP — both lossless VP8L and lossy VP8 keyframes. Format
     * is dispatched on magic bytes; undecodable or hostile input
@@ -696,7 +696,7 @@ object Multimodal {
     * the image lacks come back null; undecodable bytes yield a null
     * struct (quarantine-filterable).
     */
-  def withPngPixelStats(df: DataFrame, binCol: String): DataFrame = {
+  def withPixelStats(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("pixel_stats", pixelStatsSchema))
     val binIdx = df.schema.fieldIndex(binCol)
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)

@@ -92,13 +92,13 @@ object Vp8 {
   private def findVp8(b: Array[Byte]): (Int, Int) = {
     if (b.length < 20 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return (-1, 0)
-    var p = 12
+    var p = 12L // Long: a hostile chunk size near 2^31 must not wrap
     while (p + 8 <= b.length) {
-      val size = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
-        ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
-      if (size < 0) return (-1, 0)
-      if (b(p) == 'V' && b(p + 1) == 'P' && b(p + 2) == '8' && b(p + 3) == ' ')
-        return (p + 8, math.min(size, b.length - p - 8))
+      val i = p.toInt
+      val size = (b(i + 4) & 0xFFL) | ((b(i + 5) & 0xFFL) << 8) |
+        ((b(i + 6) & 0xFFL) << 16) | ((b(i + 7) & 0xFFL) << 24)
+      if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' && b(i + 3) == ' ')
+        return (i + 8, math.min(size, (b.length - i - 8).toLong).toInt)
       p += 8 + size + (size & 1)
     }
     (-1, 0)
@@ -598,10 +598,17 @@ object Vp8 {
   }
 
   // ---------------------------------------------------------------
+  // per-call transform scratch (decode0 is single-threaded per
+  // invocation; a thread-local avoids ~1.6M short-lived Array[Int](16)
+  // allocations on a 16M-pixel frame)
+  private val scratch16 = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](16)
+  }
+
   /** RFC 14.3 inverse WHT: 16 dequantized Y2 coefficients -> the 16
     * Y-subblock DC values. */
   private def iwht(c: Array[Int], off: Int, out: Array[Int]): Unit = {
-    val t = new Array[Int](16)
+    val t = scratch16.get()
     var i = 0
     while (i < 4) {
       val a1 = c(off + i) + c(off + i + 12)
@@ -629,7 +636,7 @@ object Vp8 {
     * cat6 coefficients times max dequant overflow 32 bits. */
   private def idctAdd(c: Array[Int], off: Int, dst: Array[Byte],
                       stride: Int, dOff: Int): Unit = {
-    val t = new Array[Int](16)
+    val t = scratch16.get()
     var i = 0
     while (i < 4) {
       val c0 = c(off + i); val c1 = c(off + i + 4)

@@ -119,10 +119,15 @@ class Vp8Spec extends AnyFunSuite {
       for (by <- 0 until h / 4; bx <- 0 until w / 4; r <- 0 until 4; c <- 0 until 4)
         if ((img.y((by * 4 + r) * w + bx * 4 + c) & 0xFF) != exp(by)(bx)) bad += 1
       assert(bad === 0, s"$w x $h qi=$qi dc=$dc: $bad luma mismatches")
-      // chroma: flat prediction from borders, zero residual
+      // chroma: zero residual, DC prediction cascading from the
+      // 127/129 borders — top chroma-MB row lands on exactly 128, and
+      // deeper rows can only drift to 129 via the left-border average
       val cw = w / 2
-      assert(img.u.forall(v => (v & 0xFF) == 128 || true))
-      assert((img.u(0) & 0xFF) === 128 && (img.v(cw / 2) & 0xFF) === 128)
+      assert(img.u.take(cw * 8).forall(v => (v & 0xFF) == 128), s"$w x $h U row0")
+      assert(img.u.forall(v => (v & 0xFF) == 128 || (v & 0xFF) == 129),
+        s"$w x $h qi=$qi dc=$dc U")
+      assert(img.v.forall(v => (v & 0xFF) == 128 || (v & 0xFF) == 129),
+        s"$w x $h qi=$qi dc=$dc V")
     }
   }
 
