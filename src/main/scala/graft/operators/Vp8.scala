@@ -89,7 +89,11 @@ object Vp8 {
 
   // ---------------------------------------------------------------
   // container walk: find the "VP8 " chunk payload in a RIFF WebP file
-  private def findVp8(b: Array[Byte]): (Int, Int) = {
+  private def findVp8(b: Array[Byte]): (Int, Int) =
+    findChunk(b, 'V', 'P', '8', ' ')
+
+  private def findChunk(b: Array[Byte], c0: Char, c1: Char, c2: Char,
+                        c3: Char): (Int, Int) = {
     if (b.length < 20 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return (-1, 0)
     var p = 12L // Long: a hostile chunk size near 2^31 must not wrap
@@ -97,7 +101,7 @@ object Vp8 {
       val i = p.toInt
       val size = (b(i + 4) & 0xFFL) | ((b(i + 5) & 0xFFL) << 8) |
         ((b(i + 6) & 0xFFL) << 16) | ((b(i + 7) & 0xFFL) << 24)
-      if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' && b(i + 3) == ' ')
+      if (b(i) == c0 && b(i + 1) == c1 && b(i + 2) == c2 && b(i + 3) == c3)
         return (i + 8, math.min(size, (b.length - i - 8).toLong).toInt)
       p += 8 + size + (size & 1)
     }
@@ -115,12 +119,114 @@ object Vp8 {
   private[operators] def decodeLossyYuvNoFilter(bytes: Array[Byte]): YuvImage =
     try decode0(bytes, applyFilter = false) catch { case _: Exception => null }
 
-  /** Decode a lossy WebP to 3-channel RGB (BT.601 limited-range,
-    * nearest-neighbor chroma upsampling — documented non-normative
-    * conversion; the normative surface is decodeLossyYuv). */
+  /** Decode a lossy WebP to RGB — or RGBA when the container carries
+    * an ALPH chunk (VP8X alpha: raw or headerless-VP8L-compressed
+    * plane with the spec's horizontal/vertical/gradient inverse
+    * filters). Color is BT.601 limited-range with nearest-neighbor
+    * chroma upsampling (documented non-normative conversion; the
+    * normative surfaces are decodeLossyYuv and the alpha plane). */
   def decodeLossy(bytes: Array[Byte]): PngImage = {
     val yuv = decodeLossyYuv(bytes)
-    if (yuv == null) null else toRgb(yuv)
+    if (yuv == null) return null
+    val alpha = try decodeAlpha(bytes, yuv.width, yuv.height)
+    catch { case _: Exception => null }
+    if (alpha == null) toRgb(yuv) else toRgba(yuv, alpha)
+  }
+
+  /** The decoded ALPH plane (w*h bytes), or null when absent/bad. */
+  private[operators] def decodeAlpha(b: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val (off, size) = findChunk(b, 'A', 'L', 'P', 'H')
+    if (off < 0 || size < 1) return null
+    val hdr = b(off) & 0xFF
+    val compression = hdr & 3
+    val filter = (hdr >> 2) & 3
+    // bits 4-5: preprocessing (encode-side level reduction; no
+    // decode-side action), bits 6-7 reserved
+    val plane: Array[Byte] =
+      if (compression == 0) {
+        if (size - 1 < w * h) return null
+        java.util.Arrays.copyOfRange(b, off + 1, off + 1 + w * h)
+      } else if (compression == 1) {
+        Webp.decodeAlphaLossless(b, off + 1, w, h)
+      } else return null
+    if (plane == null) return null
+    // inverse filtering (container spec; libwebp dsp/filters.c): the
+    // first pixel of each row predicts from the pixel ABOVE it, the
+    // rest from their LEFT neighbor (horizontal); vertical rows 1+
+    // predict from above, row 0 horizontally; gradient rows 1+ use
+    // clip(left + above - above-left), row 0 horizontally.
+    def clip(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    filter match {
+      case 0 => ()
+      case 1 => // horizontal
+        var y = 0
+        while (y < h) {
+          var pred = if (y == 0) 0 else plane((y - 1) * w) & 0xFF
+          var x = 0
+          while (x < w) {
+            pred = (pred + (plane(y * w + x) & 0xFF)) & 0xFF
+            plane(y * w + x) = pred.toByte
+            x += 1
+          }
+          y += 1
+        }
+      case 2 => // vertical
+        var pred = 0
+        var x = 0
+        while (x < w) { // row 0: horizontal chain from 0
+          pred = (pred + (plane(x) & 0xFF)) & 0xFF
+          plane(x) = pred.toByte
+          x += 1
+        }
+        var y = 1
+        while (y < h) {
+          x = 0
+          while (x < w) {
+            plane(y * w + x) =
+              (((plane((y - 1) * w + x) & 0xFF) + (plane(y * w + x) & 0xFF)) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+      case _ => // gradient
+        var pred = 0
+        var x = 0
+        while (x < w) { // row 0: horizontal chain from 0
+          pred = (pred + (plane(x) & 0xFF)) & 0xFF
+          plane(x) = pred.toByte
+          x += 1
+        }
+        var y = 1
+        while (y < h) {
+          // first pixel of the row: predict from above
+          plane(y * w) =
+            (((plane((y - 1) * w) & 0xFF) + (plane(y * w) & 0xFF)) & 0xFF).toByte
+          x = 1
+          while (x < w) {
+            val g = clip((plane(y * w + x - 1) & 0xFF) +
+              (plane((y - 1) * w + x) & 0xFF) - (plane((y - 1) * w + x - 1) & 0xFF))
+            plane(y * w + x) = ((g + (plane(y * w + x) & 0xFF)) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+    }
+    plane
+  }
+
+  private def toRgba(img: YuvImage, alpha: Array[Byte]): PngImage = {
+    val rgb = toRgb(img)
+    val w = img.width; val h = img.height
+    val out = new Array[Byte](w * h * 4)
+    var i = 0
+    while (i < w * h) {
+      out(i * 4) = rgb.pixels(i * 3)
+      out(i * 4 + 1) = rgb.pixels(i * 3 + 1)
+      out(i * 4 + 2) = rgb.pixels(i * 3 + 2)
+      out(i * 4 + 3) = alpha(i)
+      i += 1
+    }
+    PngImage(w, h, 4, out)
   }
 
   def toRgb(img: YuvImage): PngImage = {

@@ -454,7 +454,46 @@ object Webp {
       br.bits(1) // alpha hint
       if (br.bits(3) != 0) return null // version
       if (w.toLong * h > (1L << 26)) return null
+      val px = decodeBody(br, w, h)
+      if (px == null) return null
 
+      val rgba = new Array[Byte](w * h * 4)
+      var i = 0
+      while (i < w * h) {
+        val p = px(i)
+        rgba(4 * i) = ((p >>> 16) & 0xFF).toByte
+        rgba(4 * i + 1) = ((p >>> 8) & 0xFF).toByte
+        rgba(4 * i + 2) = (p & 0xFF).toByte
+        rgba(4 * i + 3) = ((p >>> 24) & 0xFF).toByte
+        i += 1
+      }
+      PngImage(w, h, 4, rgba)
+    }
+  }
+
+  /** Decode the ALPH chunk's compression-method-1 payload: a
+    * HEADERLESS VP8L stream (transform bits onward, dims implied by
+    * the frame) whose GREEN channel carries the alpha plane
+    * (container spec "Alpha"). Null on any failure. */
+  private[operators] def decodeAlphaLossless(bytes: Array[Byte], off: Int,
+                                             w: Int, h: Int): Array[Byte] =
+    try {
+      val br = new Br(bytes, off)
+      val px = decodeBody(br, w, h)
+      if (px == null) null
+      else {
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < out.length) { out(i) = ((px(i) >>> 8) & 0xFF).toByte; i += 1 }
+        out
+      }
+    } catch { case _: Exception => null }
+
+  /** The VP8L frame body shared by the main stream and ALPH alpha
+    * streams: transform declarations + entropy-coded image + inverse
+    * transforms. Returns ARGB ints, or null on malformed input. */
+  private def decodeBody(br: Br, w: Int, h: Int): Array[Int] = {
+    {
       // transforms (each at most once), tracking the active width
       var xsize = w
       var palette: Array[Int] = null
@@ -516,18 +555,7 @@ object Webp {
         }
       }
       if (curW != w) return null
-
-      val rgba = new Array[Byte](w * h * 4)
-      var i = 0
-      while (i < w * h) {
-        val p = px(i)
-        rgba(4 * i) = ((p >>> 16) & 0xFF).toByte
-        rgba(4 * i + 1) = ((p >>> 8) & 0xFF).toByte
-        rgba(4 * i + 2) = (p & 0xFF).toByte
-        rgba(4 * i + 3) = ((p >>> 24) & 0xFF).toByte
-        i += 1
-      }
-      PngImage(w, h, 4, rgba)
+      px
     }
   }
 

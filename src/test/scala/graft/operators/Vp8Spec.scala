@@ -107,6 +107,31 @@ class Vp8Spec extends AnyFunSuite {
     assert((System.nanoTime() - t0) / 1e9 < 120.0, "hostile fuzz too slow")
   }
 
+  test("bit-exact alpha plane on real libwebp lossy+alpha fixtures") {
+    // VP8X + ALPH + VP8 containers; ground truth is libwebp's own
+    // RGBA decode's alpha channel (alpha decode is lossless)
+    val bases = fixtures.filter(b => Files.exists(dir.resolve(b + ".alpha")))
+    assert(bases.nonEmpty)
+    var report = ""
+    for (base <- bases) {
+      val webp = Files.readAllBytes(dir.resolve(base + ".webp"))
+      val b = Files.readAllBytes(dir.resolve(base + ".alpha"))
+      val w = (b(0) & 0xFF) | ((b(1) & 0xFF) << 8)
+      val h = (b(4) & 0xFF) | ((b(5) & 0xFF) << 8)
+      val img = Vp8.decodeLossy(webp)
+      if (img == null) report += s"$base: null; "
+      else if (img.channels != 4) report += s"$base: channels=${img.channels}; "
+      else {
+        val got = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) { got(i) = img.pixels(i * 4 + 3); i += 1 }
+        val exp = java.util.Arrays.copyOfRange(b, 8, 8 + w * h)
+        report += diff(base, "A", w, got, exp)
+      }
+    }
+    assert(report.isEmpty, report)
+  }
+
   test("encodeMinimal round-trips through the full decoder to the closed form") {
     for ((w, h) <- Seq((16, 16), (32, 16), (48, 32), (16, 48));
          qi <- Seq(0, 13, 26, 60, 100); dc <- Seq(1, 2, 3, 4, 6, 9)) {

@@ -107,3 +107,56 @@ emit("edges", 80, 64, 75, edges)
 emit("photo", 96, 80, 75, photo)
 emit("photo", 96, 80, 30, photo)
 emit("photo", 41, 29, 60, photo)
+
+# ---- alpha fixtures: VP8X + ALPH + VP8 (lossy with alpha) ----
+# ground truth: libwebp's own RGBA decode gives the exact alpha plane
+# (alpha coding is lossless at decode time regardless of encoder
+# preprocessing), saved as <base>.alpha: 8-byte header + w*h bytes.
+lw.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+lw.WebPDecodeRGBA.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+def apx(fn, afn, w, h):
+    buf = bytearray(px(fn, w, h))
+    for y in range(h):
+        for x in range(w):
+            buf[(y * w + x) * 4 + 3] = afn(x, y) & 255
+    return bytes(buf)
+
+def emit_alpha(name, w, h, q, fn, afn):
+    rgba = apx(fn, afn, w, h)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lw.WebPEncodeRGBA(rgba, w, h, w * 4, float(q), ctypes.byref(out))
+    assert n > 0, name
+    enc = bytes(out[i] for i in range(n))
+    assert b"ALPH" in enc[:64], f"{name}: encoder produced no ALPH chunk"
+    dw, dh = ctypes.c_int(), ctypes.c_int()
+    dp = lw.WebPDecodeRGBA(enc, n, ctypes.byref(dw), ctypes.byref(dh))
+    assert (dw.value, dh.value) == (w, h)
+    alpha = bytes(dp[i * 4 + 3] for i in range(w * h))
+    # color ground truth too (YUV), same as the opaque fixtures
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    ystr, uvstr = ctypes.c_int(), ctypes.c_int()
+    yp = lw.WebPDecodeYUV(enc, n, ctypes.byref(dw), ctypes.byref(dh),
+                          ctypes.byref(up), ctypes.byref(vp),
+                          ctypes.byref(ystr), ctypes.byref(uvstr))
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    ybuf = b"".join(bytes(yp[r*ystr.value : r*ystr.value + w]) for r in range(h))
+    ubuf = b"".join(bytes(up[r*uvstr.value : r*uvstr.value + cw]) for r in range(ch))
+    vbuf = b"".join(bytes(vp[r*uvstr.value : r*uvstr.value + cw]) for r in range(ch))
+    base = f"{name}_{w}x{h}_q{q}"
+    open(os.path.join(OUT, base + ".webp"), "wb").write(enc)
+    open(os.path.join(OUT, base + ".yuv"), "wb").write(
+        struct.pack("<II", w, h) + ybuf + ubuf + vbuf)
+    open(os.path.join(OUT, base + ".alpha"), "wb").write(
+        struct.pack("<II", w, h) + alpha)
+    print(f"{base}: {n} webp bytes (alpha)")
+
+emit_alpha("agrad", 32, 32, 75, grad, lambda x, y: max(0, 255 - y * 8))
+emit_alpha("agrad", 48, 40, 50, photo, lambda x, y: (x * 8) % 256)
+emit_alpha("anoise", 32, 32, 75, grad,
+           lambda x, y: ((x * 2654435761 + y * 97) >> 3) & 255)
+emit_alpha("aedge", 33, 17, 90, grad,
+           lambda x, y: 255 if (x + y) % 5 else 0)
+emit_alpha("aflat", 16, 16, 75, grad, lambda x, y: 128)
