@@ -1256,6 +1256,59 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"))
     }),
 
+    "q103_anim_frames" -> ((s, d) => {
+      // animated-WebP demux + canvas compositing end-to-end: assemble
+      // doc-parameterized ANIM/ANMF containers (VP8L tile frames at
+      // even offsets, per-frame durations, alternating dispose-to-
+      // background), demux, composite through the LAST frame, and
+      // reduce to the canvas byte sum. The oracle replays the
+      // painter's/dispose algebra: a tile survives in the final
+      // canvas iff it is the last frame or its dispose flag is off.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType,
+        IntegerType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val outSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_frames", IntegerType), StructField("loop_count", IntegerType),
+        StructField("total_ms", LongType), StructField("canvas_sum", LongType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      docs.mapPartitions { iter =>
+        iter.map { r =>
+          val id = r.getLong(0)
+          val n = 2 + (id % 3).toInt
+          def tile(k: Int): Array[Byte] = {
+            val px = new Array[Byte](8 * 8 * 4)
+            var i = 0
+            while (i < 64) {
+              px(i * 4) = ((id + 11 * k) % 256).toByte
+              px(i * 4 + 1) = ((id * 2 + 13 * k) % 256).toByte
+              px(i * 4 + 2) = ((id * 3 + 17 * k) % 256).toByte
+              px(i * 4 + 3) = 255.toByte
+              i += 1
+            }
+            Webp.encodeLossless(8, 8, px)
+          }
+          val bg = 0xFF000000 | (((id * 3) % 256).toInt << 16) |
+            (((id * 5) % 256).toInt << 8) | ((id * 7) % 256).toInt
+          val frames = (0 until n).map { k =>
+            (8 * k, 8 * ((id + k) % 3).toInt, tile(k),
+              10 + ((id + k) % 50).toInt, false, (id + k) % 2 == 0)
+          }
+          val anim = Webp.encodeAnim(32, 32, bg, (id % 4).toInt, frames)
+          val meta = Webp.decodeAnim(anim)
+          val img = Webp.renderAnimFrame(anim, n - 1)
+          if (meta == null || img == null) Row(id, null, null, null, null)
+          else {
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+            Row(id, meta.frames.length, meta.loopCount,
+              meta.frames.map(_.durationMs.toLong).sum, sum)
+          }
+        }
+      }
+    }),
+
     "q102_mixed_decode" -> ((s, d) => {
       // the dispatcher itself: ONE binary column carrying five image
       // formats (PNG gray, GIF palette, baseline JPEG, VP8L lossless,
@@ -2512,6 +2565,29 @@ object SparkEntry {
           |  min(quality) AS min_quality, max(quality) AS max_quality,
           |  count(DISTINCT lang) AS n_langs
           |FROM s GROUP BY 1""".stripMargin,
+
+      // The final animation canvas is bg everywhere except the tiles
+      // that survive dispose-to-background: tile k survives iff it is
+      // the last frame or (doc_id + k) % 2 != 0.
+      "q103_anim_frames" ->
+        """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS n
+          |           FROM documents),
+          |fr AS (SELECT doc_id, n, k,
+          |         10 + (doc_id + k) % 50 AS dur,
+          |         CASE WHEN k = n - 1 OR (doc_id + k) % 2 <> 0
+          |              THEN 1 ELSE 0 END AS vis,
+          |         (doc_id + 11*k) % 256 + (doc_id*2 + 13*k) % 256 +
+          |         (doc_id*3 + 17*k) % 256 + 255 AS tsum
+          |       FROM d, LATERAL unnest(range(0, n)) g(k)),
+          |agg AS (SELECT doc_id, any_value(n) AS n, sum(dur) AS total_ms,
+          |          sum(vis) AS nvis, sum(vis * tsum * 64) AS tile_bytes
+          |        FROM fr GROUP BY 1)
+          |SELECT doc_id, CAST(n AS INTEGER) AS n_frames,
+          |  CAST(doc_id % 4 AS INTEGER) AS loop_count,
+          |  CAST(total_ms AS BIGINT) AS total_ms,
+          |  CAST(((doc_id*3) % 256 + (doc_id*5) % 256 + (doc_id*7) % 256 + 255)
+          |       * (1024 - 64 * nvis) + tile_bytes AS BIGINT) AS canvas_sum
+          |FROM agg""".stripMargin,
 
       // One branch per format, each re-deriving the decoded bytes from
       // that codec's closed form; the lossy-VP8 branch replays the

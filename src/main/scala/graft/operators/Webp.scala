@@ -663,4 +663,201 @@ object Webp {
     if ((chunkLen & 1) == 1) out.write(0)
     out.toByteArray
   }
+
+  // ---------------------------------------------------------------
+  // Animated WebP (container spec "Animation": VP8X anim flag, ANIM
+  // global parameters, ANMF frames with even x/y offsets, per-frame
+  // duration, blend and dispose-to-background flags). The per-frame
+  // payloads are ordinary VP8/VP8L (+ALPH) bitstreams decoded by the
+  // libwebp-gated codecs above; this layer is the demux + canvas
+  // compositor a pipeline needs to frame-sample animations.
+
+  /** One ANMF frame: placement, timing, compositing flags, and the
+    * byte range of its sub-chunk payload inside the container. */
+  final case class AnimFrame(x: Int, y: Int, width: Int, height: Int,
+                             durationMs: Int, blend: Boolean,
+                             disposeToBg: Boolean, dataOff: Int, dataLen: Int)
+
+  /** Animation-level metadata. bgColor is ARGB. */
+  final case class AnimMeta(canvasW: Int, canvasH: Int, bgColor: Int,
+                            loopCount: Int, frames: Array[AnimFrame])
+
+  /** Parse an animated WebP's structure. Null for non-animated or
+    * malformed containers — never throws, never hangs. */
+  def decodeAnim(b: Array[Byte]): AnimMeta =
+    try decodeAnim0(b) catch { case _: Exception => null }
+
+  private def decodeAnim0(b: Array[Byte]): AnimMeta = {
+    if (b == null || b.length < 30 || b(0) != 'R' || b(1) != 'I' ||
+        b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'E' ||
+        b(10) != 'B' || b(11) != 'P') return null
+    def le24(i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16)
+    var canvasW = 0; var canvasH = 0
+    var bg = 0; var loop = 0
+    var animFlag = false; var sawAnim = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[AnimFrame]
+    var p = 12L
+    while (p + 8 <= b.length) {
+      val i = p.toInt
+      val size = (b(i + 4) & 0xFFL) | ((b(i + 5) & 0xFFL) << 8) |
+        ((b(i + 6) & 0xFFL) << 16) | ((b(i + 7) & 0xFFL) << 24)
+      val tag = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val body = i + 8
+      val bodyLen = math.min(size, (b.length - body).toLong).toInt
+      tag match {
+        case "VP8X" if bodyLen >= 10 =>
+          animFlag = (b(body) & 0x02) != 0
+          canvasW = le24(body + 4) + 1
+          canvasH = le24(body + 7) + 1
+        case "ANIM" if bodyLen >= 6 =>
+          sawAnim = true
+          // background color stored B,G,R,A
+          bg = ((b(body + 3) & 0xFF) << 24) | ((b(body + 2) & 0xFF) << 16) |
+            ((b(body + 1) & 0xFF) << 8) | (b(body) & 0xFF)
+          loop = (b(body + 4) & 0xFF) | ((b(body + 5) & 0xFF) << 8)
+        case "ANMF" if bodyLen >= 16 =>
+          val fx = le24(body) * 2
+          val fy = le24(body + 3) * 2
+          val fw = le24(body + 6) + 1
+          val fh = le24(body + 9) + 1
+          val dur = le24(body + 12)
+          val fl = b(body + 15) & 0xFF
+          frames += AnimFrame(fx, fy, fw, fh, dur,
+            blend = (fl & 0x02) == 0,       // B=1 means "do not blend"
+            disposeToBg = (fl & 0x01) != 0, // D=1: dispose to background
+            dataOff = body + 16, dataLen = bodyLen - 16)
+        case _ => ()
+      }
+      p += 8 + size + (size & 1)
+    }
+    if (!animFlag || !sawAnim || frames.isEmpty || canvasW <= 0 || canvasH <= 0)
+      return null
+    if (canvasW.toLong * canvasH > (1L << 24)) return null
+    AnimMeta(canvasW, canvasH, bg, loop, frames.toArray)
+  }
+
+  /** Composite the canvas through frame `upTo` (inclusive): init to
+    * the background color, then per frame decode its sub-bitstream
+    * (any of the libwebp-gated codecs), place it at (x,y) with the
+    * spec's blend-or-overwrite rule, and apply dispose-to-background
+    * BEFORE the next frame. Returns 4-channel RGBA, or null. */
+  def renderAnimFrame(b: Array[Byte], upTo: Int): PngImage = try {
+    val meta = decodeAnim0(b)
+    if (meta == null || upTo < 0 || upTo >= meta.frames.length) return null
+    val w = meta.canvasW; val h = meta.canvasH
+    val canvas = new Array[Byte](w * h * 4)
+    val bgB = Array[Byte](((meta.bgColor >>> 16) & 0xFF).toByte,
+      ((meta.bgColor >>> 8) & 0xFF).toByte, (meta.bgColor & 0xFF).toByte,
+      ((meta.bgColor >>> 24) & 0xFF).toByte)
+    def fillBg(x0: Int, y0: Int, fw: Int, fh: Int): Unit = {
+      var y = y0
+      while (y < math.min(y0 + fh, h)) {
+        var x = x0
+        while (x < math.min(x0 + fw, w)) {
+          val o = (y * w + x) * 4
+          canvas(o) = bgB(0); canvas(o + 1) = bgB(1)
+          canvas(o + 2) = bgB(2); canvas(o + 3) = bgB(3)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    fillBg(0, 0, w, h)
+    var k = 0
+    while (k <= upTo) {
+      val f = meta.frames(k)
+      // rebuild a standalone container from the frame's sub-chunks so
+      // the ordinary dispatch path decodes it
+      val inner = java.util.Arrays.copyOfRange(b, f.dataOff, f.dataOff + f.dataLen)
+      val riffLen = 4 + inner.length
+      val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(riffLen); bb.put("WEBP".getBytes)
+      bb.put(inner)
+      val img = Multimodal.decodeImagePixels(bb.array())
+      if (img == null || img.width != f.width || img.height != f.height)
+        return null
+      val ch = img.channels
+      var fy = 0
+      while (fy < f.height && f.y + fy < h) {
+        var fx = 0
+        while (fx < f.width && f.x + fx < w) {
+          val s = (fy * f.width + fx) * ch
+          val d = ((f.y + fy) * w + f.x + fx) * 4
+          val sr = img.pixels(s) & 0xFF
+          val sg = img.pixels(s + (if (ch >= 3) 1 else 0)) & 0xFF
+          val sb = img.pixels(s + (if (ch >= 3) 2 else 0)) & 0xFF
+          val sa = if (ch == 4) img.pixels(s + 3) & 0xFF else 255
+          if (!f.blend || sa == 255) {
+            canvas(d) = sr.toByte; canvas(d + 1) = sg.toByte
+            canvas(d + 2) = sb.toByte; canvas(d + 3) = sa.toByte
+          } else if (sa > 0) {
+            // container-spec alpha blending, integer floors
+            val da = canvas(d + 3) & 0xFF
+            val oa = sa + da * (255 - sa) / 255
+            def mix(sc: Int, dc: Int): Int =
+              if (oa == 0) 0
+              else (sc * sa + dc * da * (255 - sa) / 255) / oa
+            canvas(d) = mix(sr, canvas(d) & 0xFF).toByte
+            canvas(d + 1) = mix(sg, canvas(d + 1) & 0xFF).toByte
+            canvas(d + 2) = mix(sb, canvas(d + 2) & 0xFF).toByte
+            canvas(d + 3) = oa.toByte
+          }
+          fx += 1
+        }
+        fy += 1
+      }
+      if (k < upTo && f.disposeToBg) fillBg(f.x, f.y, f.width, f.height)
+      k += 1
+    }
+    PngImage(w, h, 4, canvas)
+  } catch { case _: Exception => null }
+
+  /** Assemble an animated WebP from already-encoded frame containers
+    * (encodeLossless / Vp8.encodeMinimal output): test/corpus-side
+    * counterpart of decodeAnim, same spirit as the MP4 assembler.
+    * bgColor ARGB; frame x/y must be even (stored /2 per spec). */
+  def encodeAnim(canvasW: Int, canvasH: Int, bgColor: Int, loopCount: Int,
+                 frames: Seq[(Int, Int, Array[Byte], Int, Boolean, Boolean)])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le24(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(tag.getBytes)
+      out.write(Array[Byte]((body.length & 0xFF).toByte,
+        ((body.length >> 8) & 0xFF).toByte, ((body.length >> 16) & 0xFF).toByte,
+        ((body.length >> 24) & 0xFF).toByte))
+      out.write(body)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x02 // animation flag
+    System.arraycopy(le24(canvasW - 1), 0, vp8x, 4, 3)
+    System.arraycopy(le24(canvasH - 1), 0, vp8x, 7, 3)
+    chunk("VP8X", vp8x)
+    chunk("ANIM", Array[Byte]((bgColor & 0xFF).toByte,
+      ((bgColor >>> 8) & 0xFF).toByte, ((bgColor >>> 16) & 0xFF).toByte,
+      ((bgColor >>> 24) & 0xFF).toByte,
+      (loopCount & 0xFF).toByte, ((loopCount >> 8) & 0xFF).toByte))
+    for ((x, y, enc, dur, blend, dispose) <- frames) {
+      require(x % 2 == 0 && y % 2 == 0, "frame offsets must be even")
+      val inner = java.util.Arrays.copyOfRange(enc, 12, enc.length) // strip RIFF hdr
+      val meta = Multimodal.decodeImageMeta(enc)
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(le24(x / 2)); body.write(le24(y / 2))
+      body.write(le24(meta._1 - 1)); body.write(le24(meta._2 - 1))
+      body.write(le24(dur))
+      body.write((if (blend) 0 else 2) | (if (dispose) 1 else 0))
+      body.write(inner)
+      chunk("ANMF", body.toByteArray)
+    }
+    val payload = out.toByteArray
+    val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(4 + payload.length)
+    bb.put("WEBP".getBytes); bb.put(payload)
+    bb.array()
+  }
 }
