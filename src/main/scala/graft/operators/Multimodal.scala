@@ -721,6 +721,34 @@ object Multimodal {
     }
   }
 
+  val animFrameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("x", IntegerType), StructField("y", IntegerType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("duration_ms", IntegerType),
+    StructField("blend", BooleanType), StructField("dispose_bg", BooleanType)))
+
+  /** Explode animated-WebP payloads into one row per ANMF frame (the
+    * image analogue of the video frame-sample plan): demux only — no
+    * pixel decode — so the scan stays cheap; non-animated or bad
+    * payloads yield zero rows. Shuffle-free flatMap. */
+  def withAnimFrames(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("anim_frame", animFrameSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { iter =>
+      iter.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val meta = Webp.decodeAnim(bytes)
+        if (meta == null) Iterator.empty
+        else meta.frames.iterator.zipWithIndex.map { case (f, i) =>
+          Row.fromSeq(r.toSeq :+ Row(i, f.x, f.y, f.width, f.height,
+            f.durationMs, f.blend, f.disposeToBg))
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for video payloads: emits
     * (frame_idx, byte_offset) rows without decoding — the shuffle-free
     * explode pattern a real pipeline would use before batch-decoding

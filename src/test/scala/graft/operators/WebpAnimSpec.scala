@@ -84,6 +84,32 @@ class WebpAnimSpec extends AnyFunSuite {
     }
   }
 
+  test("withAnimFrames explodes one row per ANMF frame, demux-only") {
+    val spark = graft.functions.SparkTestSession.spark
+    locally {
+      val anim = Webp.encodeAnim(32, 32, 0xFF000000, 2, Seq(
+        (0, 0, solid(8, 8, 1, 2, 3), 40, true, false),
+        (8, 16, solid(8, 8, 4, 5, 6), 70, false, true)))
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(1L, anim),
+          org.apache.spark.sql.Row(2L, Array[Byte](1, 2, 3))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType))))
+      val rows = Multimodal.withAnimFrames(df, "payload")
+        .selectExpr("id", "anim_frame.frame_idx", "anim_frame.x",
+          "anim_frame.y", "anim_frame.duration_ms", "anim_frame.dispose_bg")
+        .collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.length === 2) // bad payload contributes zero rows
+      assert(rows(0).getInt(1) === 0 && rows(0).getInt(4) === 40)
+      assert(rows(1).getInt(2) === 8 && rows(1).getInt(3) === 16 &&
+        rows(1).getBoolean(5))
+    }
+  }
+
   test("hostile truncations never throw or hang") {
     val anim = Webp.encodeAnim(32, 32, 0xFFFFFFFF, 1, Seq(
       (0, 0, solid(8, 8, 1, 2, 3), 40, true, false),
