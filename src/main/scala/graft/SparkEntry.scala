@@ -1296,7 +1296,7 @@ object SparkEntry {
           }
           val anim = Webp.encodeAnim(32, 32, bg, (id % 4).toInt, frames)
           val meta = Webp.decodeAnim(anim)
-          val img = Webp.renderAnimFrame(anim, n - 1)
+          val img = Webp.renderAnimFrame(meta, anim, n - 1)
           if (meta == null || img == null) Row(id, null, null, null, null)
           else {
             var sum = 0L

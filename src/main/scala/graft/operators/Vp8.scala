@@ -147,7 +147,7 @@ object Vp8 {
         if (size - 1 < w * h) return null
         java.util.Arrays.copyOfRange(b, off + 1, off + 1 + w * h)
       } else if (compression == 1) {
-        Webp.decodeAlphaLossless(b, off + 1, w, h)
+        Webp.decodeAlphaLossless(b, off + 1, off + size, w, h)
       } else return null
     if (plane == null) return null
     // inverse filtering (container spec; libwebp dsp/filters.c): the

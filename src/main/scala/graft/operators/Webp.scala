@@ -60,10 +60,15 @@ object Webp {
   private final class Fail extends RuntimeException(null, null, false, false)
   private def fail(): Nothing = throw new Fail
 
-  /** LSB-first bit reader (DEFLATE convention). Over-reads fail(). */
-  private final class Br(data: Array[Byte], startByte: Int) {
+  /** LSB-first bit reader (DEFLATE convention). Over-reads fail().
+    * endByteExcl bounds embedded sub-streams (e.g. ALPH payloads) so
+    * they cannot read into the following chunk's bytes. */
+  private final class Br(data: Array[Byte], startByte: Int,
+                         endByteExcl: Int = -1) {
     private var pos = startByte.toLong * 8
-    private val end = data.length.toLong * 8
+    private val end =
+      (if (endByteExcl < 0) data.length.toLong
+       else math.min(endByteExcl.toLong, data.length.toLong)) * 8
     def bits(n: Int): Int = {
       if (pos + n > end) fail()
       var v = 0
@@ -444,7 +449,6 @@ object Webp {
     try decode0(bytes) catch { case _: Exception => null }
 
   private def decode0(bytes: Array[Byte]): PngImage = {
-    {
       val payload = findVp8l(bytes)
       if (payload < 0) return null
       if ((bytes(payload) & 0xFF) != 0x2F) return null
@@ -468,7 +472,6 @@ object Webp {
         i += 1
       }
       PngImage(w, h, 4, rgba)
-    }
   }
 
   /** Decode the ALPH chunk's compression-method-1 payload: a
@@ -476,9 +479,9 @@ object Webp {
     * the frame) whose GREEN channel carries the alpha plane
     * (container spec "Alpha"). Null on any failure. */
   private[operators] def decodeAlphaLossless(bytes: Array[Byte], off: Int,
-                                             w: Int, h: Int): Array[Byte] =
+                                             endExcl: Int, w: Int, h: Int): Array[Byte] =
     try {
-      val br = new Br(bytes, off)
+      val br = new Br(bytes, off, endExcl)
       val px = decodeBody(br, w, h)
       if (px == null) null
       else {
@@ -493,7 +496,6 @@ object Webp {
     * streams: transform declarations + entropy-coded image + inverse
     * transforms. Returns ARGB ints, or null on malformed input. */
   private def decodeBody(br: Br, w: Int, h: Int): Array[Int] = {
-    {
       // transforms (each at most once), tracking the active width
       var xsize = w
       var palette: Array[Int] = null
@@ -556,7 +558,6 @@ object Webp {
       }
       if (curW != w) return null
       px
-    }
   }
 
   /** Offset of the VP8L chunk payload inside the RIFF container, or -1. */
@@ -702,38 +703,39 @@ object Webp {
       val i = p.toInt
       val size = (b(i + 4) & 0xFFL) | ((b(i + 5) & 0xFFL) << 8) |
         ((b(i + 6) & 0xFFL) << 16) | ((b(i + 7) & 0xFFL) << 24)
-      val tag = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val body = i + 8
       val bodyLen = math.min(size, (b.length - body).toLong).toInt
-      tag match {
-        case "VP8X" if bodyLen >= 10 =>
-          animFlag = (b(body) & 0x02) != 0
-          canvasW = le24(body + 4) + 1
-          canvasH = le24(body + 7) + 1
-        case "ANIM" if bodyLen >= 6 =>
-          sawAnim = true
-          // background color stored B,G,R,A
-          bg = ((b(body + 3) & 0xFF) << 24) | ((b(body + 2) & 0xFF) << 16) |
-            ((b(body + 1) & 0xFF) << 8) | (b(body) & 0xFF)
-          loop = (b(body + 4) & 0xFF) | ((b(body + 5) & 0xFF) << 8)
-        case "ANMF" if bodyLen >= 16 =>
-          val fx = le24(body) * 2
-          val fy = le24(body + 3) * 2
-          val fw = le24(body + 6) + 1
-          val fh = le24(body + 9) + 1
-          val dur = le24(body + 12)
-          val fl = b(body + 15) & 0xFF
-          frames += AnimFrame(fx, fy, fw, fh, dur,
-            blend = (fl & 0x02) == 0,       // B=1 means "do not blend"
-            disposeToBg = (fl & 0x01) != 0, // D=1: dispose to background
-            dataOff = body + 16, dataLen = bodyLen - 16)
-        case _ => ()
+      def tagIs(c0: Char, c1: Char, c2: Char, c3: Char): Boolean =
+        b(i) == c0 && b(i + 1) == c1 && b(i + 2) == c2 && b(i + 3) == c3
+      if (tagIs('V', 'P', '8', 'X') && bodyLen >= 10) {
+        animFlag = (b(body) & 0x02) != 0
+        canvasW = le24(body + 4) + 1
+        canvasH = le24(body + 7) + 1
+      } else if (tagIs('A', 'N', 'I', 'M') && bodyLen >= 6) {
+        sawAnim = true
+        // background color stored B,G,R,A
+        bg = ((b(body + 3) & 0xFF) << 24) | ((b(body + 2) & 0xFF) << 16) |
+          ((b(body + 1) & 0xFF) << 8) | (b(body) & 0xFF)
+        loop = (b(body + 4) & 0xFF) | ((b(body + 5) & 0xFF) << 8)
+      } else if (tagIs('A', 'N', 'M', 'F') && bodyLen >= 16) {
+        val fx = le24(body) * 2
+        val fy = le24(body + 3) * 2
+        val fw = le24(body + 6) + 1
+        val fh = le24(body + 9) + 1
+        val dur = le24(body + 12)
+        val fl = b(body + 15) & 0xFF
+        frames += AnimFrame(fx, fy, fw, fh, dur,
+          blend = (fl & 0x02) == 0,       // B=1 means "do not blend"
+          disposeToBg = (fl & 0x01) != 0, // D=1: dispose to background
+          dataOff = body + 16, dataLen = bodyLen - 16)
       }
       p += 8 + size + (size & 1)
     }
     if (!animFlag || !sawAnim || frames.isEmpty || canvasW <= 0 || canvasH <= 0)
       return null
-    if (canvasW.toLong * canvasH > (1L << 24)) return null
+    // demux-only guard: the format's own invariant (canvas area fits
+    // 32 bits); the renderer applies its own allocation cap
+    if (canvasW.toLong * canvasH > (1L << 32)) return null
     AnimMeta(canvasW, canvasH, bg, loop, frames.toArray)
   }
 
@@ -743,9 +745,40 @@ object Webp {
     * spec's blend-or-overwrite rule, and apply dispose-to-background
     * BEFORE the next frame. Returns 4-channel RGBA, or null. */
   def renderAnimFrame(b: Array[Byte], upTo: Int): PngImage = try {
-    val meta = decodeAnim0(b)
+    renderAnimFrame(decodeAnim0(b), b, upTo)
+  } catch { case _: Exception => null }
+
+  /** As above with a pre-parsed AnimMeta (avoids re-demuxing when the
+    * caller already holds it). */
+  def renderAnimFrame(meta: AnimMeta, b: Array[Byte], upTo: Int): PngImage = try {
     if (meta == null || upTo < 0 || upTo >= meta.frames.length) return null
+    var out: PngImage = null
+    compositeFrames(meta, b, upTo) { (k, img) =>
+      if (k == upTo) out = img
+    }
+    out
+  } catch { case _: Exception => null }
+
+  /** All composited frames in one incremental pass (one decode per
+    * frame, not the O(N^2) of calling renderAnimFrame per index).
+    * Null on any failure. */
+  def renderAnimFrames(b: Array[Byte]): Array[PngImage] = try {
+    val meta = decodeAnim0(b)
+    if (meta == null) return null
+    val out = new Array[PngImage](meta.frames.length)
+    if (!compositeFrames(meta, b, meta.frames.length - 1) { (k, img) =>
+      out(k) = img
+    }) return null
+    out
+  } catch { case _: Exception => null }
+
+  /** Incremental compositor: yields the canvas AFTER each frame k
+    * (a fresh copy), applying dispose before the next. False on
+    * decode failure. */
+  private def compositeFrames(meta: AnimMeta, b: Array[Byte], upTo: Int)
+                             (emit: (Int, PngImage) => Unit): Boolean = {
     val w = meta.canvasW; val h = meta.canvasH
+    if (w.toLong * h > (1L << 24)) return false // renderer allocation cap
     val canvas = new Array[Byte](w * h * 4)
     val bgB = Array[Byte](((meta.bgColor >>> 16) & 0xFF).toByte,
       ((meta.bgColor >>> 8) & 0xFF).toByte, (meta.bgColor & 0xFF).toByte,
@@ -777,7 +810,7 @@ object Webp {
       bb.put(inner)
       val img = Multimodal.decodeImagePixels(bb.array())
       if (img == null || img.width != f.width || img.height != f.height)
-        return null
+        return false
       val ch = img.channels
       var fy = 0
       while (fy < f.height && f.y + fy < h) {
@@ -808,11 +841,12 @@ object Webp {
         }
         fy += 1
       }
+      emit(k, PngImage(w, h, 4, canvas.clone()))
       if (k < upTo && f.disposeToBg) fillBg(f.x, f.y, f.width, f.height)
       k += 1
     }
-    PngImage(w, h, 4, canvas)
-  } catch { case _: Exception => null }
+    true
+  }
 
   /** Assemble an animated WebP from already-encoded frame containers
     * (encodeLossless / Vp8.encodeMinimal output): test/corpus-side
