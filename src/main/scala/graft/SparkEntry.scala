@@ -1805,6 +1805,31 @@ object SparkEntry {
         .groupBy(col("n_nationkey"))
         .agg(floor(sum(st_area(col("piece"))) * 100.0 + 0.5)
           .cast("long").as("s_area_c"))
+    }),
+
+    "q104_contains_properly" -> ((s, d) => {
+      // prepared ContainsProperly (reference geom/alg_prepared.go:57-61,
+      // DE-9IM T**FF*FF*): integer-cornered probe boxes share edges
+      // with the integer nation grid by construction, so contains and
+      // containsProperly genuinely diverge on this corpus; both counts
+      // come from the same broadcast prepared R-tree probe path.
+      val boxes = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val probes = t(s, d, "customer")
+        .withColumn("bx0", (col("c_custkey") * 13L % 348L - 180L).cast("double"))
+        .withColumn("by0", (col("c_custkey") * 29L % 160L - 85L).cast("double"))
+        .withColumn("bx1", col("bx0") + (col("c_custkey") % 9L + 1L).cast("double"))
+        .withColumn("by1", col("by0") + (col("c_custkey") * 3L % 7L + 1L).cast("double"))
+        .withColumn("pbox", st_makeEnvelope(col("bx0"), col("by0"), col("bx1"), col("by1")))
+        .select(col("c_custkey"), col("pbox"))
+      val contained = SpatialJoins.broadcastSpatialJoin(
+          probes, col("pbox"), boxes, "box", pred = "contains")
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n_contained"))
+      val proper = SpatialJoins.broadcastSpatialJoin(
+          probes, col("pbox"), boxes, "box", pred = "containsproperly")
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n_proper"))
+      contained.join(proper, Seq("n_nationkey"), "left_outer")
+        .select(col("n_nationkey"), col("n_contained"),
+          coalesce(col("n_proper"), lit(0L)).as("n_proper"))
     })
   )
 
@@ -2561,7 +2586,7 @@ object SparkEntry {
           |              (CASE WHEN l / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
           |            ELSE 0.0 END) * 0.25) * 1000000) / 1000000 AS quality
           |  FROM q)
-          |SELECT host, count(*) AS n_docs, sum(toks) AS tokens,
+          |SELECT host, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens,
           |  min(quality) AS min_quality, max(quality) AS max_quality,
           |  count(DISTINCT lang) AS n_langs
           |FROM s GROUP BY 1""".stripMargin,
@@ -2982,7 +3007,27 @@ object SparkEntry {
           |  CAST(floor((a_area + b_area - i_area) * 100.0 + 0.5) AS BIGINT) AS u_area_c,
           |  CAST(floor((a_area - i_area) * 100.0 + 0.5) AS BIGINT) AS d_area_c,
           |  CAST(floor((a_area + b_area - 2 * i_area) * 100.0 + 0.5) AS BIGINT) AS sd_area_c
-          |FROM ar""".stripMargin
+          |FROM ar""".stripMargin,
+
+      // rectangle-vs-rectangle: contains allows touching the container
+      // boundary from inside (>=/<=); containsProperly forbids it (>/<)
+      "q104_contains_properly" ->
+        s"""WITH p AS (
+           |  SELECT CAST((c_custkey * 13) % 348 - 180 AS DOUBLE) AS bx0,
+           |         CAST((c_custkey * 29) % 160 - 85 AS DOUBLE) AS by0,
+           |         CAST((c_custkey * 13) % 348 - 180 + (c_custkey % 9 + 1) AS DOUBLE) AS bx1,
+           |         CAST((c_custkey * 29) % 160 - 85 + ((c_custkey * 3) % 7 + 1) AS DOUBLE) AS by1
+           |  FROM customer),
+           |j AS (
+           |  SELECT n_nationkey, bx0, by0, bx1, by1,
+           |         $nx0 AS nx0, $ny0 AS ny0
+           |  FROM nation, p
+           |  WHERE bx0 >= $nx0 AND bx1 <= $nx0 + 72.0
+           |    AND by0 >= $ny0 AND by1 <= $ny0 + 34.0)
+           |SELECT n_nationkey, count(*) AS n_contained,
+           |  CAST(count(*) FILTER (WHERE bx0 > nx0 AND bx1 < nx0 + 72.0
+           |    AND by0 > ny0 AND by1 < ny0 + 34.0) AS BIGINT) AS n_proper
+           |FROM j GROUP BY 1""".stripMargin
     )
   }
 }

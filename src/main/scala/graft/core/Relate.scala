@@ -909,6 +909,17 @@ object Relate {
     if (loc != -2) return loc == 1 // point interior to areal; boundary/exterior fail T*****FF*
     matches(relate(a, b), "T*****FF*")
   }
+  /** Prepared-filter predicate (reference geom/alg_prepared.go:57-61,
+    * JTS PreparedPolygon.containsProperly): a properly contains b iff
+    * b intersects a's interior and touches neither a's boundary nor
+    * exterior — DE-9IM `T**FF*FF*`. For a point probe the areal fast
+    * path coincides with contains (interior location only).
+    */
+  def containsProperly(a: Geom, b: Geom): Boolean = {
+    val loc = pointVsAreal(b, a)
+    if (loc != -2) return loc == 1
+    matches(relate(a, b), "T**FF*FF*")
+  }
   def within(a: Geom, b: Geom): Boolean = {
     val loc = pointVsAreal(a, b)
     if (loc != -2) return loc == 1

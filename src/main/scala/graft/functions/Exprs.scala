@@ -214,6 +214,7 @@ object GeomOps {
     "st_contains" -> (BooleanType, (a: Geom, b: Geom) => Relate.contains(a, b)),
     "st_within" -> (BooleanType, (a: Geom, b: Geom) => Relate.within(a, b)),
     "st_covers" -> (BooleanType, (a: Geom, b: Geom) => Relate.covers(a, b)),
+    "st_containsproperly" -> (BooleanType, (a: Geom, b: Geom) => Relate.containsProperly(a, b)),
     "st_coveredby" -> (BooleanType, (a: Geom, b: Geom) => Relate.coveredBy(a, b)),
     "st_crosses" -> (BooleanType, (a: Geom, b: Geom) => Relate.crosses(a, b)),
     "st_overlaps" -> (BooleanType, (a: Geom, b: Geom) => Relate.overlaps(a, b)),

@@ -69,6 +69,7 @@ object JoinProbeExprs {
   private[functions] def evalPred(pred: String, poly: Geom, probe: Geom): Boolean =
     pred match {
       case "contains"   => Relate.contains(poly, probe)
+      case "containsproperly" => Relate.containsProperly(poly, probe)
       case "covers"     => Relate.covers(poly, probe)
       case "intersects" => Intersects.intersects(poly, probe)
       case "within"     => Relate.within(poly, probe)

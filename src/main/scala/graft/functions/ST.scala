@@ -120,6 +120,7 @@ object ST {
   def st_contains(l: Column, r: Column): Column = b("st_contains")(l, r)
   def st_within(l: Column, r: Column): Column = b("st_within")(l, r)
   def st_covers(l: Column, r: Column): Column = b("st_covers")(l, r)
+  def st_containsProperly(l: Column, r: Column): Column = b("st_containsproperly")(l, r)
   def st_coveredBy(l: Column, r: Column): Column = b("st_coveredby")(l, r)
   def st_crosses(l: Column, r: Column): Column = b("st_crosses")(l, r)
   def st_overlaps(l: Column, r: Column): Column = b("st_overlaps")(l, r)

@@ -313,7 +313,7 @@ object Mp4 {
       u32(0, 0),
       handler.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
       u32(0, 0, 0),
-      (name + " ").getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      (name + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
     // video sample entry: 8 hdr handled by box(); 78-byte avc1 body
     val avc1Body = java.nio.ByteBuffer.allocate(78)

@@ -191,6 +191,35 @@ class CoreSpec extends AnyFunSuite {
     assert(Relate.contains(g(sq), edgeInner)) // interior contact exists
   }
 
+  test("containsProperly (T**FF*FF*)") {
+    val sq = g("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    // strictly inside: contains AND containsProperly
+    val inner = g("POLYGON((1 1,2 1,2 2,1 2,1 1))")
+    assert(Relate.contains(sq, inner))
+    assert(Relate.containsProperly(sq, inner))
+    // touching the container boundary from inside: contains but NOT properly
+    val edgeInner = g("POLYGON((0 0,2 0,2 2,0 2,0 0))")
+    assert(Relate.contains(sq, edgeInner))
+    assert(!Relate.containsProperly(sq, edgeInner))
+    // a line along the boundary with an interior excursion: contained, not properly
+    val edgeLine = g("LINESTRING(0 0,0 2)")
+    assert(Relate.covers(sq, edgeLine))
+    assert(!Relate.containsProperly(sq, edgeLine))
+    val interiorLine = g("LINESTRING(1 1,3 3)")
+    assert(Relate.containsProperly(sq, interiorLine))
+    // point fast path: interior yes, boundary no, exterior no
+    assert(Relate.containsProperly(sq, g("POINT(2 2)")))
+    assert(!Relate.containsProperly(sq, g("POINT(4 2)")))
+    assert(!Relate.containsProperly(sq, g("POINT(9 9)")))
+    // multipoint: all interior yes; one on boundary kills it
+    assert(Relate.containsProperly(sq, g("MULTIPOINT(1 1,2 2)")))
+    assert(!Relate.containsProperly(sq, g("MULTIPOINT(1 1,4 2)")))
+    // identical polygons share the whole boundary: never properly
+    assert(!Relate.containsProperly(sq, sq))
+    // empties
+    assert(!Relate.containsProperly(sq, g("POLYGON EMPTY")))
+  }
+
   test("relate with hole") {
     val donut = g("POLYGON((0 0,10 0,10 10,0 10,0 0),(3 3,7 3,7 7,3 7,3 3))")
     val inHole = g("POLYGON((4 4,6 4,6 6,4 6,4 4))")
