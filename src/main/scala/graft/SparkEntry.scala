@@ -1830,6 +1830,34 @@ object SparkEntry {
       contained.join(proper, Seq("n_nationkey"), "left_outer")
         .select(col("n_nationkey"), col("n_contained"),
           coalesce(col("n_proper"), lit(0L)).as("n_proper"))
+    }),
+
+    "q105_registrable_domain" -> ((s, d) => {
+      // public-suffix-list registrable domain, the crawl's per-domain
+      // key: hosts exercise every PSL rule type — multi-label ccTLD
+      // (bbc.co.uk-class), private user-content suffixes (github.io,
+      // s3.amazonaws.com), wildcard (*.ck), exception (!www.ck), plain
+      // com, and unknown TLDs falling to the default rule. The oracle
+      // replays the lookup from SQL generated off the SAME rule sets.
+      val docs = t(s, d, "documents").withColumn("url",
+        when(col("doc_id") % 8 === 0,
+          concat(lit("https://news."), col("source"), lit(".co.uk/p/"), col("doc_id")))
+        .when(col("doc_id") % 8 === 1,
+          concat(lit("https://"), col("source"), lit(".github.io/")))
+        .when(col("doc_id") % 8 === 2,
+          concat(lit("http://a.b."), col("source"), lit(".com.au/x")))
+        .when(col("doc_id") % 8 === 3,
+          concat(lit("https://x."), col("source"), lit(".ck/")))
+        .when(col("doc_id") % 8 === 4, lit("https://www.ck/about"))
+        .when(col("doc_id") % 8 === 5,
+          concat(lit("https://cdn."), col("source"), lit(".example.com/img")))
+        .when(col("doc_id") % 8 === 6,
+          concat(lit("https://b."), col("source"), lit(".s3.amazonaws.com/k")))
+        .otherwise(concat(lit("http://www."), col("source"), lit(".zz/"))))
+      docs.select(col("doc_id"),
+        TextOps.urlHost(col("url")).as("host"),
+        TextOps.urlRegistrableDomain(col("url")).as("domain"),
+        TextOps.urlDomain(col("url")).as("naive2"))
     })
   )
 
@@ -3027,7 +3055,30 @@ object SparkEntry {
            |SELECT n_nationkey, count(*) AS n_contained,
            |  CAST(count(*) FILTER (WHERE bx0 > nx0 AND bx1 < nx0 + 72.0
            |    AND by0 > ny0 AND by1 < ny0 + 34.0) AS BIGINT) AS n_proper
-           |FROM j GROUP BY 1""".stripMargin
+           |FROM j GROUP BY 1""".stripMargin,
+
+      // hosts reconstructed literally per case arm; the PSL lookup is
+      // SQL generated from the same rule sets the engine uses
+      "q105_registrable_domain" ->
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |    CASE doc_id % 8
+           |      WHEN 0 THEN 'news.' || source || '.co.uk'
+           |      WHEN 1 THEN source || '.github.io'
+           |      WHEN 2 THEN 'a.b.' || source || '.com.au'
+           |      WHEN 3 THEN 'x.' || source || '.ck'
+           |      WHEN 4 THEN 'www.ck'
+           |      WHEN 5 THEN 'cdn.' || source || '.example.com'
+           |      WHEN 6 THEN 'b.' || source || '.s3.amazonaws.com'
+           |      ELSE 'www.' || source || '.zz' END AS host
+           |  FROM documents),
+           |l AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+           |k AS (SELECT doc_id, host, ls,
+           |        ${PublicSuffix.skCaseSql("ls")} AS sk FROM l)
+           |SELECT doc_id, host,
+           |  ${PublicSuffix.domainCaseSql("ls", "sk", "host")} AS domain,
+           |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS naive2
+           |FROM k""".stripMargin
     )
   }
 }

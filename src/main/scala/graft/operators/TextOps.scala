@@ -159,12 +159,21 @@ object TextOps {
     regexp_replace(lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
       ":[0-9]+$", "")
 
-  /** Registrable-ish domain: the last two dot-labels of the host (the
-    * per-domain dedup / rate-limit key of a crawl pipeline; a full
-    * public-suffix list is a lookup-table drop-in).
+  /** Registrable-ish domain: the last two dot-labels of the host.
+    * NOTE: wrong for multi-label public suffixes (`bbc.co.uk` →
+    * `co.uk`); kept only as the cheap approximation — the per-domain
+    * crawl key should use [[urlRegistrableDomain]].
     */
   def urlDomain(url: Column): Column =
     regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Registrable domain per the bundled public-suffix-list snapshot
+    * (exact + wildcard + exception rules — see [[PublicSuffix]]):
+    * `news.bbc.co.uk` → `bbc.co.uk`, `user.github.io` stays
+    * `user.github.io`. The correct per-domain dedup / rate-limit key.
+    */
+  def urlRegistrableDomain(url: Column): Column =
+    PublicSuffix.registrableDomain(urlHost(url))
 
   /** Path component (no query/fragment); empty path normalizes to "/". */
   def urlPath(url: Column): Column = {

@@ -93,6 +93,49 @@ class UrlSplitSpec extends AnyFunSuite {
     assert(r.getInt(1) === 0)
   }
 
+  test("registrable domain: PSL exact, wildcard, exception, default rules") {
+    val f = PublicSuffix.registrable _
+    // multi-label ccTLD suffixes (the VERDICT's bbc.co.uk class)
+    assert(f("news.bbc.co.uk") === "bbc.co.uk")
+    assert(f("www.bbc.co.uk") === "bbc.co.uk")
+    assert(f("bbc.co.uk") === "bbc.co.uk")
+    assert(f("example.com.au") === "example.com.au")
+    assert(f("a.b.c.example.gov.br") === "example.gov.br")
+    // plain gTLD: last two labels
+    assert(f("www.example.com") === "example.com")
+    assert(f("example.com") === "example.com")
+    // private user-content suffixes: each user is a registrant
+    assert(f("alice.github.io") === "alice.github.io")
+    assert(f("www.alice.github.io") === "alice.github.io")
+    assert(f("bucket.s3.amazonaws.com") === "bucket.s3.amazonaws.com")
+    assert(f("x.bucket.s3.amazonaws.com") === "bucket.s3.amazonaws.com")
+    // wildcard *.ck: any 2-label suffix under ck is public
+    assert(f("www.anything.ck") === "www.anything.ck")
+    assert(f("deep.www.anything.ck") === "www.anything.ck")
+    // exception !www.ck beats the wildcard
+    assert(f("www.ck") === "www.ck")
+    assert(f("foo.www.ck") === "www.ck")
+    // unknown TLD: default rule * -> last two labels
+    assert(f("www.example.zz") === "example.zz")
+    // host that IS a public suffix keys as itself
+    assert(f("co.uk") === "co.uk")
+    assert(f("com") === "com")
+    assert(f("") === "")
+    // Column path agrees with the Scala function
+    val hosts = Seq("news.bbc.co.uk", "alice.github.io", "foo.www.ck")
+    val got = hosts.toDF("h")
+      .select(PublicSuffix.registrableDomain(col("h"))).as[String].collect()
+    assert(got.toSeq === hosts.map(f))
+  }
+
+  test("urlRegistrableDomain vs naive urlDomain") {
+    val r = Seq("https://news.bbc.co.uk/x").toDF("url").select(
+      TextOps.urlRegistrableDomain(col("url")),
+      TextOps.urlDomain(col("url"))).head()
+    assert(r.getString(0) === "bbc.co.uk")
+    assert(r.getString(1) === "co.uk") // the naive key is wrong here
+  }
+
   test("wordRepetition: distinct text, fully-repeated text, single token") {
     val df = Seq(
       (1L, "a b c d"),        // all distinct
