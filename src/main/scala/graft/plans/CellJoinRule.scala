@@ -46,6 +46,17 @@ import graft.functions.{GeomBinaryOp, StCellCover}
   * Cell covers at the chosen level must stay under the cover cap for
   * the data's geometry sizes — the same contract st_cellcover itself
   * enforces (it throws rather than silently coarsening).
+  *
+  * `spark.graft.celljoin.saltBuckets` (default 1 = off): hot-cell skew
+  * handling, same scheme the hand-built SpatialJoins.cellJoin uses — a
+  * dense urban cell holding 10^8 rows would otherwise land on ONE
+  * shuffle partition and straggle the stage. With buckets = s, the
+  * left side's shuffle key gains pmod(xxhash64(left row), s) and the
+  * right side is replicated s ways, so a hot cell spreads over s
+  * partitions. Output rows are IDENTICAL to the unsalted plan: a
+  * (left, right) pair meets in exactly one salt bucket (the left
+  * row's), and the min-shared-cover-cell dedup is salt-independent.
+  * AQE skew-join still applies on top for residual imbalance.
   */
 class CellJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -67,6 +78,9 @@ class CellJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val minRows =
       try spark.conf.get("spark.graft.celljoin.minRows", "10000").toLong
       catch { case _: NumberFormatException => 10000L }
+    val saltBuckets =
+      try math.max(1, spark.conf.get("spark.graft.celljoin.saltBuckets", "1").toInt)
+      catch { case _: NumberFormatException => 1 }
 
     def levelFor(left: LogicalPlan, right: LogicalPlan): Int =
       if (!auto) explicitLevel
@@ -85,20 +99,20 @@ class CellJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
             lg.references.subsetOf(left.outputSet) &&
             rg.references.subsetOf(right.outputSet) &&
             lg.references.nonEmpty && rg.references.nonEmpty =>
-        rewrite(left, right, lg, rg, cond, levelFor(left, right), hint)
+        rewrite(left, right, lg, rg, cond, levelFor(left, right), saltBuckets, hint)
       case Join(left, right, Inner,
           Some(cond @ GeomBinaryOp(op, lg, rg)), hint)
           if PREDS(op) && bigEnough(left, right) &&
             lg.references.subsetOf(right.outputSet) &&
             rg.references.subsetOf(left.outputSet) &&
             lg.references.nonEmpty && rg.references.nonEmpty =>
-        rewrite(left, right, rg, lg, cond, levelFor(left, right), hint)
+        rewrite(left, right, rg, lg, cond, levelFor(left, right), saltBuckets, hint)
     }
   }
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
                       lg: Expression, rg: Expression, exact: Expression,
-                      level: Int, hint: JoinHint): LogicalPlan = {
+                      level: Int, saltBuckets: Int, hint: JoinHint): LogicalPlan = {
     val cellL = AttributeReference("__graft_cell_l", LongType, nullable = false)()
     val cellR = AttributeReference("__graft_cell_r", LongType, nullable = false)()
     // compute each cover ONCE per input row, below the Generate, so the
@@ -113,15 +127,37 @@ class CellJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val genR = Generate(Explode(covRA.toAttribute),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(cellR), child = projR)
+
+    // hot-cell salting: extend the equi-key with a left-row-hash salt
+    // and replicate the right side per bucket, so one dense cell
+    // spreads over saltBuckets shuffle partitions
+    val (joinL, joinR, saltEq) =
+      if (saltBuckets <= 1) (genL, genR, None)
+      else {
+        val saltLA = Alias(
+          Pmod(new XxHash64(left.output), Literal(saltBuckets.toLong)),
+          "__graft_salt_l")()
+        val saltedL = Project(genL.output :+ saltLA, genL)
+        val saltR = AttributeReference("__graft_salt_r", LongType, nullable = false)()
+        val saltedR = Generate(
+          Explode(Literal.create((0L until saltBuckets.toLong).toArray,
+            ArrayType(LongType, containsNull = false))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(saltR), child = genR)
+        (saltedL: LogicalPlan, saltedR: LogicalPlan,
+          Some(EqualTo(saltLA.toAttribute, saltR)))
+      }
+
     // dedup before the exact predicate: the exact geometry test then
     // runs once per pair (in its min shared cover cell), not once per
     // shared cell
+    val eqKeys = saltEq.foldLeft(EqualTo(cellL, cellR): Expression)(And(_, _))
     val cond = And(
-      And(EqualTo(cellL, cellR),
+      And(eqKeys,
         EqualTo(cellL, ArrayMin(ArrayIntersect(covLA.toAttribute, covRA.toAttribute)))),
       exact)
     Project((left.output ++ right.output).map(a => a: NamedExpression),
-      Join(genL, genR, Inner, Some(cond), hint))
+      Join(joinL, joinR, Inner, Some(cond), hint))
   }
 }
 

@@ -160,6 +160,62 @@ class CellJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-cell salting: identical rows, hot cell spread over buckets") {
+    // hot-cell corpus: every left geometry inside [0,6]x[0,6] — ONE
+    // level-6 cell (5.6-degree tiles), the dense-urban-tile shape that
+    // straggles an unsalted shuffle partition at scale
+    val a = (0 until 120).map { i =>
+      val x = (i % 11).toDouble * 0.5
+      val y = (i / 11 % 11).toDouble * 0.5
+      (i.toLong, s"POLYGON(($x $y,${x + 0.6} $y,${x + 0.6} ${y + 0.6},$x ${y + 0.6},$x $y))")
+    }.toDF("a_id", "a_wkt").withColumn("a_g", st_geomFromWKT($"a_wkt")).select("a_id", "a_g")
+    val b = (0 until 40).map { j =>
+      val x = (j % 7).toDouble * 0.8
+      val y = (j / 7).toDouble * 0.8
+      (j.toLong, s"POLYGON(($x $y,${x + 1.0} $y,${x + 1.0} ${y + 1.0},$x ${y + 1.0},$x $y))")
+    }.toDF("b_id", "b_wkt").withColumn("b_g", st_geomFromWKT($"b_wkt")).select("b_id", "b_g")
+    def joined = a.join(b, st_intersects(col("a_g"), col("b_g")))
+
+    spark.conf.unset("spark.graft.celljoin.level")
+    val expected = pairsOf(joined).sorted
+    assert(expected.size > 200, "hot-cell corpus must be join-dense")
+
+    val rule = new CellJoinRule(spark)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ rule
+    try {
+      spark.conf.set("spark.graft.celljoin.level", "6")
+      spark.conf.set("spark.graft.celljoin.saltBuckets", "8")
+      val got = pairsOf(joined)
+      assert(got.distinct.size == got.size, "salting must not duplicate pairs")
+      assert(got.sorted == expected,
+        s"salted rewrite changed results: ${got.size} vs ${expected.size}")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"salted rewrite did not remove the nested loop:\n$plan")
+      assert(plan.contains("__graft_salt"), s"expected salt key in plan:\n$plan")
+
+      // the hot cell's left rows must spread across salt buckets: replay
+      // the rule's salt expression over the left relation and count
+      // distinct buckets hit
+      val buckets = a.select(pmod(xxhash64(col("a_id"), col("a_g")), lit(8L)).as("s"))
+        .distinct().count()
+      assert(buckets >= 4, s"salt spread too narrow: $buckets of 8 buckets")
+
+      // multiset semantics survive salting
+      val a2 = a.unionAll(a.limit(7))
+      val gotDup = a2.join(b, st_intersects(col("a_g"), col("b_g"))).count()
+      spark.conf.unset("spark.graft.celljoin.level")
+      spark.conf.unset("spark.graft.celljoin.saltBuckets")
+      val expDup = a2.join(b, st_intersects(col("a_g"), col("b_g"))).count()
+      assert(gotDup == expDup, s"salted multiset mismatch: $gotDup vs $expDup")
+    } finally {
+      spark.experimental.extraOptimizations = before
+      spark.conf.unset("spark.graft.celljoin.level")
+      spark.conf.unset("spark.graft.celljoin.saltBuckets")
+    }
+  }
+
   test("rule leaves non-spatial and non-inner joins untouched") {
     val rule = new CellJoinRule(spark)
     val before = spark.experimental.extraOptimizations
