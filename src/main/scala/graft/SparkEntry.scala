@@ -1858,6 +1858,24 @@ object SparkEntry {
         TextOps.urlHost(col("url")).as("host"),
         TextOps.urlRegistrableDomain(col("url")).as("domain"),
         TextOps.urlDomain(col("url")).as("naive2"))
+    }),
+
+    "q106_ann_ivf_trained" -> ((s, d) => {
+      // IVF with a TRAINED coarse quantizer: 3 deterministic Lloyd
+      // iterations refine the Knuth-spread seed (assignment = argmax
+      // cosine with lowest-cell tie-break; update = fixed-point
+      // per-coordinate mean, 2^-20 quantized so the sum is exact
+      // longs — bit-identical under any partitioning; empty cells
+      // keep their previous centroid). The oracle unrolls the SAME
+      // three iterations in SQL, so it gates the training procedure
+      // itself, not lucky recall.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      Ann.ivfTopK(q, "q_vec", "q_id", emb, "vec", "vec_id",
+        k = 5, nCells = 16, nProbe = 8, trainIters = 3)
+        .select(col("q_id"), col("vec_id").as("c_id"), col("rank").cast("long").as("rank"))
     })
   )
 
@@ -3078,7 +3096,59 @@ object SparkEntry {
            |SELECT doc_id, host,
            |  ${PublicSuffix.domainCaseSql("ls", "sk", "host")} AS domain,
            |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS naive2
-           |FROM k""".stripMargin
+           |FROM k""".stripMargin,
+
+      // unrolled 3-iteration Lloyd replay: assignment = argmax cosine
+      // (ties to lowest cell), update = exact fixed-point mean (2^-20
+      // quantized long sums), empty cells keep the previous centroid
+      "q106_ann_ivf_trained" -> {
+        def assignCte(a: String, c: String): String =
+          s"""$a AS (
+             |  SELECT vec_id, v, cell FROM (
+             |    SELECT e.vec_id, e.v, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rn
+             |    FROM emb e, $c c) WHERE rn = 1)""".stripMargin
+        def updateCte(su: String, a: String, cPrev: String, cNext: String): String =
+          s"""$su AS (
+             |  SELECT cell, pos, sum(q) AS sq, count(*) AS n FROM (
+             |    SELECT cell, unnest(range(1, len(v)+1)) AS pos,
+             |           CAST(floor(unnest(v) * 1048576.0) AS BIGINT) AS q
+             |    FROM $a) GROUP BY cell, pos),
+             |$cNext AS (
+             |  SELECT c.cell, COALESCE(s.nv, c.cv) AS cv
+             |  FROM $cPrev c LEFT JOIN (
+             |    SELECT cell, list(CAST(sq AS DOUBLE) / n / 1048576.0 ORDER BY pos) AS nv
+             |    FROM $su GROUP BY cell) s USING (cell))""".stripMargin
+        val iters = (0 until 3).map { i =>
+          assignCte(s"a$i", s"c$i") + ",\n" + updateCte(s"s$i", s"a$i", s"c$i", s"c${i + 1}")
+        }.mkString(",\n")
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c0 AS (
+           |  SELECT row_number() OVER (
+           |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS cell, v AS cv
+           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16)),
+           |$iters,
+           |assigned AS (
+           |  SELECT vec_id AS c_id, v AS emb_v, cell FROM (
+           |    SELECT e.vec_id, e.v, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rn
+           |    FROM emb e, c3 c) WHERE rn = 1),
+           |probes AS (
+           |  SELECT q_id, qv, cell FROM (
+           |    SELECT q.vec_id AS q_id, q.v AS qv, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell) AS rn
+           |    FROM emb q, c3 c WHERE q.vec_id < 8) WHERE rn <= 8)
+           |SELECT q_id, c_id, rank FROM (
+           |  SELECT p.q_id, a.c_id,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY list_cosine_similarity(p.qv, a.emb_v) DESC, a.c_id) AS rank
+           |  FROM probes p JOIN assigned a USING (cell))
+           |WHERE rank <= 5""".stripMargin
+      }
     )
   }
 }

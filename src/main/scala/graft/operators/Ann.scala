@@ -87,9 +87,52 @@ object Ann {
     * argmax tie-break: cosine desc, cell asc) in DuckDB, so the gate
     * checks IVF semantics, not lucky recall.
     */
+  /** Fixed-point scale for Lloyd centroid means: coordinates quantize
+    * to 2^-20 before summation, so the per-cell mean is a sum of LONGS
+    * — exactly associative/commutative, hence bit-identical under any
+    * partitioning or aggregation order, and replayable in DuckDB SQL.
+    * A raw double sum would drift in the last ulps with partition
+    * count and could flip a near-tie assignment in the next iteration.
+    */
+  private val LloydScale = 1048576.0
+
+  /** Deterministic spherical-k-means (Lloyd) refinement of the seed
+    * centroids: assign every corpus row to its argmax-cosine centroid
+    * (ties to the lowest cell), recompute each centroid as the
+    * fixed-point per-coordinate mean of its members, keep the previous
+    * centroid for cells that lose all members. Each iteration is ONE
+    * corpus pass (codegen'd argmax, no join) plus one posexplode +
+    * hash aggregation of nCells × dim cells — the classic distributed
+    * Lloyd step; at 10^12 rows the aggregation is map-side partial so
+    * the shuffle carries only nCells × dim × partitions rows.
+    */
+  def trainCentroids(corpus: DataFrame, cVec: String,
+                     seed: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cent = seed
+    for (_ <- 0 until iters) {
+      val sums = corpus
+        .withColumn("__cell", ST.vec_argmax_cosine(col(cVec), cent))
+        .select(col("__cell"), posexplode(col(cVec)).as(Seq("__pos", "__x")))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(count(lit(1)).as("__n"),
+          sum(floor(col("__x") * LloydScale).cast("long")).as("__q"))
+        .collect() // nCells × dim rows — dimension-sized, not data-sized
+      val next = cent.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        if (cell >= 1 && cell <= next.length)
+          next(cell - 1)(r.getInt(1)) =
+            r.getLong(3).toDouble / r.getLong(2) / LloydScale
+      }
+      cent = next
+    }
+    cent
+  }
+
   def ivfTopK(queries: DataFrame, qVec: String, qKey: String,
               corpus: DataFrame, cVec: String, cKey: String,
-              k: Int, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+              k: Int, nCells: Int = 16, nProbe: Int = 8,
+              trainIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val spread = pmod(col(cKey) * lit(2654435761L), lit(4294967296L))
@@ -98,20 +141,24 @@ object Ann {
       .orderBy(col("__h"), col("__k"))
       .limit(nCells)
       .collect() // coarse quantizer: tiny by construction (dimension side)
-    // getSeq[Number]: the corpus vector column may be array<double> OR
-    // array<float> (both supported by the cosine kernels); a bare
-    // getSeq[Double] would ClassCastException on float embeddings here
-    val centLit = array(centRows.zipWithIndex.map { case (r, i) =>
-      struct(lit(i + 1).as("cell"),
-        typedLit(r.getSeq[Number](1).map(_.doubleValue()).toArray).as("cv"))
-    }.toIndexedSeq: _*)
     // shuffle-free corpus assignment: a native codegen'd argmax over
     // the centroid matrix — strictly-best cosine wins, ties resolve to
     // the LOWEST cell, matching the oracle's ORDER BY cosine DESC,
     // cell ASC. (The previous `aggregate(...)` fold was a higher-order
     // function: interpreted evaluation with per-element boxing made
     // the corpus pass the dominant cost of q88.)
-    val centMatrix = centRows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    // getSeq[Number]: the corpus vector column may be array<double> OR
+    // array<float> (both supported by the cosine kernels); a bare
+    // getSeq[Double] would ClassCastException on float embeddings here
+    val seedMatrix = centRows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    // optional deterministic Lloyd refinement (seeded by the sample, so
+    // the oracle replays the identical iterations in SQL)
+    val centMatrix =
+      if (trainIters <= 0) seedMatrix
+      else trainCentroids(corpus, cVec, seedMatrix, trainIters)
+    val centLit = array(centMatrix.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i + 1).as("cell"), typedLit(cv).as("cv"))
+    }.toIndexedSeq: _*)
     val assigned = corpus.withColumn("__cell",
       ST.vec_argmax_cosine(col(cVec), centMatrix))
     // query side: nProbe nearest centroids. The centroid table is a
