@@ -1876,6 +1876,51 @@ object SparkEntry {
       Ann.ivfTopK(q, "q_vec", "q_id", emb, "vec", "vec_id",
         k = 5, nCells = 16, nProbe = 8, trainIters = 3)
         .select(col("q_id"), col("vec_id").as("c_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "q107_mjpeg_frames" -> ((s, d) => {
+      // REAL video frame pixel decode: assemble MJPEG-in-MP4 (jpeg
+      // sample entries, real stsz/stsc/stco tables, JPEG samples in
+      // mdat), resolve the stss keyframes through the sample tables,
+      // slice each keyframe out of mdat, decode with the baseline-JPEG
+      // pixel decoder, reduce to the per-frame pixel mean. Frames are
+      // q96-style block-flat grayscale (bit-exact through DCT at
+      // quant 1), so the oracle recomputes each keyframe's mean from
+      // the closed-form block-value function — a sample-table, slicing
+      // or JPEG error shifts it.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructType, StructField, LongType, BinaryType}
+      val docs = t(s, d, "documents").select("doc_id")
+      val asmSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("mp4", BinaryType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(asmSchema)
+      val videos = docs.mapPartitions { iter =>
+        iter.map { r =>
+          val id = r.getLong(0)
+          val n = (2 + id % 4).toInt        // 2..5 frames
+          val w = ((id % 3) + 1).toInt * 8  // 8..24
+          val h = ((id * 5 % 4) + 1).toInt * 8
+          val frames = Array.tabulate(n) { k =>
+            val raw = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raw(y * w + x) =
+                  ((id * 31 + k * 19 + (x / 8) * 7 + (y / 8) * 13) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            Jpeg.encodeGray(w, h, raw, restartInterval = (id % 4).toInt)
+          }
+          Row(id, Mp4.encodeMjpegMp4(1000, n * 100L, w, h, frames,
+            keyInterval = 2))
+        }
+      }
+      Mp4.keyframeJpegFrames(videos, "mp4")
+        .select(col("doc_id"), col("frame_idx"), col("frame_w"),
+          col("frame_h"), col("mean_gray"))
     })
   )
 
@@ -3148,7 +3193,25 @@ object SparkEntry {
            |      ORDER BY list_cosine_similarity(p.qv, a.emb_v) DESC, a.c_id) AS rank
            |  FROM probes p JOIN assigned a USING (cell))
            |WHERE rank <= 5""".stripMargin
-      }
+      },
+
+      // keyframes 1,3,5.. (stss, 1-based); frame k's sample index is
+      // k-1; flat 8x8 blocks survive quant-1 DCT bit-exactly (q96)
+      "q107_mjpeg_frames" ->
+        """WITH d AS (SELECT doc_id,
+          |    CAST(2 + doc_id % 4 AS INTEGER) AS n,
+          |    CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS w,
+          |    CAST(((doc_id * 5) % 4 + 1) * 8 AS INTEGER) AS h
+          |  FROM documents),
+          |kf AS (SELECT doc_id, w, h, unnest(range(1, n + 1, 2)) AS k FROM d),
+          |blk AS (SELECT doc_id, k, w, h,
+          |        (doc_id * 31 + (k - 1) * 19 + bx * 7 + by * 13) % 256 AS v
+          |  FROM kf, LATERAL unnest(range(0, w // 8)) gx(bx),
+          |          LATERAL unnest(range(0, h // 8)) gy(by))
+          |SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+          |  w AS frame_w, h AS frame_h,
+          |  floor(avg(v) * 1000000) / 1000000 AS mean_gray
+          |FROM blk GROUP BY 1, 2, 3, 4""".stripMargin
     )
   }
 }

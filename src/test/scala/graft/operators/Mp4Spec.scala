@@ -136,6 +136,50 @@ class Mp4Spec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG-in-MP4: sample tables resolve and keyframe pixels decode") {
+    // three 16x8 gray frames with distinct flat block values
+    val w = 16; val h = 8
+    def frame(k: Int): Array[Byte] = {
+      val raw = Array.tabulate(w * h) { i =>
+        val bx = (i % w) / 8
+        ((40 + k * 50 + bx * 10) % 256).toByte
+      }
+      Jpeg.encodeGray(w, h, raw, restartInterval = 0)
+    }
+    val samples = Array(frame(0), frame(1), frame(2))
+    val mp4 = Mp4.encodeMjpegMp4(1000, 300, w, h, samples, keyInterval = 2)
+
+    val m = Mp4.decodeVideoMeta(mp4)
+    assert(m != null && m.brand === "mp42")
+    val v = m.tracks.find(_.handler == "vide").get
+    assert(v.codec === "jpeg" && v.nFrames === 3)
+    assert(v.keyframes.toSeq === Seq(1, 3))
+    assert(v.sampleSizes.toSeq === samples.map(_.length).toSeq)
+    // offsets point at the actual JPEG bytes in mdat
+    v.sampleOffsets.zip(v.sampleSizes).zip(samples).foreach {
+      case ((off, len), s) =>
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + len), s))
+    }
+
+    val spark = graft.functions.SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1L, mp4), (2L, Array[Byte](9, 9, 9))).toDF("id", "vid")
+    val rows = Mp4.keyframeJpegFrames(df, "vid")
+      .select("id", "frame_idx", "frame_w", "frame_h", "mean_gray")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4))).sortBy(x => (x._1, x._2))
+    // frame k mean = avg of flat block values (40 + 50k, 50 + 50k)
+    assert(rows.toSeq === Seq(
+      (1L, 1, w, h, 45.0),   // k=0: (40+50)/2
+      (1L, 3, w, h, 145.0))) // k=2: (140+150)/2
+
+    // hostile sample tables: truncations of the MJPEG container never
+    // throw, and decode quarantines to empty/null output
+    for (n <- 0 until mp4.length by 7)
+      Mp4.decodeVideoMeta(java.util.Arrays.copyOf(mp4, n))
+  }
+
   test("keyframe sample plan explodes exactly the stss table") {
     val spark = graft.functions.SparkTestSession.spark
     import spark.implicits._
