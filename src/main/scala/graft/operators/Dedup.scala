@@ -187,15 +187,24 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, keyCol: String,
                         threshold: Double, planes: Int = 32,
                         bands: Int = 4, seed: Long = 42L): DataFrame = {
-    val banded = df.select(col(keyCol).as("__key"), col(vecCol).as("__v"),
+    // Candidate generation shuffles (band-key, doc-key) pairs ONLY —
+    // the embedding payload (dim * 8 bytes per row, the dominant byte
+    // volume at corpus scale) stays out of the self-join and is
+    // re-attached by key for just the (few) surviving candidates,
+    // mirroring minhashNearDups' shape.
+    val banded = df.select(col(keyCol).as("__key"),
       explode(graft.functions.ST.vec_bandKeys(col(vecCol), planes, bands, seed, 0))
         .as("__bk"))
-    val l = banded.select(col("__bk"), col("__key").as("key_a"), col("__v").as("v_a"))
-    val r = banded.select(col("__bk"), col("__key").as("key_b"), col("__v").as("v_b"))
-    l.join(r, "__bk")
+    val l = banded.withColumnRenamed("__key", "key_a")
+    val r = banded.withColumnRenamed("__key", "key_b")
+    val cands = l.join(r, Seq("__bk"))
       .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"), col("v_a"), col("v_b"))
-      .dropDuplicates(Seq("key_a", "key_b"))
+      .select("key_a", "key_b")
+      .distinct()
+    val v = df.select(col(keyCol).as("__k"), col(vecCol).as("__v"))
+    cands
+      .join(v.withColumnRenamed("__k", "key_a").withColumnRenamed("__v", "v_a"), "key_a")
+      .join(v.withColumnRenamed("__k", "key_b").withColumnRenamed("__v", "v_b"), "key_b")
       .withColumn("cosine", graft.functions.ST.vec_cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("key_a"), col("key_b"), TextOps.floor6(col("cosine")).as("cosine"))
