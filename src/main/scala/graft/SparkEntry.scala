@@ -1921,6 +1921,40 @@ object SparkEntry {
       Mp4.keyframeJpegFrames(videos, "mp4")
         .select(col("doc_id"), col("frame_idx"), col("frame_w"),
           col("frame_h"), col("mean_gray"))
+    }),
+
+    "q108_make_valid" -> ((s, d) => {
+      // st_makevalid (GEOS wrapper analogue — reference
+      // geos/entrypoints.go:259-267; even-odd linework repair) over
+      // parametric invalid shapes whose repaired area and geometry
+      // count are closed-form in the nation key: a self-crossing
+      // bowtie (two lobes), an already-valid square-with-hole
+      // (returned bit-identical), a duplicated ring (cancels to
+      // empty), and a "hole" extending outside its shell (both
+      // even-odd regions kept). Areas rounded to 3 decimals so the
+      // noder's crossing-point arithmetic cannot flip the hash.
+      withST(s)
+      val shapes = t(s, d, "nation")
+        .withColumn("sz", (col("n_nationkey") + lit(3)).cast("double"))
+        .select(col("n_nationkey"), col("sz"), explode(array(
+          struct(lit("bowtie").as("shape"), format_string(
+            "POLYGON((0 0,%1$.1f %1$.1f,%1$.1f 0,0 %1$.1f,0 0))",
+            col("sz")).as("wkt")),
+          struct(lit("dup_ring").as("shape"), format_string(
+            "POLYGON((0 0,%1$.1f 0,%1$.1f %1$.1f,0 %1$.1f,0 0),(0 0,%1$.1f 0,%1$.1f %1$.1f,0 %1$.1f,0 0))",
+            col("sz")).as("wkt")),
+          struct(lit("hole_outside").as("shape"), format_string(
+            "POLYGON((0 0,%1$.1f 0,%1$.1f %1$.1f,0 %1$.1f,0 0),(2 2,%2$.1f 2,%2$.1f %2$.1f,2 %2$.1f,2 2))",
+            col("sz"), col("sz") + lit(2.0)).as("wkt")),
+          struct(lit("valid_hole").as("shape"), format_string(
+            "POLYGON((0 0,%1$.1f 0,%1$.1f %1$.1f,0 %1$.1f,0 0),(1 1,2 1,2 2,1 2,1 1))",
+            col("sz")).as("wkt")))).as("sh"))
+        .select(col("n_nationkey"), col("sh.shape").as("shape"),
+          expr("st_makevalid(st_geomfromwkt(sh.wkt))").as("fixed"))
+      shapes.select(col("n_nationkey"), col("shape"),
+        round(expr("st_area(fixed)"), 3).as("area"),
+        expr("st_numgeometries(fixed)").as("n_geoms"),
+        expr("st_isvalid(fixed)").as("ok"))
     })
   )
 
@@ -3211,7 +3245,31 @@ object SparkEntry {
           |SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
           |  w AS frame_w, h AS frame_h,
           |  floor(avg(v) * 1000000) / 1000000 AS mean_gray
-          |FROM blk GROUP BY 1, 2, 3, 4""".stripMargin
+          |FROM blk GROUP BY 1, 2, 3, 4""".stripMargin,
+
+      // repaired areas and geometry counts are closed-form in the
+      // shape parameter: bowtie lobes sum to sz^2/2; the valid
+      // square-with-hole round-trips (sz^2 - 1, one polygon); a
+      // duplicated ring cancels under even-odd (empty polygon, which
+      // NumGeometries counts as 1 per the reference's non-multi rule);
+      // the hole-outside-shell case keeps both single-covered regions
+      // (two L-shapes of (4*sz - 4) each)
+      "q108_make_valid" ->
+        """WITH k AS (SELECT n_nationkey,
+          |    CAST(n_nationkey + 3 AS DOUBLE) AS sz FROM nation),
+          |sh AS (SELECT n_nationkey, sz, shape
+          |  FROM k, (VALUES ('bowtie'), ('dup_ring'), ('hole_outside'),
+          |                  ('valid_hole')) t(shape))
+          |SELECT n_nationkey, shape,
+          |  ROUND(CASE shape
+          |    WHEN 'bowtie' THEN sz * sz / 2
+          |    WHEN 'valid_hole' THEN sz * sz - 1
+          |    WHEN 'dup_ring' THEN 0.0
+          |    ELSE 8 * sz - 8 END, 3) AS area,
+          |  CASE shape WHEN 'bowtie' THEN 2 WHEN 'hole_outside' THEN 2
+          |    ELSE 1 END AS n_geoms,
+          |  TRUE AS ok
+          |FROM sh""".stripMargin
     )
   }
 }

@@ -91,6 +91,247 @@ object SetOps {
     nAryUnion(parts.toSeq)
   }
 
+  /** Repair an invalid geometry (GEOS wrapper analogue — reference
+    * geos/entrypoints.go:259-267; the bowtie case is pinned by the
+    * reference's own test, geos/entrypoints_test.go:843-857).
+    *
+    * Areal inputs use the EVEN-ODD (alternate) fill rule over the
+    * noded ring linework — the classic linework / buffer(0) repair:
+    * all ring segments are noded into a planar arrangement and a face
+    * is kept iff its interior is covered by an ODD number of input
+    * rings. Consequences: a self-crossing bowtie keeps both lobes, a
+    * hole inside a shell stays a hole, a duplicated ring cancels to
+    * empty, and the part of a "hole" extending outside its shell
+    * becomes area (it is covered by exactly one ring). This is the
+    * even-odd linework semantic, not GEOS's newer "structure" method
+    * (which unions shells and subtracts hole unions; the two differ
+    * when holes overlap each other).
+    *
+    * Valid inputs are detected first and returned UNCHANGED
+    * (idempotent; never perturbs already-valid data — the dominant
+    * case when used as a cleaning pass over web-extracted geometry).
+    * Degenerate lines (fewer than 2 distinct points) collapse to
+    * POINT, matching GEOS. Empties pass through. Repaired areal
+    * output is 2D (the repair plane drops Z/M, like overlay).
+    */
+  def makeValid(g: Geom): Geom = g match {
+    case _ if g.isEmpty => g
+    case _: GPoint | _: GMPoint => g
+    case l: GLine =>
+      if (hasTwoDistinctPoints(l.seq)) l
+      else GPoint(Array(l.seq.x(0), l.seq.y(0)), CT.XY)
+    case ml: GMLine =>
+      if (ml.lines.forall(s => s.isEmpty || hasTwoDistinctPoints(s))) ml
+      else {
+        val fixed = ml.lines.filter(!_.isEmpty).map(s => makeValid(GLine(s)))
+        val (lines, pts) = fixed.partition(_.isInstanceOf[GLine])
+        if (lines.isEmpty) GMPoint(pts.map(_.asInstanceOf[GPoint]), CT.XY)
+        else if (pts.isEmpty) GMLine(lines.map(_.asInstanceOf[GLine].seq), ml.ct)
+        else GColl(lines ++ pts, CT.XY)
+      }
+    case _: GPoly | _: GMPoly =>
+      if (Validate.isValid(g)) g else arealMakeValidRobust(g)
+    case GColl(cs, ct) => GColl(cs.map(makeValid), ct)
+  }
+
+  private def hasTwoDistinctPoints(s: Seqn): Boolean = {
+    val n = s.n
+    var i = 1
+    while (i < n) {
+      if (s.x(i) != s.x(0) || s.y(i) != s.y(0)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** All rings of an areal geometry, defensively closed (the parser
+    * stores rings as given; pointInRing and the noder both need the
+    * closing segment explicit).
+    */
+  private def collectRings(g: Geom): IndexedSeq[Seqn] = {
+    val out = mutable.ArrayBuffer.empty[Seqn]
+    def add(r: Seqn): Unit = if (r.n >= 2) {
+      val closed =
+        if (r.x(0) == r.x(r.n - 1) && r.y(0) == r.y(r.n - 1)) r
+        else {
+          val pts = (0 until r.n).map(i => (r.x(i), r.y(i))) :+ (r.x(0), r.y(0))
+          seqnOf(pts)
+        }
+      out += closed
+    }
+    g match {
+      case GPoly(rings, _) => rings.foreach(add)
+      case GMPoly(ps, _) => ps.foreach(_.foreach(add))
+      case _ => ()
+    }
+    out.toIndexedSeq
+  }
+
+  private def arealMakeValid(g: Geom, epsFactor: Double): Geom = {
+    val rings = collectRings(g)
+    val noder = new Noder(epsFactor)
+    rings.foreach(r => noder.addLine(r, srcA = true))
+    noder.node()
+    if (noder.edges.isEmpty) return GPoly(Array.empty[Seqn], CT.XY)
+    val arr = new Arrangement(noder.edges)
+    arr.build()
+    val kept = new Array[Boolean](arr.nFaces)
+    var f = 0
+    while (f < arr.nFaces) {
+      if (!arr.faceUnbounded(f)) {
+        val (px, py) = arr.faceInteriorPoint(f)
+        var odd = false
+        var i = 0
+        while (i < rings.length) {
+          if (Alg.pointInRing(rings(i), px, py) > 0) odd = !odd
+          i += 1
+        }
+        kept(f) = odd
+      }
+      f += 1
+    }
+    normalizePinches(arr.dissolve(kept))
+  }
+
+  /** Dissolve can emit a pinched kept-region (two lobes sharing one
+    * vertex) as a single self-touching ring — invalid as a polygon
+    * ring. Normalize: split every ring at repeated vertices into
+    * simple rings, then reassemble shells/holes by even-odd
+    * containment nesting. Arrangement output rings are edge-disjoint
+    * and never cross (they can only share vertices), so the nesting
+    * is well-defined. No-op (input returned as-is) when no ring has a
+    * repeated vertex — the overwhelmingly common case.
+    */
+  private def normalizePinches(g: Geom): Geom = {
+    def ringsOf(x: Geom): IndexedSeq[Seqn] = x match {
+      case GPoly(rs, _) => rs.toIndexedSeq
+      case GMPoly(ps, _) => ps.toIndexedSeq.flatten
+      case _ => IndexedSeq.empty
+    }
+    val rings = ringsOf(g)
+    if (rings.isEmpty || !rings.exists(hasRepeatedVertex)) return g
+    assembleRings(rings.flatMap(splitSimpleRings))
+  }
+
+  private def hasRepeatedVertex(r: Seqn): Boolean = {
+    val seen = mutable.HashSet.empty[(Double, Double)]
+    var i = 0
+    while (i < r.n - 1) { // skip the closing duplicate of vertex 0
+      if (!seen.add((r.x(i), r.y(i)))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Split a closed ring at repeated vertices until every piece is a
+    * simple closed ring; zero-area pieces are dropped.
+    */
+  private def splitSimpleRings(r0: Seqn): Seq[Seqn] = {
+    val out = mutable.ArrayBuffer.empty[Seqn]
+    val stack = mutable.ArrayBuffer(r0)
+    while (stack.nonEmpty) {
+      val s = stack.remove(stack.length - 1)
+      val n = s.n
+      var dupA = -1; var dupB = -1
+      val seen = mutable.HashMap.empty[(Double, Double), Int]
+      var i = 0
+      while (dupA < 0 && i < n - 1) {
+        seen.get((s.x(i), s.y(i))) match {
+          case Some(j) => dupA = j; dupB = i
+          case None => seen((s.x(i), s.y(i))) = i
+        }
+        i += 1
+      }
+      if (dupA < 0) {
+        if (n >= 4 && Alg.signedRingArea(s) != 0.0) out += s
+      } else {
+        // piece 1: vertices dupA..dupB (s(dupB) == s(dupA) closes it);
+        // piece 2: the remainder with the loop excised
+        stack += seqnOf((dupA to dupB).map(k => (s.x(k), s.y(k))))
+        stack += seqnOf(((0 to dupA) ++ (dupB + 1 until n)).map(k => (s.x(k), s.y(k))))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Reassemble simple, non-crossing rings into polygons: a ring
+    * nested inside an EVEN number of others is a shell, odd is a hole
+    * of its smallest containing shell. Shells come out CCW, holes CW.
+    */
+  private def assembleRings(ringsIn: Seq[Seqn]): Geom = {
+    val rings = ringsIn.toIndexedSeq
+    if (rings.isEmpty) return GPoly(Array.empty[Seqn], CT.XY)
+    val probes = rings.map { r =>
+      PointOnSurface.compute(GPoly(Array(r), CT.XY)) match {
+        case p: GPoint if !p.isEmpty => (p.x, p.y)
+        case _ => (r.x(0), r.y(0)) // unreachable: rings have nonzero area
+      }
+    }
+    val absArea = rings.map(r => math.abs(Alg.signedRingArea(r)))
+    val n = rings.length
+    val depth = Array.tabulate(n) { i =>
+      var d = 0; var j = 0
+      while (j < n) {
+        if (j != i && Alg.pointInRing(rings(j), probes(i)._1, probes(i)._2) > 0) d += 1
+        j += 1
+      }
+      d
+    }
+    def oriented(r: Seqn, ccw: Boolean): Seqn =
+      if ((Alg.signedRingArea(r) > 0) == ccw) r else r.reversed
+    val shellIdx = (0 until n).filter(depth(_) % 2 == 0)
+    val holeIdx = (0 until n).filter(depth(_) % 2 == 1)
+    val polyRings = shellIdx.map(si => mutable.ArrayBuffer(oriented(rings(si), ccw = true)))
+    for (hi <- holeIdx) {
+      var best = -1; var bestArea = Double.MaxValue
+      var k = 0
+      while (k < shellIdx.length) {
+        val si = shellIdx(k)
+        if (absArea(si) < bestArea &&
+            Alg.pointInRing(rings(si), probes(hi)._1, probes(hi)._2) > 0) {
+          best = k; bestArea = absArea(si)
+        }
+        k += 1
+      }
+      if (best >= 0) polyRings(best) += oriented(rings(hi), ccw = false)
+    }
+    if (polyRings.length == 1) GPoly(polyRings.head.toArray, CT.XY)
+    else GMPoly(polyRings.map(_.toArray).toArray, CT.XY)
+  }
+
+  /** makeValid with the same escalation ladder as overlay: base
+    * tolerance first, widening snap eps on exception/invalid output,
+    * finally snap-rounding the input coordinates to a shared grid.
+    * The acceptance test IS validity — that is the operator's
+    * postcondition.
+    */
+  private def arealMakeValidRobust(g: Geom): Geom = {
+    var lastEx: Throwable = null
+    var i = 0
+    while (i < SnapLadder.length) {
+      try {
+        val f = Noder.BaseEpsFactor * SnapLadder(i)
+        val r = arealMakeValid(g, f)
+        if (r.isEmpty || Validate.isValid(r)) return r
+      } catch { case e: Exception => lastEx = e }
+      i += 1
+    }
+    try {
+      val e = g.envelope
+      val scale =
+        if (e.isEmpty) 0.0
+        else math.max(math.max(math.abs(e.xmin), math.abs(e.xmax)),
+          math.max(math.abs(e.ymin), math.abs(e.ymax)))
+      val decimals = math.max(0, math.min(12,
+        9 - math.ceil(math.log10(math.max(scale, 1e-30))).toInt))
+      val r = arealMakeValid(Geom.snapToGrid(g, decimals), Noder.BaseEpsFactor)
+      if (r.isEmpty || Validate.isValid(r)) return r
+    } catch { case e: Exception => lastEx = e }
+    if (lastEx != null) throw lastEx
+    throw new IllegalStateException(
+      "makeValid produced an invalid result at every snap-ladder rung")
+  }
+
   // --------------------------------------------------- GC-aware plans
 
   private def isGC(g: Geom): Boolean = g.isInstanceOf[GColl]

@@ -125,6 +125,7 @@ object GeomOps {
       else new GenericArrayData(Array[Any](e.xmin, e.ymin, e.xmax, e.ymax))
     }),
     "st_boundary" -> (BinaryType, g => wkb(Geom.boundary(g))),
+    "st_makevalid" -> (BinaryType, g => wkb(SetOps.makeValid(g))),
     "st_centroid" -> (BinaryType, g => wkb(Measure.centroid(g) match {
       case Some((x, y)) => GPoint.xy(x, y)
       case None => GPoint.empty

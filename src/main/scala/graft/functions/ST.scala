@@ -87,6 +87,7 @@ object ST {
   def st_ymax(c: Column): Column = u("st_ymax")(c)
   def st_envelope(c: Column): Column = u("st_envelope")(c)
   def st_boundary(c: Column): Column = u("st_boundary")(c)
+  def st_makeValid(c: Column): Column = u("st_makevalid")(c)
   def st_centroid(c: Column): Column = u("st_centroid")(c)
   def st_convexHull(c: Column): Column = u("st_convexhull")(c)
   def st_pointOnSurface(c: Column): Column = u("st_pointonsurface")(c)
