@@ -1955,6 +1955,37 @@ object SparkEntry {
         round(expr("st_area(fixed)"), 3).as("area"),
         expr("st_numgeometries(fixed)").as("n_geoms"),
         expr("st_isvalid(fixed)").as("ok"))
+    }),
+
+    "q109_concave_hull" -> ((s, d) => {
+      // st_concavehull (reference geos/entrypoints.go:324-333) over a
+      // per-nation integer grid: at ratio 1 the hull IS the convex
+      // hull, so its area is closed-form ((w-1)*(h-1)); the concave
+      // ratios are gated through invariants the peel must keep under
+      // ANY cocircular tie-break — validity, full point coverage, and
+      // area dominated by the convex hull.
+      withST(s)
+      val base = t(s, d, "nation")
+        .withColumn("w", (col("n_nationkey") % 5 + 3).cast("int"))
+        .withColumn("h", (col("n_nationkey") % 7 + 3).cast("int"))
+      val pts = base.select(col("n_nationkey"), col("w"), col("h"),
+          explode(sequence(lit(0), col("w") * col("h") - 1)).as("i"))
+        .withColumn("px", (col("i") % col("w")).cast("double"))
+        .withColumn("py", floor(col("i") / col("w")).cast("double"))
+        .withColumn("pt", graft.functions.ST.st_point(col("px"), col("py")))
+      val hulls = pts.groupBy("n_nationkey")
+        .agg(expr("st_collect_agg(pt)").as("mp"))
+        .withColumn("hull1", expr("st_concavehull(mp, 1.0d, false)"))
+        .withColumn("hull0", expr("st_concavehull(mp, 0.0d, false)"))
+      val flags = pts.join(hulls.select(col("n_nationkey"), col("hull0")), "n_nationkey")
+        .groupBy("n_nationkey")
+        .agg(min(expr("st_intersects(hull0, pt)")).as("covers_all"))
+      hulls.join(flags, "n_nationkey")
+        .select(col("n_nationkey"),
+          round(expr("st_area(hull1)"), 3).as("hull_area"),
+          expr("st_isvalid(hull0) AND st_isvalid(hull1)").as("ok_valid"),
+          expr("st_area(hull0) <= st_area(hull1) + 1e-9").as("conc_le"),
+          col("covers_all"))
     })
   )
 
@@ -3269,7 +3300,16 @@ object SparkEntry {
           |  CASE shape WHEN 'bowtie' THEN 2 WHEN 'hole_outside' THEN 2
           |    ELSE 1 END AS n_geoms,
           |  TRUE AS ok
-          |FROM sh""".stripMargin
+          |FROM sh""".stripMargin,
+
+      // ratio-1 concave hull == convex hull of the (w x h) grid, area
+      // (w-1)*(h-1); the concave-ratio invariants are TRUE flags
+      "q109_concave_hull" ->
+        """SELECT n_nationkey,
+          |  ROUND(CAST((n_nationkey % 5 + 2) * (n_nationkey % 7 + 2) AS DOUBLE), 3)
+          |    AS hull_area,
+          |  TRUE AS ok_valid, TRUE AS conc_le, TRUE AS covers_all
+          |FROM nation""".stripMargin
     )
   }
 }

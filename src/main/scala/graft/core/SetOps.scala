@@ -226,7 +226,7 @@ object SetOps {
   /** Split a closed ring at repeated vertices until every piece is a
     * simple closed ring; zero-area pieces are dropped.
     */
-  private def splitSimpleRings(r0: Seqn): Seq[Seqn] = {
+  private[core] def splitSimpleRings(r0: Seqn): Seq[Seqn] = {
     val out = mutable.ArrayBuffer.empty[Seqn]
     val stack = mutable.ArrayBuffer(r0)
     while (stack.nonEmpty) {
@@ -254,29 +254,40 @@ object SetOps {
     out.toSeq
   }
 
-  /** Reassemble simple, non-crossing rings into polygons: a ring
-    * nested inside an EVEN number of others is a shell, odd is a hole
-    * of its smallest containing shell. Shells come out CCW, holes CW.
+  /** Does ring S properly contain ring R's CURVE? Valid only for
+    * edge-disjoint, non-crossing rings (arrangement / triangulation
+    * boundaries): the first R vertex strictly inside or outside S
+    * decides; if every vertex lies ON S (shared nodes), an R edge
+    * midpoint decides (distinct edges cannot overlap collinearly in
+    * an arrangement, so the midpoint is never on S).
     */
-  private def assembleRings(ringsIn: Seq[Seqn]): Geom = {
+  private def ringContainsRing(s: Seqn, r: Seqn): Boolean = {
+    var i = 0
+    while (i < r.n - 1) {
+      val loc = Alg.pointInRing(s, r.x(i), r.y(i))
+      if (loc > 0) return true
+      if (loc < 0) return false
+      i += 1
+    }
+    Alg.pointInRing(s, (r.x(0) + r.x(1)) / 2, (r.y(0) + r.y(1)) / 2) > 0
+  }
+
+  /** Reassemble simple, non-crossing, edge-disjoint rings into
+    * polygons: a ring properly contained in an EVEN number of others
+    * is a shell, odd is a hole of its smallest containing shell.
+    * Shells come out CCW, holes CW. (Containment is tested on the
+    * ring CURVE, not on a disk-interior probe — a probe can land
+    * inside a sibling hole and misclassify, e.g. an annulus.)
+    */
+  private[core] def assembleRings(ringsIn: Seq[Seqn]): Geom = {
     val rings = ringsIn.toIndexedSeq
     if (rings.isEmpty) return GPoly(Array.empty[Seqn], CT.XY)
-    val probes = rings.map { r =>
-      PointOnSurface.compute(GPoly(Array(r), CT.XY)) match {
-        case p: GPoint if !p.isEmpty => (p.x, p.y)
-        case _ => (r.x(0), r.y(0)) // unreachable: rings have nonzero area
-      }
-    }
     val absArea = rings.map(r => math.abs(Alg.signedRingArea(r)))
     val n = rings.length
-    val depth = Array.tabulate(n) { i =>
-      var d = 0; var j = 0
-      while (j < n) {
-        if (j != i && Alg.pointInRing(rings(j), probes(i)._1, probes(i)._2) > 0) d += 1
-        j += 1
-      }
-      d
-    }
+    val contains = Array.ofDim[Boolean](n, n)
+    for (j <- 0 until n; i <- 0 until n; if j != i)
+      contains(j)(i) = ringContainsRing(rings(j), rings(i))
+    val depth = Array.tabulate(n)(i => (0 until n).count(j => j != i && contains(j)(i)))
     def oriented(r: Seqn, ccw: Boolean): Seqn =
       if ((Alg.signedRingArea(r) > 0) == ccw) r else r.reversed
     val shellIdx = (0 until n).filter(depth(_) % 2 == 0)
@@ -287,8 +298,7 @@ object SetOps {
       var k = 0
       while (k < shellIdx.length) {
         val si = shellIdx(k)
-        if (absArea(si) < bestArea &&
-            Alg.pointInRing(rings(si), probes(hi)._1, probes(hi)._2) > 0) {
+        if (absArea(si) < bestArea && contains(si)(hi)) {
           best = k; bestArea = absArea(si)
         }
         k += 1

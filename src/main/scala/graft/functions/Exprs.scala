@@ -699,6 +699,26 @@ case class StSubdivide(children: Seq[Expression]) extends Expression with RowKer
     copy(children = cs)
 }
 
+/** st_concavehull(geom, concavenessRatio[, allowHoles]) — reference
+  * geos/entrypoints.go:324-333; ratio 1 = convex hull, 0 = maximally
+  * concave; allowHoles defaults to false.
+  */
+case class StConcaveHull(children: Seq[Expression]) extends Expression with RowKernelCodegen {
+  require(children.length == 2 || children.length == 3,
+    "st_concavehull(geom, ratio[, allowHoles])")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_concavehull"
+  override def genEval(vs: Array[Any]): Any = {
+    if (vs(0) == null || vs(1) == null) return null
+    val holes = vs.length > 2 && vs(2) != null && vs(2).asInstanceOf[Boolean]
+    Wkb.write(graft.core.ConcaveHull.hull(
+      Wkb.read(vs(0).asInstanceOf[Array[Byte]]), GeomOps.numD(vs(1)), holes))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_relateMatch(matrix, pattern) — pure string matcher
   * (reference: geom/de9im.go:83-121).
   */

@@ -164,6 +164,8 @@ object ST {
     col(StClipByBox(Seq(ex(g), ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
   def st_subdivide(g: Column, maxVerts: Column): Column =
     col(StSubdivide(Seq(ex(g), ex(maxVerts))))
+  def st_concaveHull(g: Column, ratio: Column, allowHoles: Column): Column =
+    col(StConcaveHull(Seq(ex(g), ex(ratio), ex(allowHoles))))
   def st_project(g: Column, spec: Column): Column = col(StProject(ex(g), ex(spec)))
 
   // ------------------------------------------------------------ tiling
@@ -403,6 +405,7 @@ object ST {
       reg1(op) { es => StMakeGeom(op, es) }
     reg1("st_clipbybox") { es => StClipByBox(es) }
     reg1("st_subdivide") { es => StSubdivide(es) }
+    reg1("st_concavehull") { es => StConcaveHull(es) }
     reg1("st_relatematch") { es => StRelateMatch(es(0), es(1)) }
     reg1("st_exactequals") { es => StExactEquals(es) }
     reg1("st_astwkb") { es => StAsTwkb(es(0), es(1)) }
