@@ -1986,6 +1986,107 @@ object SparkEntry {
           expr("st_isvalid(hull0) AND st_isvalid(hull1)").as("ok_valid"),
           expr("st_area(hull0) <= st_area(hull1) + 1e-9").as("conc_le"),
           col("covers_all"))
+    }),
+
+    "q110_coverage_union" -> ((s, d) => {
+      // st_coverageunion_agg (reference geos/entrypoints.go:281-288):
+      // per-nation grid of w x h unit tiles unions by EXACT shared-edge
+      // cancellation — no overlay arrangement — so the result is fully
+      // closed-form: area w*h, ONE polygon, and the shell keeps every
+      // grid boundary vertex (2(w+h) of them + closure; coverage union
+      // does not drop the collinear former T-join vertices). The tile
+      // set is also gated through st_coverageisvalid.
+      withST(s)
+      val base = t(s, d, "nation")
+        .withColumn("w", (col("n_nationkey") % 6 + 2).cast("int"))
+        .withColumn("h", (col("n_nationkey") % 4 + 2).cast("int"))
+      val tiles = base.select(col("n_nationkey"), col("w"), col("h"),
+          explode(sequence(lit(0), col("w") * col("h") - 1)).as("i"))
+        .withColumn("tx", (col("i") % col("w")).cast("double"))
+        .withColumn("ty", floor(col("i") / col("w")).cast("double"))
+        .withColumn("tile", st_makeEnvelope(col("tx"), col("ty"),
+          col("tx") + lit(1.0), col("ty") + lit(1.0)))
+      tiles.groupBy("n_nationkey", "w", "h")
+        .agg(expr("st_coverageunion_agg(tile)").as("u"),
+          expr("st_coverageisvalid(st_collect_agg(tile))").as("cov_ok"))
+        .select(col("n_nationkey"),
+          round(expr("st_area(u)"), 3).as("area"),
+          expr("st_numgeometries(u)").as("n_geoms"),
+          expr("st_numpoints(u)").as("n_points"),
+          expr("st_isvalid(u)").as("ok"),
+          col("cov_ok"))
+    }),
+
+    "q111_coverage_simplify" -> ((s, d) => {
+      // st_coveragesimplifyvw (reference geos/entrypoints.go:294-298):
+      // two tiles per nation share a zigzag boundary of k%4+3 teeth at
+      // binary-exact amplitude 1/16; at tolerance 1 (areaTol 1 > max
+      // effective triangle area h/32) EVERY zig vertex is below
+      // threshold under any removal order, so the shared chain
+      // collapses to the straight segment and both tiles become exact
+      // 1 x h rectangles — area, vertex count, validity and
+      // coverage-validity of the result are all closed-form.
+      withST(s)
+      val base = t(s, d, "nation")
+        .withColumn("h", (col("n_nationkey") % 5 + 6).cast("int"))
+        .withColumn("teeth", (col("n_nationkey") % 4 + 3).cast("int"))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType, nullable = false),
+        StructField("cov", BinaryType, nullable = false)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+      val covs = base.select(col("n_nationkey").cast("long"), col("h"), col("teeth"))
+        .mapPartitions { iter =>
+          iter.map { r =>
+            val key = r.getLong(0); val h = r.getInt(1); val teeth = r.getInt(2)
+            val zig = (1 to teeth).map { j =>
+              val y = j.toDouble * h / (teeth + 1)
+              (1.0 + (if (j % 2 == 0) 0.0625 else -0.0625), y)
+            }
+            def ring(pts: Seq[(Double, Double)]): String =
+              (pts :+ pts.head).map { case (x, y) => s"$x $y" }.mkString(",")
+            val left = s"POLYGON((${ring(Seq((0.0, 0.0), (1.0, 0.0)) ++ zig ++
+              Seq((1.0, h.toDouble), (0.0, h.toDouble)))}))"
+            val rightPts = Seq((1.0, 0.0), (2.0, 0.0), (2.0, h.toDouble),
+              (1.0, h.toDouble)) ++ zig.reverse
+            val rightW = s"POLYGON((${ring(rightPts)}))"
+            val gcG = graft.core.GColl(Array(graft.core.Wkt.parse(left),
+              graft.core.Wkt.parse(rightW)), graft.core.CT.XY)
+            org.apache.spark.sql.Row(key, graft.core.Wkb.write(gcG))
+          }
+        }
+      covs.withColumn("simp", expr("st_coveragesimplifyvw(cov, 1.0d)"))
+        .select(col("n_nationkey"),
+          round(expr("st_area(st_geometryn(simp, 0))"), 3).as("area_left"),
+          round(expr("st_area(st_geometryn(simp, 1))"), 3).as("area_right"),
+          expr("st_numpoints(st_geometryn(simp, 0))").as("np_left"),
+          expr("st_numpoints(st_geometryn(simp, 1))").as("np_right"),
+          expr("st_isvalid(st_geometryn(simp, 0)) AND st_isvalid(st_geometryn(simp, 1))")
+            .as("ok"),
+          expr("st_coverageisvalid(simp)").as("cov_ok"))
+    }),
+
+    "q112_tps" -> ((s, d) => {
+      // st_simplifypreservetopology (reference
+      // geos/entrypoints.go:239-245): per-nation h x 8 rectangle with a
+      // center diamond hole of radius 1/8. Plain DP at tolerance 1
+      // collapses the hole ring; TPS halves the tolerance until the
+      // structure survives, so the output keeps the hole — area
+      // h*8 - 1/32, 10 points (5 shell + 5 hole), valid — while plain
+      // simplify on the same row reports 1 ring. Everything closed-form.
+      withST(s)
+      t(s, d, "nation")
+        .withColumn("h", (col("n_nationkey") % 5 + 4).cast("double"))
+        .withColumn("wkt", format_string(
+          "POLYGON((0 0,8 0,8 %1$.1f,0 %1$.1f,0 0)," +
+            "(4.125 1.5,4 1.625,3.875 1.5,4 1.375,4.125 1.5))", col("h")))
+        .withColumn("geom", expr("st_geomfromwkt(wkt)"))
+        .withColumn("tps", expr("st_simplifypreservetopology(geom, 1.0d)"))
+        .select(col("n_nationkey"),
+          round(expr("st_area(tps)"), 6).as("area"),
+          expr("st_numpoints(tps)").as("n_points"),
+          expr("st_numpoints(st_simplify(geom, 1.0d))").as("n_points_plain"),
+          expr("st_isvalid(tps)").as("ok"))
     })
   )
 
@@ -3309,6 +3410,40 @@ object SparkEntry {
           |  ROUND(CAST((n_nationkey % 5 + 2) * (n_nationkey % 7 + 2) AS DOUBLE), 3)
           |    AS hull_area,
           |  TRUE AS ok_valid, TRUE AS conc_le, TRUE AS covers_all
+          |FROM nation""".stripMargin,
+
+      // exact-cancellation coverage union of a w x h unit-tile grid:
+      // area w*h, one polygon, shell keeps all 2(w+h) boundary
+      // vertices plus the closing point
+      "q110_coverage_union" ->
+        """WITH k AS (SELECT n_nationkey,
+          |    n_nationkey % 6 + 2 AS w, n_nationkey % 4 + 2 AS h
+          |  FROM nation)
+          |SELECT n_nationkey,
+          |  ROUND(CAST(w * h AS DOUBLE), 3) AS area,
+          |  1 AS n_geoms,
+          |  CAST(2 * (w + h) + 1 AS INTEGER) AS n_points,
+          |  TRUE AS ok, TRUE AS cov_ok
+          |FROM k""".stripMargin,
+
+      // coverage VW-simplify at tolerance 1 collapses the zigzag
+      // shared boundary to a straight segment: both tiles become exact
+      // 1 x h rectangles (5 ring points incl. closure)
+      "q111_coverage_simplify" ->
+        """SELECT n_nationkey,
+          |  ROUND(CAST(n_nationkey % 5 + 6 AS DOUBLE), 3) AS area_left,
+          |  ROUND(CAST(n_nationkey % 5 + 6 AS DOUBLE), 3) AS area_right,
+          |  5 AS np_left, 5 AS np_right,
+          |  TRUE AS ok, TRUE AS cov_ok
+          |FROM nation""".stripMargin,
+
+      // TPS keeps the diamond hole that plain DP collapses: area
+      // h*8 - 1/32, shell 5 + hole 5 points; plain simplify keeps only
+      // the 5-point shell
+      "q112_tps" ->
+        """SELECT n_nationkey,
+          |  ROUND(CAST((n_nationkey % 5 + 4) * 8 AS DOUBLE) - 0.03125, 6) AS area,
+          |  10 AS n_points, 5 AS n_points_plain, TRUE AS ok
           |FROM nation""".stripMargin
     )
   }

@@ -108,6 +108,44 @@ object Algos {
     case other => other
   }
 
+  /** TopologyPreserveSimplify (GEOS wrapper analogue — reference
+    * geos/entrypoints.go:239-245): Douglas–Peucker under topological
+    * guards — no ring or element collapses, and the output must be as
+    * valid as the input. Implemented as guarded DP: simplify at the
+    * requested tolerance, verify structure (ring counts per part
+    * unchanged) and validity, and on violation halve the tolerance
+    * and retry (7 attempts, then the input is returned unchanged).
+    * Coarser-grained than GEOS's per-vertex reinstatement, but the
+    * contract — "an attempt is made to preserve topological
+    * invariants", valid in → valid out, nothing vanishes — holds.
+    * Invalid inputs fall back to plain [[simplify]] (the reference
+    * does not define TPS behaviour on invalid input).
+    */
+  def topologyPreserveSimplify(g: Geom, tol: Double): Geom = {
+    if (tol <= 0 || g.isEmpty) return g
+    if (!Validate.isValid(g)) return simplify(g, tol)
+    var t = tol
+    var i = 0
+    while (i < 7) {
+      val r = simplify(g, t)
+      if (ringStructure(r) == ringStructure(g) && Validate.isValid(r)) return r
+      t /= 2
+      i += 1
+    }
+    g
+  }
+
+  /** rings per polygonal part / lines per multiline — the shape that
+    * TPS must preserve
+    */
+  private def ringStructure(g: Geom): Seq[Int] = g match {
+    case GPoly(rs, _) => Seq(rs.length)
+    case GMPoly(ps, _) => ps.toSeq.map(_.length)
+    case GMLine(ls, _) => Seq(ls.length)
+    case GColl(cs, _) => cs.toSeq.flatMap(ringStructure)
+    case _ => Seq(1)
+  }
+
   def rdp(s: Seqn, tol: Double): Seqn = {
     val n = s.n
     if (n <= 2) return s

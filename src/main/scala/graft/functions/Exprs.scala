@@ -126,6 +126,9 @@ object GeomOps {
     }),
     "st_boundary" -> (BinaryType, g => wkb(Geom.boundary(g))),
     "st_makevalid" -> (BinaryType, g => wkb(SetOps.makeValid(g))),
+    "st_coverageunion" -> (BinaryType, g => wkb(Coverage.union(g))),
+    "st_coverageisvalid" -> (BooleanType, g => Coverage.isValid(g)._1),
+    "st_coverageinvalidedges" -> (BinaryType, g => wkb(Coverage.isValid(g)._2)),
     "st_centroid" -> (BinaryType, g => wkb(Measure.centroid(g) match {
       case Some((x, y)) => GPoint.xy(x, y)
       case None => GPoint.empty
@@ -559,6 +562,8 @@ case class GeomParamOp(op: String, left: Expression, right: Expression)
     val g = Wkb.read(gv.asInstanceOf[Array[Byte]])
     op match {
       case "st_simplify" => Wkb.write(Algos.simplify(g, GeomOps.numD(pv)))
+      case "st_simplifypreservetopology" =>
+        Wkb.write(Algos.topologyPreserveSimplify(g, GeomOps.numD(pv)))
       case "st_densify" => Wkb.write(Algos.densify(g, GeomOps.numD(pv)))
       case "st_snaptogrid" => Wkb.write(Geom.snapToGrid(g, GeomOps.numI(pv)))
       case "st_geometryn" =>
@@ -694,6 +699,27 @@ case class StSubdivide(children: Seq[Expression]) extends Expression with RowKer
     val pieces = Algos.subdivide(Wkb.read(vs(0).asInstanceOf[Array[Byte]]),
       GeomOps.numD(vs(1)).toInt)
     new GenericArrayData(pieces.map(p => Wkb.write(p): Any).toArray)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** st_coveragesimplifyvw(coverage, tolerance[, preserveBoundary]) —
+  * reference geos/entrypoints.go:294-298; chain-shared
+  * Visvalingam–Whyatt, valid coverage in → valid coverage out.
+  */
+case class StCoverageSimplifyVW(children: Seq[Expression])
+    extends Expression with RowKernelCodegen {
+  require(children.length == 2 || children.length == 3,
+    "st_coveragesimplifyvw(coverage, tolerance[, preserveBoundary])")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_coveragesimplifyvw"
+  override def genEval(vs: Array[Any]): Any = {
+    if (vs(0) == null || vs(1) == null) return null
+    val pb = vs.length > 2 && vs(2) != null && vs(2).asInstanceOf[Boolean]
+    Wkb.write(graft.core.Coverage.simplifyVW(
+      Wkb.read(vs(0).asInstanceOf[Array[Byte]]), GeomOps.numD(vs(1)), pb))
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(children = cs)

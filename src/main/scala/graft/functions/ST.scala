@@ -142,6 +142,8 @@ object ST {
   // ---------------------------------------------------- transformations
   def st_simplify(c: Column, tol: Column): Column =
     col(GeomParamOp("st_simplify", ex(c), ex(tol)))
+  def st_simplifyPreserveTopology(c: Column, tol: Column): Column =
+    col(GeomParamOp("st_simplifypreservetopology", ex(c), ex(tol)))
   def st_buffer(c: Column, d: Column): Column =
     col(GeomParamOp("st_buffer", ex(c), ex(d)))
   def st_buffer(c: Column, d: Column, params: Column): Column =
@@ -406,6 +408,7 @@ object ST {
     reg1("st_clipbybox") { es => StClipByBox(es) }
     reg1("st_subdivide") { es => StSubdivide(es) }
     reg1("st_concavehull") { es => StConcaveHull(es) }
+    reg1("st_coveragesimplifyvw") { es => StCoverageSimplifyVW(es) }
     reg1("st_relatematch") { es => StRelateMatch(es(0), es(1)) }
     reg1("st_exactequals") { es => StExactEquals(es) }
     reg1("st_astwkb") { es => StAsTwkb(es(0), es(1)) }
@@ -423,7 +426,8 @@ object ST {
     reg1("st_cellgeom") { es => StCellGeom(es.head) }
     reg1("st_cellbounds") { es => StCellBounds(es.head) }
     reg1("st_project") { es => StProject(es(0), es(1)) }
-    for (op <- Seq("st_simplify", "st_densify", "st_snaptogrid", "st_geometryn",
+    for (op <- Seq("st_simplify", "st_simplifypreservetopology",
+      "st_densify", "st_snaptogrid", "st_geometryn",
       "st_pointn", "st_interiorringn", "st_lineinterpolatepoint",
       "st_interpolatedpoints"))
       reg1(op) { es => GeomParamOp(op, es(0), es(1)) }
@@ -446,12 +450,55 @@ object ST {
     spark.udf.register("st_convexhull_agg", udaf(ConvexHullAgg))
     spark.udf.register("st_collect_agg", udaf(CollectAgg))
     spark.udf.register("st_union_agg", udaf(UnionAgg))
+    spark.udf.register("st_coverageunion_agg", udaf(CoverageUnionAgg))
   }
 
   def st_envelopeAgg(c: Column): Column = udaf(EnvelopeAgg).apply(c)
   def st_convexHullAgg(c: Column): Column = udaf(ConvexHullAgg).apply(c)
   def st_collectAgg(c: Column): Column = udaf(CollectAgg).apply(c)
   def st_unionAgg(c: Column): Column = udaf(UnionAgg).apply(c)
+  def st_coverageUnionAgg(c: Column): Column = udaf(CoverageUnionAgg).apply(c)
+  def st_coverageUnion(c: Column): Column = u("st_coverageunion")(c)
+  def st_coverageIsValid(c: Column): Column = u("st_coverageisvalid")(c)
+
+  /** st_coverageunion_agg: union of a VALID polygonal coverage
+    * (tiled data) by exact shared-edge cancellation — no overlay, no
+    * noding, one linear pass (core/Coverage.scala; reference
+    * geos/entrypoints.go:281-288). Cancellation over the edge
+    * multiset is associative and commutative, and partial coverage
+    * unions keep every surviving vertex chain bit-exact (no collinear
+    * removal), so per-partition partials merge into the final result
+    * exactly — the scale path for unioning a tile pyramid at 10^12
+    * rows where st_union_agg's cascaded overlay would dominate.
+    */
+  object CoverageUnionAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private val batch = 64
+    private def collapse(buf: Array[Byte]): Array[Byte] = {
+      val gs = WkbPack.unpack(buf).map(Wkb.read)
+      WkbPack.pack(Seq(Wkb.write(Coverage.union(GColl(gs.toArray, CT.XY)))))
+    }
+    private def shouldCollapse(buf: Array[Byte]): Boolean = {
+      val c = WkbPack.count(buf)
+      c >= batch &&
+        WkbPack.usedBytes(buf) - 4 * c >= 2 * WkbPack.maxEntryBytes(buf)
+    }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(buf: Array[Byte], wkb: Array[Byte]): Array[Byte] = {
+      if (wkb == null || wkb.isEmpty) return buf
+      val next = WkbPack.append(buf, wkb)
+      if (shouldCollapse(next)) collapse(next) else next
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val next = WkbPack.concat(a, b)
+      if (shouldCollapse(next)) collapse(next) else next
+    }
+    def finish(buf: Array[Byte]): Array[Byte] =
+      if (buf.isEmpty) Wkb.write(Geom.emptyGC)
+      else Wkb.write(Coverage.union(
+        GColl(WkbPack.unpack(buf).map(Wkb.read).toArray, CT.XY)))
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
 
   /** st_union_agg: geometric union fold — union is associative and
     * commutative, so per-partition partial unions merge into the final
