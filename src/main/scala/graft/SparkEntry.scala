@@ -2087,6 +2087,64 @@ object SparkEntry {
           expr("st_numpoints(tps)").as("n_points"),
           expr("st_numpoints(st_simplify(geom, 1.0d))").as("n_points_plain"),
           expr("st_isvalid(tps)").as("ok"))
+    }),
+
+    "q113_rasterize" -> ((s, d) => {
+      // vector -> raster (the ST_AsRaster analogue): per-cell coverage
+      // FRACTION over the dyadic equirect grid. Cell edges at level 4
+      // are exact doubles (22.5 x 10.625), so area(box ∩ cell) /
+      // area(cell) is an exact closed-form double the oracle replays
+      // with greatest/least interval arithmetic. Interior cells report
+      // exactly 1.0. Shuffle-free: explode + clip per input row.
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      Raster.rasterizeEquirect(n, "box", level = 4)
+        .select(col("n_nationkey"), col("ix"), col("iy"), col("coverage"))
+    }),
+
+    "q114_vectorize" -> ((s, d) => {
+      // raster -> vector: dissolve each nation's punched grid of level-4
+      // equirect cells (w x h block, interior odd-odd cells removed)
+      // into ONE polygon-with-holes by exact shared-edge coverage union
+      // (one hash agg, partials merge exactly). Everything closed-form:
+      // area = (w*h - holes)*cellArea, perimeter = outer rectangle +
+      // hole rectangles (grid-aligned edges make every sqrt exact),
+      // n_holes = floor((w-1)/2)*floor((h-1)/2).
+      withST(s)
+      val base = t(s, d, "nation")
+        .withColumn("w", (col("n_nationkey") % 4 + 4).cast("int"))
+        .withColumn("hh", (col("n_nationkey") % 3 + 4).cast("int"))
+        .withColumn("ox", (col("n_nationkey") % 5).cast("int"))
+        .withColumn("oy", (col("n_nationkey") % 3).cast("int"))
+      val cells = base.select(col("n_nationkey"), col("w"), col("hh"),
+          col("ox"), col("oy"),
+          explode(sequence(lit(0), col("w") * col("hh") - 1)).as("i"))
+        .withColumn("li", (col("i") % col("w")).cast("int"))
+        .withColumn("lj", floor(col("i") / col("w")).cast("int"))
+        .filter(!(col("li") % 2 === 1 && col("lj") % 2 === 1 &&
+          col("li") < col("w") - 1 && col("lj") < col("hh") - 1))
+        .select(col("n_nationkey"),
+          (col("ox") + col("li")).cast("long").as("ix"),
+          (col("oy") + col("lj")).cast("long").as("iy"))
+      Raster.vectorizeEquirect(cells, "ix", "iy", level = 4, Seq("n_nationkey"))
+        .select(col("n_nationkey"),
+          round(expr("st_area(geom)"), 6).as("area"),
+          round(expr("st_length(st_boundary(geom))"), 6).as("perimeter"),
+          expr("st_numinteriorrings(geom)").as("n_holes"),
+          expr("st_numgeometries(geom)").as("n_geoms"),
+          expr("st_isvalid(geom)").as("ok"))
+    }),
+
+    "q115_hexbin" -> ((s, d) => {
+      // hexagonal binning (pointy-top axial + cube rounding, the
+      // public H3-style construction) — pure codegen'd column
+      // arithmetic, no UDF, no shuffle before the count agg. The
+      // oracle replays the identical IEEE-754 expression tree in SQL
+      // with the same interpolated double constants.
+      val pts = customerPts(s, d)
+      val (hq, hr) = Raster.hexBin(col("cx"), col("cy"), 7.0)
+      pts.withColumn("hq", hq).withColumn("hr", hr)
+        .groupBy("hq", "hr")
+        .agg(count(lit(1)).as("cnt"))
     })
   )
 
@@ -3444,7 +3502,57 @@ object SparkEntry {
         """SELECT n_nationkey,
           |  ROUND(CAST((n_nationkey % 5 + 4) * 8 AS DOUBLE) - 0.03125, 6) AS area,
           |  10 AS n_points, 5 AS n_points_plain, TRUE AS ok
-          |FROM nation""".stripMargin
+          |FROM nation""".stripMargin,
+
+      // q27's interval arithmetic divided by the exact level-4 cell
+      // area (22.5 * 10.625 = 239.0625)
+      "q113_rasterize" ->
+        s"""WITH cells AS (SELECT a.range AS ix, b.range AS iy FROM range(16) a, range(16) b),
+           |n AS (SELECT n_nationkey, $nx0 AS x0, $ny0 AS y0,
+           |             $nx0 + 72.0 AS x1, $ny0 + 34.0 AS y1 FROM nation),
+           |parts AS (
+           |  SELECT n_nationkey, ix, iy,
+           |    greatest(0.0, least(x1, -180.0 + (ix+1) * 22.5) - greatest(x0, -180.0 + ix * 22.5)) *
+           |    greatest(0.0, least(y1, 85.0 - iy * 10.625) - greatest(y0, 85.0 - (iy+1) * 10.625)) AS part_area
+           |  FROM n, cells)
+           |SELECT n_nationkey, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy,
+           |  part_area / 239.0625 AS coverage
+           |FROM parts WHERE part_area > 0""".stripMargin,
+
+      // dissolved punched grid: outer w x h rectangle of level-4 cells
+      // minus floor((w-1)/2)*floor((h-1)/2) isolated interior holes
+      "q114_vectorize" ->
+        """WITH k AS (SELECT n_nationkey,
+          |    n_nationkey % 4 + 4 AS w, n_nationkey % 3 + 4 AS h,
+          |    CAST(floor((n_nationkey % 4 + 3) / 2) AS BIGINT) *
+          |    CAST(floor((n_nationkey % 3 + 3) / 2) AS BIGINT) AS holes
+          |  FROM nation)
+          |SELECT n_nationkey,
+          |  ROUND((w * h - holes) * 239.0625, 6) AS area,
+          |  ROUND(2 * (w * 22.5 + h * 10.625) + holes * 2 * (22.5 + 10.625), 6) AS perimeter,
+          |  CAST(holes AS INTEGER) AS n_holes,
+          |  1 AS n_geoms, TRUE AS ok
+          |FROM k""".stripMargin,
+
+      // the identical IEEE-754 cube-rounding expression tree with the
+      // same interpolated double constants (Double.toString round-trips
+      // through DuckDB's decimal parser to the same bits)
+      "q115_hexbin" ->
+        s"""WITH p AS (SELECT $cx AS x, $cy AS y FROM customer),
+           |f AS (SELECT x, y,
+           |  (${Raster.Sqrt3Third} * x - ${1.0 / 3.0} * y) / 7.0 AS xf,
+           |  (${2.0 / 3.0} * y) / 7.0 AS zf FROM p),
+           |g AS (SELECT xf, zf, (-xf) - zf AS yf,
+           |  floor(xf + 0.5) AS rx, floor((-xf) - zf + 0.5) AS ry,
+           |  floor(zf + 0.5) AS rz FROM f),
+           |h AS (SELECT rx, ry, rz,
+           |  abs(rx - xf) AS dx, abs(ry - yf) AS dy, abs(rz - zf) AS dz FROM g),
+           |i AS (SELECT
+           |  CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS q,
+           |  CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz) THEN -rx - ry ELSE rz END AS r
+           |  FROM h)
+           |SELECT CAST(q AS BIGINT) AS hq, CAST(r AS BIGINT) AS hr, count(*) AS cnt
+           |FROM i GROUP BY 1, 2""".stripMargin
     )
   }
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ST._
+
+/** Raster↔vector conversion over the dyadic equirectangular grid, plus
+  * hexagonal binning — the grid half of the tiling surface.
+  *
+  * The equirect grid at level L splits [-180,180]×[-85,85] into 2^L ×
+  * 2^L cells whose edges are exact doubles (360/2^L and 170/2^L are
+  * dyadic), so every clipped-part area, coverage fraction and
+  * dissolved boundary length below is an exact closed-form double —
+  * which is what makes these operators oracle-checkable end to end.
+  *
+  * Scale shape: rasterize is embarrassingly parallel (explode + clip
+  * per input row, no shuffle); vectorize is ONE hash aggregation whose
+  * partials merge exactly (coverage union is shared-edge cancellation,
+  * associative on disjoint tile sets — see core/Coverage.union); hex
+  * binning is pure codegen'd column arithmetic (no UDF, no shuffle).
+  */
+object Raster {
+
+  /** Vector → raster: per-cell coverage fraction (the `ST_AsRaster`
+    * analogue; reference carto/ projections give the grid, the clip
+    * kernel is Sutherland–Hodgman, core/Overlay clipByBox).
+    *
+    * Output: input columns + (ix, iy, coverage) with 0 < coverage ≤ 1,
+    * where coverage = area(geom ∩ cell) / area(cell). Fully covered
+    * interior cells report exactly 1.0 (dyadic edges ⇒ exact doubles).
+    */
+  def rasterizeEquirect(df: DataFrame, geomCol: String, level: Int): DataFrame = {
+    val side = 1 << level
+    val cellArea = (360.0 / side) * (170.0 / side)
+    SpatialJoins.tileAssignEquirect(df, geomCol, level)
+      .withColumn("coverage", st_area(col("tile_part")) / lit(cellArea))
+      .filter(col("coverage") > 0)
+      .drop("tile_part")
+  }
+
+  /** Raster → vector: dissolve each key's set of grid cells into
+    * polygons by EXACT shared-edge cancellation (core/Coverage.union —
+    * no overlay arrangement, no snap ladder). Interior cell-cell edges
+    * cancel; surviving edges walk into shells and holes.
+    *
+    * Input rows must be distinct on (keyCols, ixCol, iyCol): a
+    * duplicated cell is a duplicated directed edge, which the coverage
+    * union rejects as an invalid coverage (by design — a raster table
+    * is keyed by cell, and silently deduping would hide an upstream
+    * bug behind a shuffle).
+    *
+    * One hash aggregation; partials merge exactly under any
+    * partitioning because cancellation is associative and partial
+    * results keep surviving vertex chains bit-exact.
+    */
+  def vectorizeEquirect(df: DataFrame, ixCol: String, iyCol: String,
+                        level: Int, keyCols: Seq[String]): DataFrame = {
+    val side = 1 << level
+    val cw = 360.0 / side
+    val ch = 170.0 / side
+    val x0 = lit(-180.0) + col(ixCol) * cw
+    val y1 = lit(85.0) - col(iyCol) * ch
+    df.withColumn("__cell_poly", st_makeEnvelope(x0, y1 - ch, x0 + cw, y1))
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr("st_coverageunion_agg(__cell_poly)").as("geom"))
+  }
+
+  /** Hexagonal binning (pointy-top axial coordinates with cube
+    * rounding — the standard public H3-style construction). Returns
+    * the (q, r) axial indices of the hexagon of circumradius `size`
+    * containing each point.
+    *
+    * Pure column arithmetic (floor/abs/conditionals only) — fully
+    * whole-stage-codegen'd, and replayable verbatim in any IEEE-754
+    * SQL engine, which is how the oracle checks it.
+    */
+  def hexBin(x: Column, y: Column, size: Double): (Column, Column) = {
+    val qf = (lit(Sqrt3Third) * x - lit(1.0 / 3.0) * y) / size
+    val rf = (lit(2.0 / 3.0) * y) / size
+    // cube round: xf+yf+zf == 0 must survive rounding
+    val xf = qf
+    val zf = rf
+    val yf = -xf - zf
+    val rx = floor(xf + 0.5)
+    val ry = floor(yf + 0.5)
+    val rz = floor(zf + 0.5)
+    val dx = abs(rx - xf)
+    val dy = abs(ry - yf)
+    val dz = abs(rz - zf)
+    val q = when(dx > dy && dx > dz, -ry - rz).otherwise(rx)
+    val r = when(!(dx > dy && dx > dz) && !(dy > dz), -rx - ry).otherwise(rz)
+    (q.cast("long"), r.cast("long"))
+  }
+
+  /** Center of an axial hex bin (inverse of hexBin's lattice map). */
+  def hexCenter(q: Column, r: Column, size: Double): (Column, Column) = {
+    val x = lit(size) * (lit(Sqrt3) * q + lit(Sqrt3Half) * r)
+    val y = lit(size) * (lit(1.5) * r)
+    (x, y)
+  }
+
+  // written as computed vals so the Spark plan and the generated
+  // oracle SQL interpolate the SAME double constants
+  final val Sqrt3: Double = math.sqrt(3.0)
+  final val Sqrt3Half: Double = math.sqrt(3.0) / 2.0
+  final val Sqrt3Third: Double = math.sqrt(3.0) / 3.0
+}
