@@ -2145,6 +2145,43 @@ object SparkEntry {
       pts.withColumn("hq", hq).withColumn("hr", hr)
         .groupBy("hq", "hr")
         .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q116_envelope_ops" -> ((s, d) => {
+      // the rest of the reference's Envelope surface
+      // (geom/type_envelope.go:188-246): width/height/area/center plus
+      // box-box distance (0 when intersecting, straight-line gap
+      // otherwise — IEEE sqrt is exactly specified, so even the
+      // irrational distances bit-match the oracle's sqrt)
+      withST(s)
+      nationBoxes(s, d)
+        .withColumn("probe",
+          st_makeEnvelope(lit(-30.0), lit(-20.0), lit(-10.0), lit(5.0)))
+        .select(col("n_nationkey"),
+          expr("st_envwidth(box)").as("w"),
+          expr("st_envheight(box)").as("h"),
+          expr("st_envarea(box)").as("a"),
+          expr("st_x(st_envcenter(box))").as("ecx"),
+          expr("st_y(st_envcenter(box))").as("ecy"),
+          expr("st_envdistance(box, probe)").as("gap"))
+    }),
+
+    "q117_affine" -> ((s, d) => {
+      // st_affine — the SQL-expressible subset of the reference's
+      // TransformXY (geom/type_geometry.go:459-467). A shear+scale+
+      // translate with det 3.5 on integer-cornered boxes keeps every
+      // coordinate an exact double: area scales by exactly det, and the
+      // transformed envelope is the min/max of the four mapped corners,
+      // which the oracle computes directly.
+      withST(s)
+      nationBoxes(s, d)
+        .withColumn("tr",
+          expr("st_affine(box, 2.0d, 1.0d, -0.5d, 1.5d, 10.0d, -20.0d)"))
+        .select(col("n_nationkey"),
+          expr("st_area(tr)").as("area"),
+          expr("st_xmin(tr)").as("txmin"), expr("st_ymin(tr)").as("tymin"),
+          expr("st_xmax(tr)").as("txmax"), expr("st_ymax(tr)").as("tymax"),
+          expr("st_isvalid(tr)").as("ok"))
     })
   )
 
@@ -3552,7 +3589,43 @@ object SparkEntry {
            |  CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz) THEN -rx - ry ELSE rz END AS r
            |  FROM h)
            |SELECT CAST(q AS BIGINT) AS hq, CAST(r AS BIGINT) AS hr, count(*) AS cnt
-           |FROM i GROUP BY 1, 2""".stripMargin
+           |FROM i GROUP BY 1, 2""".stripMargin,
+
+      // envelope width/height/area/center + box-box gap distance vs
+      // the fixed probe box [-30,-10]x[-20,5]; greatest(0,...) clamps
+      // make the intersecting case 0 exactly like the engine's
+      // intersects short-circuit
+      "q116_envelope_ops" ->
+        s"""WITH n AS (SELECT n_nationkey, $nx0 AS x0, $ny0 AS y0,
+           |             $nx0 + 72.0 AS x1, $ny0 + 34.0 AS y1 FROM nation),
+           |d AS (SELECT n_nationkey, x0, y0, x1, y1,
+           |  greatest(0.0, greatest(-30.0 - x1, x0 - (-10.0))) AS dx,
+           |  greatest(0.0, greatest(-20.0 - y1, y0 - 5.0)) AS dy FROM n)
+           |SELECT n_nationkey,
+           |  x1 - x0 AS w, y1 - y0 AS h, (x1 - x0) * (y1 - y0) AS a,
+           |  (x0 + x1) / 2 AS ecx, (y0 + y1) / 2 AS ecy,
+           |  sqrt(dx * dx + dy * dy) AS gap
+           |FROM d""".stripMargin,
+
+      // affine with det 3.5: area scales exactly; envelope = min/max of
+      // the four transformed corners (x' = 2x + y + 10, y' = -x/2 +
+      // 1.5y - 20 — all exact on integer corners)
+      "q117_affine" ->
+        s"""WITH n AS (SELECT n_nationkey, $nx0 AS x0, $ny0 AS y0,
+           |             $nx0 + 72.0 AS x1, $ny0 + 34.0 AS y1 FROM nation),
+           |c AS (SELECT n_nationkey, (x1 - x0) * (y1 - y0) AS a0,
+           |  2.0*x0 + 1.0*y0 + 10.0 AS p1x, -0.5*x0 + 1.5*y0 - 20.0 AS p1y,
+           |  2.0*x1 + 1.0*y0 + 10.0 AS p2x, -0.5*x1 + 1.5*y0 - 20.0 AS p2y,
+           |  2.0*x1 + 1.0*y1 + 10.0 AS p3x, -0.5*x1 + 1.5*y1 - 20.0 AS p3y,
+           |  2.0*x0 + 1.0*y1 + 10.0 AS p4x, -0.5*x0 + 1.5*y1 - 20.0 AS p4y
+           |  FROM n)
+           |SELECT n_nationkey, a0 * 3.5 AS area,
+           |  least(p1x, p2x, p3x, p4x) AS txmin,
+           |  least(p1y, p2y, p3y, p4y) AS tymin,
+           |  greatest(p1x, p2x, p3x, p4x) AS txmax,
+           |  greatest(p1y, p2y, p3y, p4y) AS tymax,
+           |  TRUE AS ok
+           |FROM c""".stripMargin
     )
   }
 }

@@ -88,6 +88,17 @@ object GeomOps {
         Int.box(gs.length + gs.map(total).sum)
       case _ => null
     }),
+    // reference geom/type_envelope.go:208-233: width/height/area of
+    // the bounding box, 0 for empty
+    "st_envwidth" -> (DoubleType, g => Double.box(g.envelope.width)),
+    "st_envheight" -> (DoubleType, g => Double.box(g.envelope.height)),
+    "st_envarea" -> (DoubleType, g => Double.box(g.envelope.area)),
+    // reference geom/type_envelope.go:188-196: center point of the
+    // bounding box, empty point for empty
+    "st_envcenter" -> (BinaryType, g => {
+      val e = g.envelope
+      wkb(if (e.isEmpty) GPoint.empty else GPoint.xy(e.centerX, e.centerY))
+    }),
     // reference geom/type_envelope.go:76-79: envelope is a
     // non-degenerate rectangle with some area
     "st_isrectangle" -> (BooleanType, g => {
@@ -226,6 +237,12 @@ object GeomOps {
     "st_equals" -> (BooleanType, (a: Geom, b: Geom) => Relate.equalsTopo(a, b)),
     "st_relate" -> (StringType, (a: Geom, b: Geom) => utf8(Relate.relate(a, b))),
     "st_distance" -> (DoubleType, (a: Geom, b: Geom) => Intersects.distance(a, b).orNull),
+    // reference geom/type_envelope.go:236-246: box-box distance,
+    // undefined (null) when either side is empty
+    "st_envdistance" -> (DoubleType, (a: Geom, b: Geom) => {
+      val e = a.envelope; val o = b.envelope
+      if (e.isEmpty || o.isEmpty) null else Double.box(e.distance(o))
+    }),
     "st_intersection" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.Overlay.intersection(a, b))),
     "st_union" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.SetOps.union(a, b))),
     "st_difference" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.SetOps.difference(a, b))),
@@ -543,6 +560,30 @@ case class StMakeEnvelope(children: Seq[Expression]) extends Expression with Row
     if (vs.contains(null)) return null
     val ds = vs.map(GeomOps.numD)
     Wkb.write(Env(ds(0), ds(1), ds(2), ds(3)).toGeom)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** st_affine(g, a, b, d, e, xoff, yoff) — 2D affine transform
+  * x' = a*x + b*y + xoff, y' = d*x + e*y + yoff applied to every
+  * coordinate, Z/M carried through untouched. The SQL-expressible
+  * subset of the reference's arbitrary-function TransformXY
+  * (geom/type_geometry.go:459-467); PostGIS ST_Affine's 2D form.
+  */
+case class StAffine(children: Seq[Expression]) extends Expression with RowKernelCodegen {
+  require(children.length == 7, "st_affine(g, a, b, d, e, xoff, yoff)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "st_affine"
+  override def genEval(vs: Array[Any]): Any = {
+    if (vs.contains(null)) return null
+    val g = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
+    val a = GeomOps.numD(vs(1)); val b = GeomOps.numD(vs(2))
+    val d = GeomOps.numD(vs(3)); val e = GeomOps.numD(vs(4))
+    val xo = GeomOps.numD(vs(5)); val yo = GeomOps.numD(vs(6))
+    Wkb.write(Geom.transformXY(g, (x, y) => (a * x + b * y + xo, d * x + e * y + yo)))
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(children = cs)

@@ -86,6 +86,12 @@ object ST {
   def st_xmax(c: Column): Column = u("st_xmax")(c)
   def st_ymax(c: Column): Column = u("st_ymax")(c)
   def st_envelope(c: Column): Column = u("st_envelope")(c)
+  def st_envWidth(c: Column): Column = u("st_envwidth")(c)
+  def st_envHeight(c: Column): Column = u("st_envheight")(c)
+  def st_envArea(c: Column): Column = u("st_envarea")(c)
+  def st_envCenter(c: Column): Column = u("st_envcenter")(c)
+  def st_envDistance(l: Column, r: Column): Column =
+    col(GeomBinaryOp("st_envdistance", ex(l), ex(r)))
   def st_boundary(c: Column): Column = u("st_boundary")(c)
   def st_makeValid(c: Column): Column = u("st_makevalid")(c)
   def st_centroid(c: Column): Column = u("st_centroid")(c)
@@ -162,6 +168,9 @@ object ST {
     col(GeomParamOp("st_lineinterpolatepoint", ex(c), ex(f)))
   def st_interpolatedPoints(c: Column, n: Column): Column =
     col(GeomParamOp("st_interpolatedpoints", ex(c), ex(n)))
+  def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,
+                xoff: Column, yoff: Column): Column =
+    col(StAffine(Seq(ex(g), ex(a), ex(b), ex(d), ex(e), ex(xoff), ex(yoff))))
   def st_clipByBox(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     col(StClipByBox(Seq(ex(g), ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
   def st_subdivide(g: Column, maxVerts: Column): Column =
@@ -426,6 +435,7 @@ object ST {
     reg1("st_cellgeom") { es => StCellGeom(es.head) }
     reg1("st_cellbounds") { es => StCellBounds(es.head) }
     reg1("st_project") { es => StProject(es(0), es(1)) }
+    reg1("st_affine") { es => StAffine(es) }
     for (op <- Seq("st_simplify", "st_simplifypreservetopology",
       "st_densify", "st_snaptogrid", "st_geometryn",
       "st_pointn", "st_interiorringn", "st_lineinterpolatepoint",

@@ -254,4 +254,60 @@ class CtorAndFeatureSpec extends AnyFunSuite {
       .select(expr("st_featureforeignmembers(j)")).collect()(0).getString(0)
     assert(got.contains("\"custom\":{\"k\":1}"))
   }
+
+  test("envelope width/height/area/center/distance with reference empty semantics") {
+    // reference geom/type_envelope.go:188-246: width/height/area 0 for
+    // empty, center is the empty point, distance undefined -> null;
+    // distance 0 when boxes intersect, straight-line gap otherwise
+    val df = Seq(
+      ("POLYGON((1 2,5 2,5 10,1 10,1 2))", "POLYGON((2 3,3 3,3 4,2 4,2 3))"), // overlap
+      ("POLYGON((0 0,2 0,2 2,0 2,0 0))", "POLYGON((5 6,7 6,7 8,5 8,5 6))"),   // diagonal gap
+      ("POLYGON((0 0,2 0,2 2,0 2,0 0))", "POINT EMPTY")                        // empty rhs
+    ).toDF("aw", "bw")
+      .withColumn("a", st_geomFromWKT($"aw"))
+      .withColumn("b", st_geomFromWKT($"bw"))
+    val rows = df.select(
+      expr("st_envwidth(a)"), expr("st_envheight(a)"), expr("st_envarea(a)"),
+      expr("st_x(st_envcenter(a))"), expr("st_y(st_envcenter(a))"),
+      expr("st_envdistance(a, b)"), expr("st_isempty(st_envcenter(b))")).collect()
+    assert(rows(0).getDouble(0) === 4.0 && rows(0).getDouble(1) === 8.0)
+    assert(rows(0).getDouble(2) === 32.0)
+    assert(rows(0).getDouble(3) === 3.0 && rows(0).getDouble(4) === 6.0)
+    assert(rows(0).getDouble(5) === 0.0) // intersecting boxes
+    assert(rows(1).getDouble(5) === 5.0) // 3-4-5 diagonal gap
+    assert(rows(2).isNullAt(5))          // empty side -> undefined
+    assert(rows(2).getBoolean(6))        // center of empty -> empty point
+    // empty geometry: width/height/area are 0, not null
+    val e = df.filter($"bw" === "POINT EMPTY")
+      .select(expr("st_envwidth(b)"), expr("st_envarea(b)")).collect()(0)
+    assert(e.getDouble(0) === 0.0 && e.getDouble(1) === 0.0)
+  }
+
+  test("st_affine: coordinate map, Z/M carry, inverse composition") {
+    val df = Seq(
+      "POLYGON Z((0 0 7,4 0 8,4 4 9,0 4 10,0 0 7))",
+      "LINESTRING M(1 2 5,3 4 6)",
+      "POINT(2 3)"
+    ).toDF("w").withColumn("g", st_geomFromWKT($"w"))
+    // forward x' = 2x + y + 10, y' = 1.5x + y - 20 (det 0.5); the
+    // inverse x = 2x' - 2y' - 60, y = -3x' + 4y' + 110 has all-dyadic
+    // coefficients, so the composition is bit-exact on these inputs
+    val rows = df.select(
+      expr("st_x(st_affine(g, 2.0d, 1.0d, 1.5d, 1.0d, 10.0d, -20.0d))").as("px"),
+      expr("st_y(st_affine(g, 2.0d, 1.0d, 1.5d, 1.0d, 10.0d, -20.0d))").as("py"),
+      expr("""st_affine(st_affine(g, 2.0d, 1.0d, 1.5d, 1.0d, 10.0d, -20.0d),
+              2.0d, -2.0d, -3.0d, 4.0d, -60.0d, 110.0d)""").as("roundtrip"),
+      $"g",
+      st_geometryType($"g").as("typ"),
+      st_coordDim($"g").as("cd")).collect()
+    // POINT(2 3) -> (2*2+3+10, 1.5*2+3-20) = (17, -14)
+    assert(rows(2).getDouble(0) === 17.0 && rows(2).getDouble(1) === -14.0)
+    // inverse composition is the identity, byte-for-byte, and Z/M
+    // coordinate types are carried through both transforms
+    for (r <- rows) {
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("roundtrip"), r.getAs[Array[Byte]]("g")))
+    }
+    assert(rows(0).getInt(5) === 3 && rows(1).getInt(5) === 3) // XYZ / XYM
+  }
 }
