@@ -317,7 +317,9 @@ object Bench {
           if (math.max(efficiency, effClustered) > 1.15)
             f"an efficiency this far above 1.0 is PHYSICALLY IMPOSSIBLE for a 4x core scale-up — it means every lo-level sample was still noise-inflated and the measurement did NOT converge (too few rounds fit the budget); treat the gate as unverified this run, not met"
           else if (math.min(efficiency, effClustered) >= 0.8)
-            f"gate >= 0.8: **met on both layouts** (conservative ${math.min(efficiency, effClustered)}%.3f; values slightly above 1.0 are residual lo-level noise)"
+            f"gate >= 0.8: **met on both layouts** (conservative ${math.min(efficiency, effClustered)}%.3f)" +
+              (if (math.max(efficiency, effClustered) > 1.0)
+                " — values slightly above 1.0 are residual lo-level noise" else "")
           else if (math.max(efficiency, effClustered) >= 0.8)
             f"gate >= 0.8: **met** on the ${if (effClustered >= efficiency) "clustered" else "random"} layout"
           else

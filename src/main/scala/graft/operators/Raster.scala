@@ -20,21 +20,52 @@ import graft.functions.ST._
   * associative on disjoint tile sets — see core/Coverage.union); hex
   * binning is pure codegen'd column arithmetic (no UDF, no shuffle).
   */
+/** The ONE definition of the dyadic equirect grid shared by every
+  * producer/consumer (tileAssignEquirect, rasterize, vectorize): cell
+  * (ix, iy) at level L spans x ∈ [X0 + ix·cw, X0 + (ix+1)·cw],
+  * y ∈ [Y1 − (iy+1)·ch, Y1 − iy·ch] — iy counts DOWN from the top
+  * edge. Changing the extent or orientation here changes all of them
+  * together; hand-synced copies are how raster→vector round-trips
+  * silently shift.
+  */
+object EquirectGrid {
+  final val X0 = -180.0
+  final val Y1 = 85.0
+  final val XSpan = 360.0
+  final val YSpan = 170.0
+  def cw(level: Int): Double = XSpan / (1 << level)
+  def ch(level: Int): Double = YSpan / (1 << level)
+  def cellArea(level: Int): Double = cw(level) * ch(level)
+}
+
 object Raster {
 
+  private def requireFresh(df: DataFrame, op: String, cols: String*): Unit = {
+    val clash = cols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op appends column(s) ${cols.mkString(", ")}; input already has ${clash.mkString(", ")} — rename them first (withColumn would silently overwrite)")
+  }
+
   /** Vector → raster: per-cell coverage fraction (the `ST_AsRaster`
-    * analogue; reference carto/ projections give the grid, the clip
-    * kernel is Sutherland–Hodgman, core/Overlay clipByBox).
+    * analogue for AREAL input; reference carto/ projections give the
+    * grid, the clip kernel is Sutherland–Hodgman, core/Overlay
+    * clipByBox).
     *
     * Output: input columns + (ix, iy, coverage) with 0 < coverage ≤ 1,
     * where coverage = area(geom ∩ cell) / area(cell). Fully covered
     * interior cells report exactly 1.0 (dyadic edges ⇒ exact doubles).
+    *
+    * Polygonal geometries only: coverage is an AREA fraction, so
+    * points and linestrings (zero area in every cell) produce no rows
+    * — burn-touched-cells semantics for lower dimensions is
+    * `tileAssignEquirect` + `st_isempty(tile_part)` filtering, not
+    * this operator.
     */
   def rasterizeEquirect(df: DataFrame, geomCol: String, level: Int): DataFrame = {
-    val side = 1 << level
-    val cellArea = (360.0 / side) * (170.0 / side)
+    requireFresh(df, "rasterizeEquirect", "ix", "iy", "coverage", "tile_part")
     SpatialJoins.tileAssignEquirect(df, geomCol, level)
-      .withColumn("coverage", st_area(col("tile_part")) / lit(cellArea))
+      .withColumn("coverage",
+        st_area(col("tile_part")) / lit(EquirectGrid.cellArea(level)))
       .filter(col("coverage") > 0)
       .drop("tile_part")
   }
@@ -56,11 +87,11 @@ object Raster {
     */
   def vectorizeEquirect(df: DataFrame, ixCol: String, iyCol: String,
                         level: Int, keyCols: Seq[String]): DataFrame = {
-    val side = 1 << level
-    val cw = 360.0 / side
-    val ch = 170.0 / side
-    val x0 = lit(-180.0) + col(ixCol) * cw
-    val y1 = lit(85.0) - col(iyCol) * ch
+    requireFresh(df, "vectorizeEquirect", "__cell_poly", "geom")
+    val cw = EquirectGrid.cw(level)
+    val ch = EquirectGrid.ch(level)
+    val x0 = lit(EquirectGrid.X0) + col(ixCol) * cw
+    val y1 = lit(EquirectGrid.Y1) - col(iyCol) * ch
     df.withColumn("__cell_poly", st_makeEnvelope(x0, y1 - ch, x0 + cw, y1))
       .groupBy(keyCols.map(col): _*)
       .agg(expr("st_coverageunion_agg(__cell_poly)").as("geom"))

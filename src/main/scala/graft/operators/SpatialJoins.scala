@@ -412,22 +412,22 @@ object SpatialJoins {
     */
   def tileAssignEquirect(df: DataFrame, geomCol: String, level: Int): DataFrame = {
     val side = 1 << level
-    val cw = 360.0 / side
-    val ch = 170.0 / side
+    val cw = EquirectGrid.cw(level)
+    val ch = EquirectGrid.ch(level)
     // one WKB decode per input row for all four bounds (st_xmin etc.
     // would decode 4x); a materialized column so CollapseProject cannot
     // inline-duplicate the decode
     val ex0 = element_at(col("__env"), 1); val ey0 = element_at(col("__env"), 2)
     val ex1 = element_at(col("__env"), 3); val ey1 = element_at(col("__env"), 4)
-    val ix0 = greatest(lit(0L), floor((ex0 + 180.0) / cw).cast("long"))
-    val ix1 = least(lit(side - 1L), (ceil((ex1 + 180.0) / cw) - 1).cast("long"))
-    val iy0 = greatest(lit(0L), floor((lit(85.0) - ey1) / ch).cast("long"))
-    val iy1 = least(lit(side - 1L), (ceil((lit(85.0) - ey0) / ch) - 1).cast("long"))
+    val ix0 = greatest(lit(0L), floor((ex0 - EquirectGrid.X0) / cw).cast("long"))
+    val ix1 = least(lit(side - 1L), (ceil((ex1 - EquirectGrid.X0) / cw) - 1).cast("long"))
+    val iy0 = greatest(lit(0L), floor((lit(EquirectGrid.Y1) - ey1) / ch).cast("long"))
+    val iy1 = least(lit(side - 1L), (ceil((lit(EquirectGrid.Y1) - ey0) / ch) - 1).cast("long"))
     df.withColumn("__env", expr(s"st_envbounds($geomCol)"))
       .withColumn("ix", explode(sequence(ix0, greatest(ix0, ix1))))
       .withColumn("iy", explode(sequence(iy0, greatest(iy0, iy1))))
-      .withColumn("__tx0", lit(-180.0) + col("ix") * cw)
-      .withColumn("__ty1", lit(85.0) - col("iy") * ch)
+      .withColumn("__tx0", lit(EquirectGrid.X0) + col("ix") * cw)
+      .withColumn("__ty1", lit(EquirectGrid.Y1) - col("iy") * ch)
       .withColumn("tile_part",
         st_clipByBox(col(geomCol),
           col("__tx0"), col("__ty1") - ch, col("__tx0") + cw, col("__ty1")))
