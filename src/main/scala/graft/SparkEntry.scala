@@ -2182,6 +2182,37 @@ object SparkEntry {
           expr("st_xmin(tr)").as("txmin"), expr("st_ymin(tr)").as("tymin"),
           expr("st_xmax(tr)").as("txmax"), expr("st_ymax(tr)").as("tymax"),
           expr("st_isvalid(tr)").as("ok"))
+    }),
+
+    "q118_pyramid" -> ((s, d) => {
+      // tile-pyramid rollup: clip at level 5, roll AREAS up one level
+      // (parent = ix>>1, iy>>1, sum of child clipped areas). Because
+      // the grid is dyadic every child area is an exact double and
+      // area is additive, so the rollup is bit-identical to clipping
+      // directly at level 4 — which is exactly what the oracle
+      // computes closed-form. The scale story: a planet-scale pyramid
+      // builds bottom-up with ONE narrow map-side-combining hash agg
+      // per level instead of re-clipping the base table per level.
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val t5 = SpatialJoins.tileAssignEquirect(n, "box", level = 5)
+        .select(col("n_nationkey"), col("ix"), col("iy"),
+          st_area(col("tile_part")).as("part_area"))
+        .filter(col("part_area") > 0)
+      Raster.pyramidUp(t5, "ix", "iy", Seq("n_nationkey"),
+        sum(col("part_area")).as("part_area"))
+    }),
+
+    "q119_hex_join" -> ((s, d) => {
+      // hex-indexed spatial join: boxes hex-cover (the H3 polyfill
+      // analogue), points hex-bin, equi-join on (hq, hr), exact
+      // contains refine. A point has exactly ONE bin, so no dedup pass
+      // is needed — and the oracle is the plain brute-force
+      // interval-containment join, which proves the hex cover COMPLETE
+      // (any missed hex would drop rows from the count).
+      val n = nationBoxes(s, d).select(col("n_nationkey"), col("box"))
+      val c = customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
+      Raster.hexJoin(n, "box", c, "cx", "cy", size = 7.0)
+        .groupBy("n_nationkey").agg(count(lit(1)).as("cnt"))
     })
   )
 
@@ -3625,7 +3656,31 @@ object SparkEntry {
            |  greatest(p1x, p2x, p3x, p4x) AS txmax,
            |  greatest(p1y, p2y, p3y, p4y) AS tymax,
            |  TRUE AS ok
-           |FROM c""".stripMargin
+           |FROM c""".stripMargin,
+
+      // rolling level-5 clipped areas up to level 4 equals clipping at
+      // level 4 directly (dyadic areas are additive bit-exactly), so
+      // the oracle is q27's interval arithmetic at the level-4 grid
+      "q118_pyramid" ->
+        s"""WITH cells AS (SELECT a.range AS ix, b.range AS iy FROM range(16) a, range(16) b),
+           |n AS (SELECT n_nationkey, $nx0 AS x0, $ny0 AS y0,
+           |             $nx0 + 72.0 AS x1, $ny0 + 34.0 AS y1 FROM nation),
+           |parts AS (
+           |  SELECT n_nationkey, ix, iy,
+           |    greatest(0.0, least(x1, -180.0 + (ix+1) * 22.5) - greatest(x0, -180.0 + ix * 22.5)) *
+           |    greatest(0.0, least(y1, 85.0 - iy * 10.625) - greatest(y0, 85.0 - (iy+1) * 10.625)) AS part_area
+           |  FROM n, cells)
+           |SELECT n_nationkey, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy, part_area
+           |FROM parts WHERE part_area > 0""".stripMargin,
+
+      // brute-force strict-interior containment join (same as q01's
+      // oracle): the hex cover/bin/refine pipeline must reproduce it
+      // exactly or the cover is incomplete
+      "q119_hex_join" ->
+        s"""SELECT n_nationkey, count(*) AS cnt FROM nation, customer
+           |WHERE $cx > $nx0 AND $cx < $nx0 + 72.0
+           |  AND $cy > $ny0 AND $cy < $ny0 + 34.0
+           |GROUP BY n_nationkey""".stripMargin
     )
   }
 }

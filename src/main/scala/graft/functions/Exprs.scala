@@ -271,8 +271,11 @@ trait RowKernelCodegen extends Expression {
     val arr = ctx.freshName("kargs")
     val tmp = ctx.freshName("kres")
     val setup = evals.zipWithIndex.map { case (e, i) =>
+      // parens around the value: janino parses `(Object) -0.5D` as a
+      // binary minus between the *identifier* Object and 0.5 — a
+      // negative literal child would fail whole-stage compilation
       s"""${e.code}
-         |$arr[$i] = ${e.isNull} ? null : (Object) ${e.value};""".stripMargin
+         |$arr[$i] = ${e.isNull} ? null : (Object) (${e.value});""".stripMargin
     }.mkString("\n")
     val jt = CodeGenerator.javaType(dataType)
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._

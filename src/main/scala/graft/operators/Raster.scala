@@ -97,6 +97,23 @@ object Raster {
       .agg(expr("st_coverageunion_agg(__cell_poly)").as("geom"))
   }
 
+  /** One pyramid level up: re-key each cell to its parent
+    * (ix >> 1, iy >> 1) and aggregate — the canonical tile-pyramid
+    * rollup, ONE narrow hash aggregation per level (partials combine
+    * map-side, no wide shuffle of unaggregated cells). Aggregating
+    * clipped AREAS is bit-exact in any order/partitioning (dyadic grid
+    * ⇒ exact doubles); coverage FRACTIONS are ratios and carry one
+    * rounding, so roll areas up and divide at the end.
+    */
+  def pyramidUp(df: DataFrame, ixCol: String, iyCol: String,
+                keyCols: Seq[String], aggs: Column*): DataFrame = {
+    require(aggs.nonEmpty, "pyramidUp needs at least one aggregate")
+    df.groupBy((keyCols.map(col) :+
+        shiftright(col(ixCol), 1).as(ixCol) :+
+        shiftright(col(iyCol), 1).as(iyCol)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Hexagonal binning (pointy-top axial coordinates with cube
     * rounding — the standard public H3-style construction). Returns
     * the (q, r) axial indices of the hexagon of circumradius `size`
@@ -129,6 +146,69 @@ object Raster {
     val x = lit(size) * (lit(Sqrt3) * q + lit(Sqrt3Half) * r)
     val y = lit(size) * (lit(1.5) * r)
     (x, y)
+  }
+
+  /** The hexagon polygon of an axial bin (pointy-top, circumradius
+    * `size`) as column arithmetic feeding st_makePolygon. This IS the
+    * Voronoi cell of hexBin's lattice, so bin and polygon agree up to
+    * boundaries.
+    */
+  def hexPolygon(q: Column, r: Column, size: Double): Column = {
+    val (cx, cy) = hexCenter(q, r, size)
+    val hw = lit(size * Sqrt3Half) // half-width
+    val hs = lit(size / 2)
+    def pt(x: Column, y: Column) = array(x, y)
+    st_makePolygon(array(array(
+      pt(cx, cy + size), pt(cx + hw, cy + hs), pt(cx + hw, cy - hs),
+      pt(cx, cy - size), pt(cx - hw, cy - hs), pt(cx - hw, cy + hs),
+      pt(cx, cy + size))))
+  }
+
+  /** Hexes intersecting each geometry — the H3 `polygonToCells`
+    * (polyfill) analogue. Candidate window: axial ranges from the
+    * envelope expanded by the circumradius (centers of intersecting
+    * hexes cannot lie further out); exact `st_intersects` refine
+    * against the hex polygon. Because hexBin is the nearest-center
+    * (Voronoi) assignment and intersects includes boundaries, the
+    * cover is a SUPERSET of the bins of every point of the geometry —
+    * the completeness invariant hexJoin relies on.
+    *
+    * Output: input columns + (hq, hr). Shuffle-free (explode + refine
+    * per input row); candidates per row are O(area / hex area).
+    */
+  def hexCover(df: DataFrame, geomCol: String, size: Double): DataFrame = {
+    requireFresh(df, "hexCover", "hq", "hr", "__henv")
+    val ex0 = element_at(col("__henv"), 1); val ey0 = element_at(col("__henv"), 2)
+    val ex1 = element_at(col("__henv"), 3); val ey1 = element_at(col("__henv"), 4)
+    // center y = 1.5*size*r; center x = size*sqrt3*(q + r/2)
+    val rlo = ceil((ey0 - size) / (1.5 * size)).cast("long")
+    val rhi = floor((ey1 + size) / (1.5 * size)).cast("long")
+    val qlo = ceil((ex0 - size) / (size * Sqrt3) - col("hr").cast("double") / 2).cast("long")
+    val qhi = floor((ex1 + size) / (size * Sqrt3) - col("hr").cast("double") / 2).cast("long")
+    df.withColumn("__henv", expr(s"st_envbounds($geomCol)"))
+      .withColumn("hr", explode(sequence(rlo, greatest(rlo, rhi))))
+      .withColumn("hq", explode(sequence(qlo, greatest(qlo, qhi))))
+      .filter(st_intersects(col(geomCol), hexPolygon(col("hq"), col("hr"), size)))
+      .drop("__henv")
+  }
+
+  /** Hex-indexed spatial join: polygon side hex-covers, point side
+    * hex-bins, equi-join on the hex key, exact refine. Both sides
+    * shuffle by (hq, hr) ONLY — the hexagonal analogue of the Z-order
+    * cell join, with one structural advantage: a point has exactly ONE
+    * bin, so a qualifying (polygon, point) pair surfaces through
+    * exactly one hex and the join needs NO dedup pass.
+    */
+  def hexJoin(polys: DataFrame, polyGeomCol: String,
+              pts: DataFrame, xCol: String, yCol: String,
+              size: Double): DataFrame = {
+    val cov = hexCover(polys, polyGeomCol, size)
+    val (hq, hr) = hexBin(col(xCol), col(yCol), size)
+    val binned = pts.withColumn("hq", hq).withColumn("hr", hr)
+    cov.join(binned, Seq("hq", "hr"))
+      .filter(st_contains(col(polyGeomCol),
+        graft.functions.ST.st_point(col(xCol), col(yCol))))
+      .drop("hq", "hr")
   }
 
   // written as computed vals so the Spark plan and the generated

@@ -184,6 +184,28 @@ class PlanSpec extends AnyFunSuite {
       "salted cellJoin result differs from unsalted")
   }
 
+  test("kernel codegen survives negative literal children (janino cast ambiguity)") {
+    // r5: `(Object) -0.5D` is parsed by janino as a binary minus
+    // between the IDENTIFIER Object and 0.5, so any RowKernelCodegen
+    // expression with a negative foldable child failed whole-stage
+    // compilation and silently ran interpreted. CODEGEN_ONLY turns
+    // that silent fallback into a hard failure here.
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = spark.range(5).toDF("id")
+        .withColumn("g", expr(
+          "st_affine(st_makeenvelope(cast(id as double), 0.0d, cast(id as double) + 1.0d, 1.0d)," +
+            " 2.0d, 1.0d, -0.5d, 1.5d, 10.0d, -20.0d)"))
+        .select(expr("st_area(g)").as("a")).collect()
+      assert(out.forall(_.getDouble(0) > 0.0))
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("cell-cover explode and join probes stay inside WholeStageCodegen (no fallback)") {
     // r4: StCellCover / probe expressions were CodegenFallback, which
     // disqualifies their operator from WholeStageCodegen entirely

@@ -84,6 +84,63 @@ class RasterSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("pyramidUp: level-5 area rollup is bit-identical to clipping at level 4") {
+    val x0 = -180.0 + 1.25 * cw; val y0 = 85.0 - 5.75 * ch
+    val df = Seq((1L, x0, y0, x0 + 3.5 * cw, y0 + 2.25 * ch))
+      .toDF("id", "x0", "y0", "x1", "y1")
+      .withColumn("box", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+      .select($"id", $"box")
+    def areas(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val t5 = SpatialJoins.tileAssignEquirect(df, "box", level + 1)
+      .select($"id", $"ix", $"iy", expr("st_area(tile_part)").as("pa"))
+      .filter($"pa" > 0)
+    val rolled = areas(Raster.pyramidUp(t5, "ix", "iy", Seq("id"), sum($"pa").as("pa")))
+    val direct = areas(SpatialJoins.tileAssignEquirect(df, "box", level)
+      .select($"id", $"ix", $"iy", expr("st_area(tile_part)").as("pa"))
+      .filter($"pa" > 0))
+    assert(rolled === direct) // exact double equality, no tolerance
+  }
+
+  test("hexCover ⊇ bins of interior points; hexJoin equals brute force") {
+    val size = 5.0
+    // boxes including one smaller than a hex and one spanning many
+    val boxes = Seq(
+      (10L, -20.0, -15.0, 0.5, 0.5),
+      (11L, 0.5, 0.5, 21.0, 16.0),
+      (12L, -1.0, -1.0, 1.0, 1.0),   // sub-hex-sized
+      (13L, 100.0, 100.0, 101.0, 101.0)
+    ).toDF("bid", "x0", "y0", "x1", "y1")
+      .withColumn("box", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+    val pts = (1 to 800).map { i =>
+      (i.toLong, (i * 13 % 41).toDouble - 20.0 + i % 3 * 0.25,
+        (i * 7 % 31).toDouble - 15.0 + i % 5 * 0.125)
+    }.toDF("id", "x", "y")
+    // cover completeness: every interior point's bin is in the cover
+    val cover = Raster.hexCover(boxes.select($"bid", $"box"), "box", size)
+      .select($"bid", $"hq", $"hr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (bq, br) = Raster.hexBin($"x", $"y", size)
+    val binned = pts.withColumn("hq", bq).withColumn("hr", br).collect()
+    val boxDefs = Seq((10L, -20.0, -15.0, 0.5, 0.5), (11L, 0.5, 0.5, 21.0, 16.0),
+      (12L, -1.0, -1.0, 1.0, 1.0), (13L, 100.0, 100.0, 101.0, 101.0))
+    var expected = Map.empty[Long, Long].withDefaultValue(0L)
+    for (p <- binned; (bid, x0, y0, x1, y1) <- boxDefs) {
+      val (x, y) = (p.getDouble(1), p.getDouble(2))
+      if (x > x0 && x < x1 && y > y0 && y < y1) {
+        assert(cover.contains((bid, p.getLong(3), p.getLong(4))),
+          s"bin of interior point ($x,$y) missing from cover of box $bid")
+        expected = expected.updated(bid, expected(bid) + 1)
+      }
+    }
+    // join result identity vs brute force
+    val got = Raster.hexJoin(boxes.select($"bid", $"box"), "box",
+        pts, "x", "y", size)
+      .groupBy("bid").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.filter(_._2 > 0))
+  }
+
   test("hexBin: nearest-center assignment and hexCenter inversion") {
     val size = 7.0
     // a grid of probe points spanning several hexes, off-lattice offsets
