@@ -2213,6 +2213,34 @@ object SparkEntry {
       val c = customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
       Raster.hexJoin(n, "box", c, "cx", "cy", size = 7.0)
         .groupBy("n_nationkey").agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q120_dbscan" -> ((s, d) => {
+      // exact distributed DBSCAN (deterministic ST_ClusterDBSCAN):
+      // cell-join eps-neighborhoods, core filter, iterative min-label
+      // connected components, min-core border assignment. The corpus
+      // is engineered so all three point classes occur: customers in
+      // groups of 2..8 on a 0.5-degree seed lattice (spread 0.044 <
+      // eps=0.1 < separation 0.41, so groups of >=4 are all-core and
+      // never merge) plus uniform strays that land as border points,
+      // extra cores, or noise. The oracle replays the identical
+      // algorithm with a recursive CTE — every coordinate is an exact
+      // 1/64 dyadic and no pairwise distance ties eps, so the
+      // cluster assignment is bit-determined.
+      val c = t(s, d, "customer")
+        .withColumn("__gid", expr("c_custkey DIV 8"))
+        .withColumn("__m", col("c_custkey") % 8)
+        .withColumn("__grp", col("__m") < lit(2) + pmod(col("__gid"), lit(7)))
+        .withColumn("x", when(col("__grp"),
+            ((col("__gid") * 7919L) % 720L).cast("double") / 2.0 - 180.0
+              + (col("__m") % 3).cast("double") / 64.0)
+          .otherwise(((col("c_custkey") * 6101L) % 23040L).cast("double") / 64.0 - 180.0))
+        .withColumn("y", when(col("__grp"),
+            ((col("__gid") * 104729L) % 340L).cast("double") / 2.0 - 85.0
+              + expr("__m DIV 3").cast("double") / 64.0)
+          .otherwise(((col("c_custkey") * 9973L) % 10880L).cast("double") / 64.0 - 85.0))
+        .select(col("c_custkey"), st_point(col("x"), col("y")).as("pt"))
+      Cluster.dbscan(c, "c_custkey", "pt", eps = 0.1, minPts = 4, level = 10)
     })
   )
 
@@ -3680,7 +3708,45 @@ object SparkEntry {
         s"""SELECT n_nationkey, count(*) AS cnt FROM nation, customer
            |WHERE $cx > $nx0 AND $cx < $nx0 + 72.0
            |  AND $cy > $ny0 AND $cy < $ny0 + 34.0
-           |GROUP BY n_nationkey""".stripMargin
+           |GROUP BY n_nationkey""".stripMargin,
+
+      // the full DBSCAN replay: brute-force eps-pairs, HAVING-count
+      // cores, recursive-CTE connected components (min core id =
+      // canonical label — min-label propagation's fixpoint), min-core
+      // border assignment. dist^2 <= eps^2 here vs st_distance <= eps
+      // in Spark: every coordinate delta is k/64 so dist^2 is an exact
+      // dyadic and no distance ties 0.1 (0.1^2*4096 = 40.96 is not an
+      // integer) — the two predicates select identical pairs
+      "q120_dbscan" ->
+        """WITH RECURSIVE pts AS (
+          |  SELECT c_custkey AS id,
+          |    CASE WHEN c_custkey % 8 < 2 + (c_custkey // 8) % 7
+          |      THEN CAST((c_custkey // 8) * 7919 % 720 AS DOUBLE) / 2.0 - 180.0
+          |           + CAST(c_custkey % 8 % 3 AS DOUBLE) / 64.0
+          |      ELSE CAST(c_custkey * 6101 % 23040 AS DOUBLE) / 64.0 - 180.0 END AS x,
+          |    CASE WHEN c_custkey % 8 < 2 + (c_custkey // 8) % 7
+          |      THEN CAST((c_custkey // 8) * 104729 % 340 AS DOUBLE) / 2.0 - 85.0
+          |           + CAST(c_custkey % 8 // 3 AS DOUBLE) / 64.0
+          |      ELSE CAST(c_custkey * 9973 % 10880 AS DOUBLE) / 64.0 - 85.0 END AS y
+          |  FROM customer),
+          |pairs AS (
+          |  SELECT a.id AS ida, b.id AS idb FROM pts a, pts b
+          |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.1*0.1),
+          |cores AS (SELECT ida AS id FROM pairs GROUP BY ida HAVING count(*) >= 4),
+          |ce AS (SELECT ida, idb FROM pairs
+          |       WHERE ida <> idb AND ida IN (SELECT id FROM cores)
+          |         AND idb IN (SELECT id FROM cores)),
+          |lbl(id, l) AS (
+          |  SELECT id, id FROM cores
+          |  UNION
+          |  SELECT ce.idb, lbl.l FROM ce JOIN lbl ON ce.ida = lbl.id),
+          |clab AS (SELECT id, min(l) AS cluster FROM lbl GROUP BY id)
+          |SELECT id AS c_custkey, cluster, TRUE AS is_core FROM clab
+          |UNION ALL
+          |SELECT p.ida AS c_custkey, min(c.cluster) AS cluster, FALSE AS is_core
+          |FROM pairs p JOIN clab c ON p.idb = c.id
+          |WHERE p.ida NOT IN (SELECT id FROM cores)
+          |GROUP BY p.ida""".stripMargin
     )
   }
 }
