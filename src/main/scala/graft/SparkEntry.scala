@@ -2241,6 +2241,22 @@ object SparkEntry {
           .otherwise(((col("c_custkey") * 9973L) % 10880L).cast("double") / 64.0 - 85.0))
         .select(col("c_custkey"), st_point(col("x"), col("y")).as("pt"))
       Cluster.dbscan(c, "c_custkey", "pt", eps = 0.1, minPts = 4, level = 10)
+    }),
+
+    "q121_per_key_sample" -> ((s, d) => {
+      // skew-proof per-key sampling: deterministic uniform k-per-key
+      // draw (order by md5 of the unique id) evaluated as the
+      // two-phase salted top-k — the hot key's rows never land on one
+      // task. The oracle is the textbook single-window row_number()
+      // the two-phase plan must reproduce EXACTLY; `source` has ~6
+      // values over 15k docs at sf0.01, so every key IS a hot key
+      // relative to the salt=8 fan-out and the phase-1/phase-2
+      // interaction is genuinely exercised.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      Sample.perKeyUniform(docs, Seq("source"), "doc_id", k = 7, salt = 8)
+        .select(col("source"), col("rk"), col("doc_id"),
+          col("lang"), col("n_chars"))
     })
   )
 
@@ -3746,7 +3762,18 @@ object SparkEntry {
           |SELECT p.ida AS c_custkey, min(c.cluster) AS cluster, FALSE AS is_core
           |FROM pairs p JOIN clab c ON p.idb = c.id
           |WHERE p.ida NOT IN (SELECT id FROM cores)
-          |GROUP BY p.ida""".stripMargin
+          |GROUP BY p.ida""".stripMargin,
+
+      // the single-window textbook plan the two-phase salted top-k
+      // must reproduce bit-for-bit (md5 gives a total order; doc_id
+      // tiebreak makes it total even under collisions)
+      "q121_per_key_sample" ->
+        """SELECT source, rk, doc_id, lang, n_chars FROM (
+          |  SELECT source, doc_id, lang, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents)
+          |WHERE rk <= 7""".stripMargin
     )
   }
 }
