@@ -2257,6 +2257,51 @@ object SparkEntry {
       Sample.perKeyUniform(docs, Seq("source"), "doc_id", k = 7, salt = 8)
         .select(col("source"), col("rk"), col("doc_id"),
           col("lang"), col("n_chars"))
+    }),
+
+    "q122_latest_snapshot" -> ((s, d) => {
+      // latest-snapshot dedup ("keep the newest fetch of every url"):
+      // ONE max_by hash aggregation — partials combine map-side, so
+      // only one candidate row per key per task reaches the shuffle.
+      // The oracle runs the textbook row_number()=1 window, which the
+      // agg must reproduce exactly (event_id tiebreak makes the
+      // winner total-order determined).
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+      Temporal.latestSnapshot(e, Seq("user_id"), "ts", "event_id")
+    }),
+
+    "q123_sessions" -> ((s, d) => {
+      // sessionization: 30-min-gap sessions per user (two windows over
+      // one sort), then per-session stats. `session` and the stats are
+      // all BIGINT on both engines.
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      Temporal.sessionize(e, Seq("user_id"), "ts", "event_id",
+          gapMicros = 1800L * 1000000L)
+        .groupBy(col("user_id"), col("session"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"),
+          (max(Temporal.micros(col("ts"))) - min(Temporal.micros(col("ts"))))
+            .as("dur_us"))
+    }),
+
+    "q124_asof_join" -> ((s, d) => {
+      // as-of join: each purchase joins the user's most recent signup
+      // at or before it. Executed as the union-merge (tag, union, one
+      // sort per key, last_value ignoreNulls) — linear in |L|+|R| per
+      // key, NO join node; the naive range join is a per-key cross
+      // product. The oracle IS that cross product + row_number()=1,
+      // which the merge must reproduce row-for-row.
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_id"))
+      Temporal.asofJoin(purchases, signups, Seq("user_id"),
+        "ts", "signup_ts", "signup_id", Seq("signup_id", "signup_ts"))
     })
   )
 
@@ -3773,7 +3818,46 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           |  FROM documents)
-          |WHERE rk <= 7""".stripMargin
+          |WHERE rk <= 7""".stripMargin,
+
+      // the window phrasing the one-shuffle max_by agg must match
+      "q122_latest_snapshot" ->
+        """SELECT user_id, event_id, ts, event_type, value FROM (
+          |  SELECT user_id, event_id, ts, event_type, value,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1""".stripMargin,
+
+      "q123_sessions" ->
+        """WITH x AS (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |      THEN 1 ELSE 0 END AS nf
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |y AS (
+          |  SELECT user_id, ts,
+          |    CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+          |  FROM x)
+          |SELECT user_id, session, count(*) AS n_events,
+          |  min(ts) AS first_ts,
+          |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+          |FROM y GROUP BY user_id, session""".stripMargin,
+
+      // brute-force per-key cross product + rank — the union-merge
+      // as-of join must reproduce it exactly
+      "q124_asof_join" ->
+        """SELECT user_id, event_id, ts, signup_id, signup_ts FROM (
+          |  SELECT l.user_id, l.event_id, l.ts,
+          |    r.event_id AS signup_id, r.ts AS signup_ts,
+          |    row_number() OVER (PARTITION BY l.event_id
+          |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
+          |  FROM events l JOIN events r
+          |    ON r.user_id = l.user_id AND r.ts <= l.ts
+          |   AND r.event_type = 'signup'
+          |  WHERE l.event_type = 'purchase') WHERE rn = 1""".stripMargin
     )
   }
 }
