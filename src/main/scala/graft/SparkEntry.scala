@@ -2302,6 +2302,37 @@ object SparkEntry {
           col("event_id").as("signup_id"))
       Temporal.asofJoin(purchases, signups, Seq("user_id"),
         "ts", "signup_ts", "signup_id", Seq("signup_id", "signup_ts"))
+    }),
+
+    "q125_weighted_sample" -> ((s, d) => {
+      // Efraimidis-Spirtsis weighted sample without replacement, k per
+      // key, weight = n_chars (longer docs proportionally likelier).
+      // Priority ln(u)/w with u from 52 md5 bits — both engines
+      // compute the identical IEEE doubles, so the oracle's
+      // single-window replay bit-matches the salted two-phase plan.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Sample.perKeyWeighted(docs, Seq("source"), "doc_id", "n_chars",
+          k = 5, salt = 8)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+    }),
+
+    "q126_kmv_distinct" -> ((s, d) => {
+      // KMV bottom-k distinct-count sketch per lang (~83 distinct
+      // doc_ids per lang > k=64, so the estimation path genuinely
+      // fires; ~20 sources per lang stays exact) — both in one pass,
+      // constant-size mergeable buffers, so the shuffle carries <= k
+      // longs per (group, task) where exact count-distinct would
+      // shuffle every value. The oracle replays the identical
+      // estimator in SQL: dedup the same 52-bit md5 hashes, rank,
+      // (k-1)/u_k.
+      val docs = t(s, d, "documents")
+      docs.groupBy(col("lang")).agg(
+        Sketch.kmvDistinct(64)(Sketch.hash52(col("doc_id")))
+          .as("est_ids"),
+        Sketch.kmvDistinct(64)(Sketch.hash52(col("source")))
+          .as("est_sources"),
+        countDistinct(col("doc_id")).cast("double").as("true_ids"))
     })
   )
 
@@ -3857,7 +3888,55 @@ object SparkEntry {
           |  FROM events l JOIN events r
           |    ON r.user_id = l.user_id AND r.ts <= l.ts
           |   AND r.event_type = 'signup'
-          |  WHERE l.event_type = 'purchase') WHERE rn = 1""".stripMargin
+          |  WHERE l.event_type = 'purchase') WHERE rn = 1""".stripMargin,
+
+      // same A-ES priority, textbook single window; 13 hex digits = 52
+      // bits fit a double exactly, so u (and ln(u)/w) are the
+      // identical IEEE values on both engines
+      "q125_weighted_sample" ->
+        """SELECT source, rk, doc_id, n_chars FROM (
+          |  SELECT source, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY source ORDER BY
+          |      ln((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+          |          + 0.5e0) / 4503599627370496.0) / n_chars DESC, doc_id) AS rk
+          |  FROM documents) WHERE rk <= 5""".stripMargin,
+
+      // the exact KMV estimator replayed in SQL: same 52-bit md5
+      // hashes, dedup, rank ascending, exact count below k=64 else
+      // (k-1)/((h_k + 0.5)/2^52)
+      "q126_kmv_distinct" ->
+        """WITH hn AS (
+          |  SELECT DISTINCT lang,
+          |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+          |  FROM documents),
+          |hl AS (
+          |  SELECT DISTINCT lang,
+          |    ('0x' || substring(md5(source), 1, 13))::BIGINT AS h
+          |  FROM documents),
+          |rn AS (SELECT lang, h,
+          |         row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
+          |         count(*) OVER (PARTITION BY lang) AS c
+          |       FROM hn),
+          |rl AS (SELECT lang, h,
+          |         row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
+          |         count(*) OVER (PARTITION BY lang) AS c
+          |       FROM hl),
+          |en AS (SELECT lang,
+          |         CASE WHEN max(c) < 64 THEN CAST(max(c) AS DOUBLE)
+          |              ELSE 63.0 / ((CAST(max(CASE WHEN r = 64 THEN h END) AS DOUBLE)
+          |                             + 0.5e0) / 4503599627370496.0) END AS est_ids
+          |       FROM rn WHERE r <= 64 GROUP BY lang),
+          |el AS (SELECT lang,
+          |         CASE WHEN max(c) < 64 THEN CAST(max(c) AS DOUBLE)
+          |              ELSE 63.0 / ((CAST(max(CASE WHEN r = 64 THEN h END) AS DOUBLE)
+          |                             + 0.5e0) / 4503599627370496.0) END AS est_sources
+          |       FROM rl WHERE r <= 64 GROUP BY lang),
+          |tn AS (SELECT lang,
+          |         CAST(count(DISTINCT doc_id) AS DOUBLE) AS true_ids
+          |       FROM documents GROUP BY lang)
+          |SELECT en.lang, est_ids, est_sources, true_ids
+          |FROM en JOIN el ON en.lang = el.lang
+          |JOIN tn ON en.lang = tn.lang""".stripMargin
     )
   }
 }

@@ -70,4 +70,23 @@ object Sample {
     perKeyTopK(df, keyCols,
       Seq(md5(col(idCol).cast("string").cast("binary")), col(idCol)),
       k, salt)
+
+  /** Deterministic weighted sample WITHOUT replacement of k rows per
+    * key — the Efraimidis–Spirtsis A-ES scheme: each row draws a
+    * uniform u and keeps priority u^(1/w); the top-k priorities are
+    * the sample (inclusion probability proportional to weight, the
+    * "quality-weighted k docs per domain" curation op). u is derived
+    * from md5(id) — 52 hash bits exactly representable in a double —
+    * so a plain-SQL oracle replays the draw and a resumed run redraws
+    * identically. Ordered by ln(u)/w DESC (monotone in u^(1/w),
+    * avoids pow) with the id as tiebreak; weights must be > 0.
+    */
+  def perKeyWeighted(df: DataFrame, keyCols: Seq[String], idCol: String,
+                     weightCol: String, k: Int, salt: Int = 16): DataFrame = {
+    val u = (conv(substring(
+        md5(col(idCol).cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    perKeyTopK(df, keyCols,
+      Seq((log(u) / col(weightCol)).desc, col(idCol)), k, salt)
+  }
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch — the mergeable
+  * cardinality estimator for "how many distinct urls/shingles per
+  * domain" at scales where exact count-distinct shuffles every value.
+  *
+  * The sketch keeps the k SMALLEST distinct hash values of the input.
+  * If fewer than k distinct hashes exist the count is exact; otherwise
+  * the k-th smallest normalized hash u_(k) estimates the cardinality
+  * as (k-1)/u_(k) (the classic KMV/bottom-k estimator; relative error
+  * ~ 1/sqrt(k-2)). The buffer is a CONSTANT-SIZE sorted long array, so
+  * partial aggregation combines map-side and the shuffle carries at
+  * most k longs per (group, task) — the whole point at 100 TB.
+  *
+  * Unlike HLL-based approx_count_distinct, every step here is
+  * deterministic over a PUBLIC hash (52 bits of md5, exactly
+  * representable in a double), so a plain-SQL oracle replays the
+  * estimate bit-for-bit: dedup hashes, rank, take the k-th, same
+  * arithmetic. Hash collisions fold two values into one — by design
+  * the oracle replays that too (it ranks the same hashes).
+  */
+object Sketch {
+
+  /** 52 md5 bits of a column's string form as a non-negative long —
+    * the hash both the sketch and its SQL oracle rank. Null inputs
+    * stay null (and are skipped by the aggregate).
+    */
+  def hash52(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+
+  private final val TwoTo52 = 4503599627370496.0
+
+  /** `kmvDistinct(k)(hash52(col))` — aggregate Column estimating the
+    * distinct count of the hashed input. Exact (as a double) below k
+    * distinct values.
+    */
+  def kmvDistinct(k: Int)(hashCol: Column): Column = {
+    require(k >= 2, "k must be >= 2")
+    udaf(new KmvDistinctAgg(k), Encoders.scalaLong).apply(hashCol)
+  }
+
+  /** Buffer layout: little-endian longs, sorted ascending, distinct,
+    * length <= k. Packing per row keeps the Aggregator contract simple
+    * (binary buffers encode for free); k is small so the copies are
+    * bounded and allocation-local.
+    */
+  final class KmvDistinctAgg(k: Int)
+      extends Aggregator[Long, Array[Byte], Double] {
+
+    private def unpack(b: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](b.length / 8)
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asLongBuffer().get(out)
+      out
+    }
+    private def pack(a: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.asLongBuffer().put(a)
+      bb.array()
+    }
+
+    def zero: Array[Byte] = Array.emptyByteArray
+
+    def reduce(buf: Array[Byte], h: Long): Array[Byte] = {
+      val a = unpack(buf)
+      val i = java.util.Arrays.binarySearch(a, h)
+      if (i >= 0) buf // already present
+      else {
+        val at = -i - 1
+        if (a.length < k) {
+          val out = new Array[Long](a.length + 1)
+          System.arraycopy(a, 0, out, 0, at)
+          out(at) = h
+          System.arraycopy(a, at, out, at + 1, a.length - at)
+          pack(out)
+        } else if (at < k) { // displaces the current maximum
+          val out = new Array[Long](k)
+          System.arraycopy(a, 0, out, 0, at)
+          out(at) = h
+          System.arraycopy(a, at, out, at + 1, k - at - 1)
+          pack(out)
+        } else buf
+      }
+    }
+
+    def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      val a = unpack(b1); val b = unpack(b2)
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (j >= b.length) { val v = a(i); i += 1; v }
+          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+          else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+          else { val v = a(i); i += 1; j += 1; v } // shared hash, once
+        out(n) = take; n += 1
+      }
+      pack(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+    }
+
+    def finish(buf: Array[Byte]): Double = {
+      val a = unpack(buf)
+      if (a.length < k) a.length.toDouble
+      else (k - 1).toDouble / ((a(k - 1) + 0.5) / TwoTo52)
+    }
+
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

@@ -81,6 +81,30 @@ class SampleSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("perKeyWeighted replays the A-ES priority and tilts toward weight") {
+    // weights: id 1..10000 -> w = 1 for even ids, 1000 for ids % 100 == 1
+    val wdf = corpus(9).withColumn("w",
+      when($"id" % 100 === 1, 1000.0).otherwise(1.0))
+    val got = Sample.perKeyWeighted(wdf, Seq("key"), "id", "w", k = 6, salt = 4)
+      .collect().map(r => (r.getString(1), r.getLong(5), r.getLong(0))).toSet
+    // brute-force replay of the identical priority in-test
+    val u = (conv(substring(md5($"id".cast("string").cast("binary")), 1, 13),
+      16, 10).cast("double") + 0.5) / lit(4503599627370496.0)
+    val w = Window.partitionBy($"key").orderBy((log(u) / $"w").desc, $"id")
+    val exp = wdf.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 6)
+      .collect().map(r => (r.getString(1), r.getLong(5), r.getLong(0))).toSet
+    assert(got === exp)
+    // the hot key has 90 weight-1000 rows among 9000: with k=6 they
+    // should dominate the sample (each is ~1000x likelier than a
+    // weight-1 row); all 6 sampled hot-key ids being %100==1 has
+    // probability ~(1 - 8910/(8910+90*1000))^6 ~ 0.56 per draw — too
+    // flaky to assert all, so assert the MAJORITY are heavy, which
+    // fails only if weighting is broken (P < 1e-4 under uniform).
+    val hotHeavy = got.filter(_._1 == "hot").count(_._3 % 100 == 1)
+    assert(hotHeavy >= 4, s"expected weighted tilt, got $hotHeavy/6 heavy")
+  }
+
   test("rejects reserved output columns and degenerate params") {
     val df = Seq((1L, "a")).toDF("rk", "key")
     intercept[IllegalArgumentException] {
