@@ -2333,6 +2333,33 @@ object SparkEntry {
         Sketch.kmvDistinct(64)(Sketch.hash52(col("source")))
           .as("est_sources"),
         countDistinct(col("doc_id")).cast("double").as("true_ids"))
+    }),
+
+    "q127_connected_components" -> ((s, d) => {
+      // connected components by ALTERNATING large-star/small-star
+      // (O(log n) rounds — the chain corpus would need 64 rounds of
+      // naive min-label propagation, the star loop collapses it in
+      // ~log2). Edges: 64-long doc_id chains + multiplicative cross
+      // links that merge some chains. The oracle floods labels with a
+      // recursive CTE; component = min member id on both sides.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 1200)
+      val chain = docs.filter(col("doc_id") % 64 =!= 63)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b"))
+      val cross = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("a"), ((col("doc_id") * 37L) % 1200L).as("b"))
+      Cluster.connectedComponents(chain.unionAll(cross), "a", "b")
+    }),
+
+    "q128_dup_clusters" -> ((s, d) => {
+      // the real dedup workflow: near-dup PAIRS are not transitive, so
+      // keep-one needs connected components of the pair graph. LSH
+      // pairs -> alternating-star CC -> keeper = min key per cluster.
+      // The oracle replays exact all-pairs Jaccard (recall contract of
+      // the LSH already gated by q36/AnnDedupSpec) + a recursive-CTE
+      // flood, so cluster ids, keep flags and sizes must bit-match.
+      val corpus = dedupCorpus(s, d)
+      Dedup.dupClusters(corpus, "text", "k", threshold = 0.5)
     })
   )
 
@@ -3936,7 +3963,58 @@ object SparkEntry {
           |       FROM documents GROUP BY lang)
           |SELECT en.lang, est_ids, est_sources, true_ids
           |FROM en JOIN el ON en.lang = el.lang
-          |JOIN tn ON en.lang = tn.lang""".stripMargin
+          |JOIN tn ON en.lang = tn.lang""".stripMargin,
+
+      // recursive-CTE label flood; component = min reachable id, which
+      // is exactly the star-forest center the alternating-star loop
+      // converges to
+      "q127_connected_components" ->
+        """WITH RECURSIVE raw AS (
+          |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+          |  WHERE doc_id < 1200 AND doc_id % 64 <> 63
+          |  UNION ALL
+          |  SELECT doc_id AS a, (doc_id * 37) % 1200 AS b FROM documents
+          |  WHERE doc_id < 1200 AND doc_id % 97 = 0),
+          |e AS (
+          |  SELECT a, b FROM raw WHERE a <> b
+          |  UNION
+          |  SELECT b, a FROM raw WHERE a <> b),
+          |lbl(id, l) AS (
+          |  SELECT DISTINCT a, a FROM e
+          |  UNION
+          |  SELECT e.b, lbl.l FROM e JOIN lbl ON e.a = lbl.id)
+          |SELECT id, min(l) AS component FROM lbl GROUP BY id""".stripMargin,
+
+      // exact all-pairs Jaccard (the q36 contract) -> recursive-CTE
+      // connected components -> min-id keeper + cluster size
+      "q128_dup_clusters" ->
+        s"""WITH RECURSIVE corpus AS ($DEDUP_CORPUS_SQL),
+           |sh AS (
+           |  SELECT k,
+           |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |      ELSE list_transform(range(1, len(toks) - 1),
+           |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sset
+           |  FROM (SELECT k, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM corpus)),
+           |pairs AS (
+           |  SELECT a.k AS key_a, b.k AS key_b
+           |  FROM sh a, sh b WHERE a.k < b.k
+           |    AND CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+           |        CAST(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+           |        >= 0.5),
+           |e AS (
+           |  SELECT key_a AS a, key_b AS b FROM pairs
+           |  UNION
+           |  SELECT key_b, key_a FROM pairs),
+           |lbl(id, l) AS (
+           |  SELECT DISTINCT a, a FROM e
+           |  UNION
+           |  SELECT e.b, lbl.l FROM e JOIN lbl ON e.a = lbl.id),
+           |comp AS (SELECT id, min(l) AS cluster FROM lbl GROUP BY id),
+           |sizes AS (SELECT cluster, count(*) AS cluster_size
+           |          FROM comp GROUP BY cluster)
+           |SELECT comp.id AS k, comp.cluster, comp.id = comp.cluster AS keep,
+           |       sizes.cluster_size
+           |FROM comp JOIN sizes ON comp.cluster = sizes.cluster""".stripMargin
     )
   }
 }

@@ -43,6 +43,97 @@ import graft.functions.ST._
   */
 object Cluster {
 
+  /** Connected components of an undirected edge list by ALTERNATING
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the O(log n)-round algorithm
+    * the naive min-label propagation is not: a chain of length D needs
+    * D propagation rounds but only O(log D) star rounds, because each
+    * round pointer-doubles toward the component minimum.
+    *
+    * Both star operations are pure relational stages, so every round
+    * is ONE hash aggregation (per-node min neighbor, partials combine
+    * map-side) plus ONE equi-join (attach that min back to the edges)
+    * — no collect_list of neighborhoods, so a 10^8-degree hub node
+    * costs the same as any other key in the agg and the join's skew is
+    * the ordinary hash-join kind AQE already splits:
+    *
+    *   large-star: for every edge (u,v) with v > u, emit (v, m(u))
+    *     where m(u) = min(N(u) ∪ {u}) — strictly-larger neighbors
+    *     re-attach to u's best-known minimum.
+    *   small-star: for every edge (u,v) with v <= u, emit (v, m(u))
+    *     and (u, m(u)) — u and its smaller neighbors all collapse
+    *     onto the minimum.
+    *
+    * Edges stay canonical child > parent after each small-star; the
+    * fixed point (checked with an order-independent count+checksum
+    * aggregate, one tiny action per round — never a full set diff) is
+    * a star forest whose centers are the component minima.
+    *
+    * Output: (id, component) for every node incident to an edge,
+    * component = MIN member id — canonical, execution-order
+    * independent, so a SQL oracle (recursive-CTE label flood) and a
+    * 100 TB resume both reproduce it bit-for-bit. Isolated nodes never
+    * appear in an edge list; union the complement in if needed.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    def mins(e: DataFrame): DataFrame = // m(u) over the given edge set
+      e.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+        .select(col("u").as("__mu"), least(col("__mn"), col("__mu")).as("__m"))
+
+    // symmetric, no self-loops: N(u) is complete on both sides
+    val sym0 = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+    var e = sym0.unionAll(sym0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+
+    var round = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric set
+      val ls = e.join(mins(e), col("u") === col("__mu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star over (u, v <= u); ls edges are child > parent
+      val ss = {
+        val m2 = mins(ls)
+        val down = ls.join(m2, col("u") === col("__mu"))
+        down.filter(col("v") =!= col("__m"))
+          .select(col("v").as("u"), col("__m").as("v"))
+          .unionAll(down.select(col("u"), col("__m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+          .localCheckpoint()
+      }
+      // order-independent fixed-point signature: count + xor-of-hash
+      val sig = ss.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .collect()(0)
+      val cur = (sig.getLong(0), sig.getLong(1))
+      converged = cur == prevSig
+      prevSig = cur
+      // re-symmetrize: star edges (child, parent) + reverse, so the
+      // next large-star sees the full neighborhood again
+      e = ss.unionAll(ss.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .localCheckpoint()
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // fixed point: forest edges (child, parent=center). Centers are
+    // the rows' parents; add (center, center) for completeness.
+    val forest = e.filter(col("v") < col("u"))
+      .groupBy(col("u")).agg(min(col("v")).as("component"))
+      .select(col("u").as("id"), col("component"))
+    forest.unionAll(
+        forest.select(col("component").as("id"), col("component")).distinct())
+      .distinct()
+  }
+
   /** DBSCAN over a point table.
     *
     * @param pts     input; one row per point

@@ -209,4 +209,33 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("key_a"), col("key_b"), TextOps.floor6(col("cosine")).as("cosine"))
   }
+
+  /** Near-duplicate CLUSTERS with a canonical keeper — the actual
+    * 100 TB dedup workflow: pairwise near-dup relations are not
+    * transitive-closed, so "drop key_b of every pair" over-deletes
+    * (a-b and b-c would drop b AND c even though a~c may not hold).
+    * The correct semantics is: connected components of the near-dup
+    * graph, keep ONE document per component.
+    *
+    * Pipeline: [[minhashNearDups]] (banded LSH candidates + exact
+    * Jaccard refine) → [[Cluster.connectedComponents]] (alternating
+    * large/small-star, O(log n) rounds) → keeper = MIN key per
+    * component (canonical, so reruns/resumes at any partitioning
+    * produce the identical keep set).
+    *
+    * Output: one row per document that is part of some near-dup
+    * component — (key, cluster, keep, cluster_size). Documents with
+    * no near-dup never appear (they are trivially kept); callers
+    * left_anti join to drop rows where keep = false.
+    */
+  def dupClusters(df: DataFrame, textCol: String, keyCol: String,
+                  threshold: Double, shingleN: Int = 3,
+                  k: Int = 24, bands: Int = 8): DataFrame = {
+    val pairs = minhashNearDups(df, textCol, keyCol, threshold, shingleN, k, bands)
+    val comp = Cluster.connectedComponents(pairs, "key_a", "key_b")
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as(keyCol), col("component").as("cluster"),
+        (col("id") === col("component")).as("keep"), col("cluster_size"))
+  }
 }
