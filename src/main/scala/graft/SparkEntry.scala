@@ -2360,6 +2360,41 @@ object SparkEntry {
       // flood, so cluster ids, keep flags and sizes must bit-match.
       val corpus = dedupCorpus(s, d)
       Dedup.dupClusters(corpus, "text", "k", threshold = 0.5)
+    }),
+
+    "q129_pagerank" -> ((s, d) => {
+      // host-level PageRank (crawl-frontier quality prior), 4
+      // synchronous iterations in INTEGER arithmetic (rank mass in
+      // 1e-12 units, DIV for damping and contributions) so BIGINT sums
+      // are exact/order-independent and the oracle replays every
+      // iteration bit-for-bit where float PageRank would drift in the
+      // last ulp. Hosts: source x (doc_id%40) composites; links:
+      // host(d) -> host((17*d+1) mod 500).
+      val d1 = t(s, d, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          concat(col("source"), lit("-"), col("doc_id") % 40).as("host"))
+      val d2 = d1.select((col("doc_id")).as("tid"), col("host").as("thost"))
+      val edges = d1.withColumn("tid", (col("doc_id") * 17L + 1L) % 500L)
+        .join(d2, "tid")
+        .select(col("host").as("a"), col("thost").as("b"))
+      Graph.pageRankInt(edges, "a", "b", iters = 4)
+        .select(col("id").as("host"), col("rank"))
+    }),
+
+    "q130_cms_heavy_hitters" -> ((s, d) => {
+      // count-min-sketch heavy hitters, two-pass: a d=4 x w=64 counter
+      // grid (constant size no matter how many distinct keys stream
+      // through) screens candidates — one-sided error means NO true
+      // heavy hitter can be missed — then exact counts are computed
+      // only for the survivors via broadcast semi-join. Key stream has
+      // an engineered hot key (every 3rd doc) over a 300-key tail, so
+      // both the hit and collision-overshoot paths fire. The oracle
+      // replays the same md5 grid + min + exact verify in SQL.
+      val keys = t(s, d, "documents").select(
+        when(col("doc_id") % 3 === 0, lit("hot.example.com"))
+          .otherwise(concat(col("source"), lit("-"), col("doc_id") % 50))
+          .as("key"))
+      Sketch.cmsHeavyHitters(keys, "key", d = 4, w = 64, threshold = 40L)
     })
   )
 
@@ -4014,7 +4049,64 @@ object SparkEntry {
            |          FROM comp GROUP BY cluster)
            |SELECT comp.id AS k, comp.cluster, comp.id = comp.cluster AS keep,
            |       sizes.cluster_size
-           |FROM comp JOIN sizes ON comp.cluster = sizes.cluster""".stripMargin
+           |FROM comp JOIN sizes ON comp.cluster = sizes.cluster""".stripMargin,
+
+      // every iteration unrolled in the same integer arithmetic: r0 =
+      // S//n, contribution = r//deg, r' = (15*(S//n))//100 +
+      // (85*sum)//100 — BIGINT division/sums are exact, so this must
+      // bit-match (DuckDB's HUGEINT sum is cast back down)
+      "q129_pagerank" -> {
+        def iter(k: Int): String =
+          s"""r$k AS (SELECT n.id,
+             |  (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
+             |  + (85 * COALESCE(i.s, 0)) // 100 AS r
+             |FROM nodes n LEFT JOIN (
+             |  SELECT e.b AS id, CAST(sum(r.r // dg.deg) AS BIGINT) AS s
+             |  FROM e JOIN r${k - 1} r ON e.a = r.id JOIN dg ON e.a = dg.id
+             |  GROUP BY e.b) i ON n.id = i.id)""".stripMargin
+        s"""WITH d1 AS (
+           |  SELECT doc_id, source || '-' || CAST(doc_id % 40 AS VARCHAR) AS host
+           |  FROM documents WHERE doc_id < 500),
+           |raw AS (
+           |  SELECT a.host AS a, b.host AS b
+           |  FROM d1 a JOIN d1 b ON b.doc_id = (a.doc_id * 17 + 1) % 500),
+           |e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+           |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |dg AS (SELECT a AS id, count(*) AS deg FROM e GROUP BY a),
+           |r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS r FROM nodes),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |${iter(4)}
+           |SELECT id AS host, r AS rank FROM r4""".stripMargin
+      },
+
+      // the same d=4 x w=64 md5 grid, min-over-rows estimate, and
+      // exact verify; CMS one-sidedness (est >= cnt) makes the
+      // candidate screen lossless
+      "q130_cms_heavy_hitters" ->
+        """WITH keys AS (
+          |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com'
+          |         ELSE source || '-' || CAST(doc_id % 50 AS VARCHAR) END AS key
+          |  FROM documents),
+          |cells AS (
+          |  SELECT j, ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || key), 1, 13))::BIGINT % 64 AS bucket
+          |  FROM keys, range(4) t(j)),
+          |counters AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY j, bucket),
+          |dk AS (SELECT DISTINCT key FROM keys),
+          |est AS (
+          |  SELECT key, min(cnt) AS est
+          |  FROM (SELECT dk.key, j,
+          |          ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || dk.key), 1, 13))::BIGINT % 64 AS bucket
+          |        FROM dk, range(4) t(j)) q
+          |  JOIN counters USING (j, bucket)
+          |  GROUP BY key),
+          |cand AS (SELECT key FROM est WHERE est >= 40),
+          |exact AS (SELECT key, count(*) AS cnt FROM keys JOIN cand USING (key) GROUP BY key)
+          |SELECT est.key, est.est, exact.cnt
+          |FROM est JOIN exact USING (key)
+          |WHERE exact.cnt >= 40""".stripMargin
     )
   }
 }

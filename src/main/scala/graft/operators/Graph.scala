@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl corpora (host-level PageRank — the
+  * classic crawl-frontier / quality prior over the host link graph).
+  *
+  * All arithmetic is INTEGER (rank mass in units of scale^-1, integer
+  * division for both the damping and the per-edge contribution), so
+  * the result is bit-determined: BIGINT sums are exact and
+  * order-independent where floating-point PageRank would differ
+  * between engines (and between partitionings) in the last ulp. That
+  * is what lets a plain-SQL oracle replay every iteration exactly —
+  * and what makes a 100 TB run resumable/comparable across retries.
+  *
+  * Scale shape: each iteration is one equi-join (edges x ranks,
+  * hash-partitioned on the source id) + one hash aggregation (sum of
+  * contributions per destination, partials map-side). Hot destinations
+  * (the web's power-law in-degree) skew only the ordinary hash-agg
+  * way, which partial aggregation already flattens; `localCheckpoint`
+  * per iteration truncates the lineage so the plan does not double
+  * per round (the q25/DBSCAN pattern).
+  */
+object Graph {
+
+  /** Integer PageRank over a directed edge list.
+    *
+    * Semantics (replayed verbatim by the SQL oracle):
+    *   - edges are DISTINCT (a,b) pairs, self-loops dropped;
+    *   - nodes = every id incident to a surviving edge;
+    *   - r_0(v) = scale DIV n;
+    *   - contribution of u along each out-edge = r_t(u) DIV outdeg(u);
+    *   - r_{t+1}(v) = (15 * (scale DIV n)) DIV 100
+    *                  + (85 * sum_incoming(v)) DIV 100.
+    * Dangling nodes simply lose their mass (the standard simplification
+    * when ranks are compared, not summed to 1).
+    *
+    * @return (id, rank) with rank in units of 1/scale, after `iters`
+    *         synchronous iterations
+    */
+  def pageRankInt(edges: DataFrame, aCol: String, bCol: String,
+                  iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
+
+    var r = nodes.withColumn("r", lit(r0))
+    for (_ <- 1 to iters) {
+      val inc = e.join(r.withColumnRenamed("id", "a"), "a")
+        .join(deg, "a")
+        .select(col("b").as("id"), expr("r DIV __deg").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      r = nodes.join(inc, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(__s, 0L)) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("id"), col("r").as("rank"))
+  }
+}

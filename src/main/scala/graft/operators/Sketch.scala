@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -113,5 +113,59 @@ object Sketch {
 
     def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Count-min sketch counter table: d independent hash rows of w
+    * buckets each. The entire sketch is d*w rows REGARDLESS of how
+    * many distinct keys stream through — the point at crawl scale,
+    * where the key universe (urls/hosts) dwarfs memory but the counter
+    * grid stays broadcastable. Purely relational: explode each input
+    * row into its d (row, bucket) cells and hash-aggregate, so partial
+    * counts combine map-side and the shuffle carries at most d*w rows
+    * per task.
+    *
+    * Hash j of key x = 52 md5 bits of "j:x" mod w — public,
+    * deterministic, replayed verbatim by the SQL oracle.
+    */
+  def cmsCounters(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, "need d >= 1 rows and w >= 2 buckets")
+    df.select(explode(array((0 until d).map(lit): _*)).as("j"), col(keyCol).as("__k"))
+      .select(col("j"),
+        pmod(hash52(concat(col("j"), lit(":"), col("__k"))), lit(w.toLong)).as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimate for each distinct key: min over the d rows of
+    * the key's bucket counter. One-sided by construction — est >= true
+    * count, with overshoot only from bucket collisions.
+    */
+  def cmsEstimates(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    val counters = cmsCounters(df, keyCol, d, w)
+    df.select(col(keyCol).as("key")).distinct()
+      .select(col("key"), explode(array((0 until d).map(lit): _*)).as("j"))
+      .withColumn("bucket",
+        pmod(hash52(concat(col("j"), lit(":"), col("key"))), lit(w.toLong)))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("key")).agg(min(col("cnt")).as("est"))
+  }
+
+  /** Heavy hitters by CMS-candidate + exact-verify — the two-pass
+    * scale pattern: pass 1 builds the constant-size counter grid and
+    * screens candidates (est >= threshold never misses a true heavy
+    * hitter, by one-sidedness); pass 2 computes EXACT counts only for
+    * the few surviving candidates via a broadcast semi-join, so the
+    * full-fidelity aggregation never touches the cold tail of the key
+    * universe. Output: (key, est, cnt) for keys with cnt >= threshold.
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, d: Int, w: Int,
+                      threshold: Long): DataFrame = {
+    val cands = cmsEstimates(df, keyCol, d, w)
+      .filter(col("est") >= threshold)
+    val exact = df.join(broadcast(cands.select(col("key").as(keyCol))), keyCol)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol).as("key"), col("cnt"))
+    cands.join(exact, "key")
+      .filter(col("cnt") >= threshold)
+      .select(col("key"), col("est"), col("cnt"))
   }
 }

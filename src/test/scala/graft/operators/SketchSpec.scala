@@ -72,4 +72,39 @@ class SketchSpec extends AnyFunSuite {
       .select(Sketch.hash52($"v")).collect().head.getLong(0)
     assert(a === b && a === md5hash52("12345"))
   }
+
+  // ---- count-min sketch --------------------------------------------
+
+  // skewed stream: one hot key (600x), a warm key (80x), 400-key tail
+  private lazy val cmsStream: Seq[String] =
+    Seq.fill(600)("hot") ++ Seq.fill(80)("warm") ++
+      (0 until 400).flatMap(i => Seq.fill(1 + i % 3)(s"tail-$i"))
+
+  test("cms estimates are one-sided (est >= true count for EVERY key) and exact replay") {
+    val df = cmsStream.toDF("key").repartition(9)
+    val truth = cmsStream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = Sketch.cmsEstimates(df, "key", d = 4, w = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === truth.keySet)
+    truth.foreach { case (k, c) => assert(est(k) >= c, s"$k: est ${est(k)} < true $c") }
+    // exact grid replay: counters from the same md5 hashes
+    val counters = scala.collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+    for (k <- cmsStream; j <- 0 until 4)
+      counters((j, md5hash52(s"$j:$k") % 64)) += 1L
+    val replayed = truth.keys.map { k =>
+      k -> (0 until 4).map(j => counters((j, md5hash52(s"$j:$k") % 64))).min
+    }.toMap
+    assert(est === replayed)
+  }
+
+  test("cms heavy hitters: no true heavy hitter missed, no light key reported") {
+    val df = cmsStream.toDF("key").repartition(5)
+    val got = Sketch.cmsHeavyHitters(df, "key", d = 4, w = 64, threshold = 70L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val truth = cmsStream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.map(_._1).toSet === truth.filter(_._2 >= 70L).keySet) // = {hot, warm}
+    got.foreach { case (k, est, cnt) =>
+      assert(cnt === truth(k)); assert(est >= cnt)
+    }
+  }
 }
