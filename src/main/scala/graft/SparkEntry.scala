@@ -2395,6 +2395,32 @@ object SparkEntry {
           .otherwise(concat(col("source"), lit("-"), col("doc_id") % 50))
           .as("key"))
       Sketch.cmsHeavyHitters(keys, "key", d = 4, w = 64, threshold = 40L)
+    }),
+
+    "q131_warc_records" -> ((s, d) => {
+      // WARC (ISO 28500, the Common Crawl container): assemble real
+      // multi-record response segments (8 records per blob, bodies
+      // planted with "\r\n\r\n" and "WARC/1.0" traps so only a
+      // byte-counted Content-Length walk parses them), then explode
+      // back to records with the per-partition parser. The oracle
+      // rebuilds every field closed-form from documents — the gate is
+      // parse(assemble(x)) == x, field-for-field including the exact
+      // byte length of the HTTP block.
+      val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
+      val rec = Warc.responseRecord(
+        concat(lit("https://"), col("source"), lit(".example.com/"), col("doc_id")),
+        concat(lit("2026-08-01T00:00:"), lpad(col("doc_id") % 60, 2, "0"), lit("Z")),
+        when(col("doc_id") % 17 === 0, lit("HTTP/1.1 404 Not Found"))
+          .otherwise(lit("HTTP/1.1 200 OK")),
+        concat(col("text"), lit("\r\n\r\nWARC/1.0 trap")))
+      val blobs = docs
+        .select(expr("doc_id DIV 8").as("blob_id"), col("doc_id"), rec.as("rec"))
+        .groupBy(col("blob_id"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+            x => x.getField("rec")), "").as("w"))
+        .select(col("blob_id"), to_binary(col("w"), lit("utf-8")).as("blob"))
+      Warc.records(blobs, "blob")
     })
   )
 
@@ -4106,7 +4132,24 @@ object SparkEntry {
           |exact AS (SELECT key, count(*) AS cnt FROM keys JOIN cand USING (key) GROUP BY key)
           |SELECT est.key, est.est, exact.cnt
           |FROM est JOIN exact USING (key)
-          |WHERE exact.cnt >= 40""".stripMargin
+          |WHERE exact.cnt >= 40""".stripMargin,
+
+      // every field rebuilt closed-form from documents: the gate is
+      // parse(assemble(x)) == x including the exact HTTP-block byte
+      // count (status line + 29 fixed header bytes + body; body =
+      // text + 4 separator bytes + 13 trap bytes)
+      "q131_warc_records" ->
+        """SELECT doc_id // 8 AS blob_id,
+          |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) - 1
+          |       AS INTEGER) AS rec_idx,
+          |  'response' AS warc_type,
+          |  'https://' || source || '.example.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
+          |  '2026-08-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+          |  CAST(CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS INTEGER) AS http_status,
+          |  CAST((CASE WHEN doc_id % 17 = 0 THEN 22 ELSE 15 END)
+          |       + 29 + octet_length(encode(text)) + 17 AS BIGINT) AS content_length,
+          |  text || chr(13) || chr(10) || chr(13) || chr(10) || 'WARC/1.0 trap' AS payload
+          |FROM documents WHERE doc_id < 2000""".stripMargin
     )
   }
 }
