@@ -2421,6 +2421,41 @@ object SparkEntry {
             x => x.getField("rec")), "").as("w"))
         .select(col("blob_id"), to_binary(col("w"), lit("utf-8")).as("blob"))
       Warc.records(blobs, "blob")
+    }),
+
+    "q132_voronoi_assign" -> ((s, d) => {
+      // Voronoi cell assignment: the supplier sites (a broadcast-scale
+      // dimension) become one multipoint, st_voronoipolygons builds the
+      // clipped diagram (cells in deduped lex site order), and probe
+      // customers are assigned to cells with the broadcast interior-PIP
+      // join. A point lies in the OPEN cell of site v iff v is its
+      // unique nearest site, so the oracle is a plain nearest-site
+      // argmin; the probe set (c_custkey < 2000) has nearest-vs-second
+      // margin >= 1.0e-5 at every SF vs ~1e-13 cell-boundary
+      // construction error. Cell -> suppkey mapping is itself a PIP
+      // join on the sites (each site is interior to its own cell), so
+      // the diagram is double-gated.
+      withST(s)
+      val sites = t(s, d, "supplier")
+        .withColumn("vx", (col("s_suppkey") * 53L % 20480L).cast("double") / 64.0 - 160.0)
+        .withColumn("vy", (col("s_suppkey") * 97L % 10240L).cast("double") / 64.0 - 80.0)
+        .select(col("s_suppkey"), col("vx"), col("vy"),
+          graft.functions.ST.st_point(col("vx"), col("vy")).as("pt"))
+      val cells = sites.agg(expr("st_collect_agg(pt)").as("mp"))
+        .select(posexplode(expr(
+          // clip rect strictly contains every probe (cx in [-180,180),
+          // cy in [-85,85)) so no probe sits on a rect edge where the
+          // interior-only PIP would drop it
+          "st_dumparray(st_voronoipolygons(mp, st_makeenvelope(-181.0d, -86.0d, 181.0d, 86.0d)))"))
+          .as(Seq("cid", "cell")))
+      val cellKey = SpatialJoins.broadcastPointKeyJoin(sites, col("vx"), col("vy"),
+          cells, "cell", "cid", pred = "contains", outKey = "cid")
+        .select(col("cid"), col("s_suppkey"))
+      val probes = customerPts(s, d).filter(col("c_custkey") < 2000)
+      SpatialJoins.broadcastPointKeyJoin(probes, col("cx"), col("cy"),
+          cells, "cell", "cid", pred = "contains", outKey = "cid")
+        .join(broadcast(cellKey), "cid")
+        .select(col("c_custkey"), col("s_suppkey").as("site"))
     })
   )
 
@@ -4149,7 +4184,22 @@ object SparkEntry {
           |  CAST((CASE WHEN doc_id % 17 = 0 THEN 22 ELSE 15 END)
           |       + 29 + octet_length(encode(text)) + 17 AS BIGINT) AS content_length,
           |  text || chr(13) || chr(10) || chr(13) || chr(10) || 'WARC/1.0 trap' AS payload
-          |FROM documents WHERE doc_id < 2000""".stripMargin
+          |FROM documents WHERE doc_id < 2000""".stripMargin,
+
+      "q132_voronoi_assign" ->
+        s"""WITH sites AS (
+          |  SELECT s_suppkey,
+          |         CAST((s_suppkey * 53) % 20480 AS DOUBLE) / 64.0 - 160.0 AS vx,
+          |         CAST((s_suppkey * 97) % 10240 AS DOUBLE) / 64.0 - 80.0  AS vy
+          |  FROM supplier),
+          |probes AS (
+          |  SELECT c_custkey, $cx AS px, $cy AS py
+          |  FROM customer WHERE c_custkey < 2000)
+          |SELECT p.c_custkey,
+          |       arg_min(s.s_suppkey,
+          |               (p.px - s.vx) * (p.px - s.vx) + (p.py - s.vy) * (p.py - s.vy)) AS site
+          |FROM probes p CROSS JOIN sites s
+          |GROUP BY p.c_custkey""".stripMargin
     )
   }
 }

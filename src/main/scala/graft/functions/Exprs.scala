@@ -789,6 +789,39 @@ case class StConcaveHull(children: Seq[Expression]) extends Expression with RowK
     copy(children = cs)
 }
 
+/** st_voronoipolygons(geom, clipGeom) — Voronoi cells of geom's
+  * control points, clipped to clipGeom's envelope, as a
+  * GeometryCollection in deduped lexicographic site order (so the
+  * output is independent of the input point order — safe downstream
+  * of an unordered st_collect_agg). GEOS-wrapper analogue of the
+  * reference's geos entrypoint family; algorithm in
+  * [[graft.core.Voronoi]].
+  */
+case class StVoronoiPolygons(children: Seq[Expression]) extends Expression with RowKernelCodegen {
+  require(children.length == 2, "st_voronoipolygons(geom, clipGeom)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_voronoipolygons"
+  override def genEval(vs: Array[Any]): Any = {
+    if (vs(0) == null || vs(1) == null) return null
+    val g = Wkb.read(vs(0).asInstanceOf[Array[Byte]])
+    val env = Wkb.read(vs(1).asInstanceOf[Array[Byte]]).envelope
+    if (env.isEmpty) return null
+    val xs = new scala.collection.mutable.ArrayBuilder.ofDouble
+    val ys = new scala.collection.mutable.ArrayBuilder.ofDouble
+    graft.core.Geom.transformSeq(g, s => {
+      var i = 0
+      while (i < s.n) { xs += s.x(i); ys += s.y(i); i += 1 }
+      s
+    })
+    val d = graft.core.Voronoi.diagram(xs.result(), ys.result(),
+      env.xmin, env.ymin, env.xmax, env.ymax)
+    Wkb.write(GColl(d.cell.asInstanceOf[Array[Geom]], CT.XY))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** st_relateMatch(matrix, pattern) — pure string matcher
   * (reference: geom/de9im.go:83-121).
   */

@@ -417,6 +417,7 @@ object ST {
     reg1("st_clipbybox") { es => StClipByBox(es) }
     reg1("st_subdivide") { es => StSubdivide(es) }
     reg1("st_concavehull") { es => StConcaveHull(es) }
+    reg1("st_voronoipolygons") { es => StVoronoiPolygons(es) }
     reg1("st_coveragesimplifyvw") { es => StCoverageSimplifyVW(es) }
     reg1("st_relatematch") { es => StRelateMatch(es(0), es(1)) }
     reg1("st_exactequals") { es => StExactEquals(es) }
