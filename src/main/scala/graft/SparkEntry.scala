@@ -2456,6 +2456,64 @@ object SparkEntry {
           cells, "cell", "cid", pred = "contains", outKey = "cid")
         .join(broadcast(cellKey), "cid")
         .select(col("c_custkey"), col("s_suppkey").as("site"))
+    }),
+
+    "q133_closest_point" -> ((s, d) => {
+      // st_closestpoint / st_shortestline witnesses from the dual-tree
+      // distance search. Against an axis-aligned box the closest point
+      // is the coordinate clamp, so the oracle is closed-form
+      // LEAST/GREATEST; the shortest-line length is double-gated
+      // against st_distance in-row.
+      withST(s)
+      val sb = supplierBoxes(s, d).select(col("s_suppkey"), col("sbox"))
+      val nSupp = t(s, d, "supplier").count()
+      customerPts(s, d).filter(col("c_custkey") < 3000)
+        .join(broadcast(sb),
+          col("s_suppkey") === pmod(col("c_custkey"), lit(nSupp)) + 1)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(expr("st_x(st_closestpoint(sbox, pt))"), 6).as("cpx"),
+          round(expr("st_y(st_closestpoint(sbox, pt))"), 6).as("cpy"),
+          round(expr("st_length(st_shortestline(pt, sbox))"), 6).as("sl_len"),
+          expr("abs(st_length(st_shortestline(pt, sbox)) - st_distance(pt, sbox)) < 1e-9")
+            .as("len_ok"))
+    }),
+
+    "q134_azimuth" -> ((s, d) => {
+      // st_azimuth (PostGIS: clockwise from north, [0, 2pi)) from each
+      // probe customer to its supplier's box centre — atan2 is
+      // re-derived closed-form in the oracle.
+      withST(s)
+      val sb = supplierBoxes(s, d)
+        .select(col("s_suppkey"),
+          (col("sx0") + col("sw") / 2).as("mx"), (col("sy0") + col("sh") / 2).as("my"))
+      val nSupp = t(s, d, "supplier").count()
+      customerPts(s, d).filter(col("c_custkey") < 3000)
+        .join(broadcast(sb),
+          col("s_suppkey") === pmod(col("c_custkey"), lit(nSupp)) + 1)
+        .filter(col("cx") =!= col("mx") || col("cy") =!= col("my"))
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(expr("st_azimuth(pt, st_point(mx, my))"), 6).as("az"))
+    }),
+
+    "q135_hausdorff" -> ((s, d) => {
+      // Discrete symmetric Hausdorff distance between per-nation
+      // multipoints (customer probes vs supplier sites). On multipoint
+      // inputs the vertex-sampled GEOS semantics are EXACT, so the
+      // oracle is the same max-min over a within-nation cross join —
+      // bit-identical sqrt chains on both sides.
+      withST(s)
+      val a = customerPts(s, d).filter(col("c_custkey") < 800)
+        .groupBy(col("c_nationkey").as("k"))
+        .agg(expr("st_collect_agg(pt)").as("mpa"))
+      val b = t(s, d, "supplier")
+        .withColumn("vx", (col("s_suppkey") * 53L % 20480L).cast("double") / 64.0 - 160.0)
+        .withColumn("vy", (col("s_suppkey") * 97L % 10240L).cast("double") / 64.0 - 80.0)
+        .select(col("s_nationkey").as("k"),
+          graft.functions.ST.st_point(col("vx"), col("vy")).as("spt"))
+        .groupBy(col("k")).agg(expr("st_collect_agg(spt)").as("mpb"))
+      a.join(b, "k")
+        .select(col("k"),
+          round(expr("st_hausdorffdistance(mpa, mpb)"), 6).as("hd"))
     })
   )
 
@@ -4199,7 +4257,66 @@ object SparkEntry {
           |       arg_min(s.s_suppkey,
           |               (p.px - s.vx) * (p.px - s.vx) + (p.py - s.vy) * (p.py - s.vy)) AS site
           |FROM probes p CROSS JOIN sites s
-          |GROUP BY p.c_custkey""".stripMargin
+          |GROUP BY p.c_custkey""".stripMargin,
+
+      "q133_closest_point" ->
+        s"""WITH sb AS (
+          |  SELECT s_suppkey, $sx0 AS x0, $sy0 AS y0,
+          |         $sx0 + $sw AS x1, $sy0 + $sh AS y1
+          |  FROM supplier),
+          |p AS (
+          |  SELECT c_custkey, $cx AS px, $cy AS py
+          |  FROM customer WHERE c_custkey < 3000),
+          |j AS (
+          |  SELECT p.*, sb.* FROM p JOIN sb
+          |  ON sb.s_suppkey = (p.c_custkey % (SELECT count(*) FROM supplier)) + 1)
+          |SELECT c_custkey, s_suppkey,
+          |  round(least(greatest(px, x0), x1), 6) AS cpx,
+          |  round(least(greatest(py, y0), y1), 6) AS cpy,
+          |  round(sqrt((px - least(greatest(px, x0), x1)) * (px - least(greatest(px, x0), x1))
+          |           + (py - least(greatest(py, y0), y1)) * (py - least(greatest(py, y0), y1))), 6)
+          |    AS sl_len,
+          |  TRUE AS len_ok
+          |FROM j""".stripMargin,
+
+      "q134_azimuth" ->
+        s"""WITH sb AS (
+          |  SELECT s_suppkey, $sx0 + $sw / 2 AS mx, $sy0 + $sh / 2 AS my
+          |  FROM supplier),
+          |p AS (
+          |  SELECT c_custkey, $cx AS px, $cy AS py
+          |  FROM customer WHERE c_custkey < 3000),
+          |j AS (
+          |  SELECT p.*, sb.* FROM p JOIN sb
+          |  ON sb.s_suppkey = (p.c_custkey % (SELECT count(*) FROM supplier)) + 1
+          |  WHERE px <> mx OR py <> my)
+          |SELECT c_custkey, s_suppkey,
+          |  round(CASE WHEN atan2(mx - px, my - py) < 0
+          |             THEN atan2(mx - px, my - py) + 2 * pi()
+          |             ELSE atan2(mx - px, my - py) END, 6) AS az
+          |FROM j""".stripMargin,
+
+      "q135_hausdorff" ->
+        s"""WITH a AS (
+          |  SELECT c_nationkey AS k, $cx AS ax, $cy AS ay
+          |  FROM customer WHERE c_custkey < 800),
+          |b AS (
+          |  SELECT s_nationkey AS k,
+          |         CAST((s_suppkey * 53) % 20480 AS DOUBLE) / 64.0 - 160.0 AS bx,
+          |         CAST((s_suppkey * 97) % 10240 AS DOUBLE) / 64.0 - 80.0  AS by
+          |  FROM supplier),
+          |dab AS (
+          |  SELECT a.k, a.ax, a.ay,
+          |         min(sqrt((a.ax - b.bx) * (a.ax - b.bx) + (a.ay - b.by) * (a.ay - b.by))) AS m
+          |  FROM a JOIN b ON a.k = b.k GROUP BY a.k, a.ax, a.ay),
+          |dba AS (
+          |  SELECT b.k, b.bx, b.by,
+          |         min(sqrt((a.ax - b.bx) * (a.ax - b.bx) + (a.ay - b.by) * (a.ay - b.by))) AS m
+          |  FROM a JOIN b ON a.k = b.k GROUP BY b.k, b.bx, b.by),
+          |hab AS (SELECT k, max(m) AS h FROM dab GROUP BY k),
+          |hba AS (SELECT k, max(m) AS h FROM dba GROUP BY k)
+          |SELECT hab.k AS k, round(greatest(hab.h, hba.h), 6) AS hd
+          |FROM hab JOIN hba ON hab.k = hba.k""".stripMargin
     )
   }
 }

@@ -238,6 +238,41 @@ object Alg {
     distPointPoint(px, py, cx, cy)
   }
 
+  /** Closest point on closed segment AB to point P, as (cx, cy). */
+  def closestOnSeg(px: Double, py: Double, ax: Double, ay: Double,
+                   bx: Double, by: Double): Array[Double] = {
+    val abx = bx - ax; val aby = by - ay
+    val len2 = abx * abx + aby * aby
+    if (len2 == 0) return Array(ax, ay)
+    var t = ((px - ax) * abx + (py - ay) * aby) / len2
+    if (t < 0) t = 0 else if (t > 1) t = 1
+    Array(ax + t * abx, ay + t * aby)
+  }
+
+  /** Closest pair (p on AB, q on CD) for NON-intersecting segments, as
+    * (px, py, qx, qy): for disjoint segments the minimum is always
+    * realized at an endpoint of one segment against the other.
+    */
+  def closestSegSeg(ax: Double, ay: Double, bx: Double, by: Double,
+                    cx: Double, cy: Double, dx: Double, dy: Double): Array[Double] = {
+    var best = Double.PositiveInfinity
+    var out: Array[Double] = null
+    def cand(ex: Double, ey: Double, sx1: Double, sy1: Double,
+             sx2: Double, sy2: Double, endpointOnAB: Boolean): Unit = {
+      val c = closestOnSeg(ex, ey, sx1, sy1, sx2, sy2)
+      val d = distPointPoint(ex, ey, c(0), c(1))
+      if (d < best) {
+        best = d
+        out = if (endpointOnAB) Array(ex, ey, c(0), c(1)) else Array(c(0), c(1), ex, ey)
+      }
+    }
+    cand(ax, ay, cx, cy, dx, dy, endpointOnAB = true)
+    cand(bx, by, cx, cy, dx, dy, endpointOnAB = true)
+    cand(cx, cy, ax, ay, bx, by, endpointOnAB = false)
+    cand(dx, dy, ax, ay, bx, by, endpointOnAB = false)
+    out
+  }
+
   /** Distance between closed segments AB and CD (0 if intersecting). */
   def distSegSeg(ax: Double, ay: Double, bx: Double, by: Double,
                  cx: Double, cy: Double, dx: Double, dy: Double): Double = {

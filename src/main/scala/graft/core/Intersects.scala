@@ -164,6 +164,59 @@ object Intersects {
   def distance(a: Geom, b: Geom): Option[Double] = {
     if (a.isEmpty || b.isEmpty) return None
     if (intersects(a, b)) return Some(0.0)
+    Some(nearestWitness(a, b)._1)
+  }
+
+  /** The closest pair of points (p on a, q on b) realizing
+    * distance(a, b). Intersecting inputs yield one deterministic
+    * shared point at both ends (point-on-surface of the overlay
+    * intersection); None if either input is empty. PostGIS
+    * ST_ClosestPoint / ST_ShortestLine semantics.
+    */
+  def closestPoints(a: Geom, b: Geom): Option[(Double, Double, Double, Double)] = {
+    if (a.isEmpty || b.isEmpty) return None
+    if (intersects(a, b)) {
+      val shared = SetOps.intersection(a, b) match {
+        case g if !g.isEmpty => PointOnSurface.compute(g)
+        case _ => PointOnSurface.compute(a) // snap-collapsed: any point of a
+      }
+      shared match {
+        case p: GPoint if !p.isEmpty =>
+          return Some((p.coords(0), p.coords(1), p.coords(0), p.coords(1)))
+        case _ => // fall through to the witness search (degenerate)
+      }
+    }
+    val w = nearestWitness(a, b)
+    Some((w._2, w._3, w._4, w._5))
+  }
+
+  /** Discrete symmetric Hausdorff distance: max over control vertices
+    * of each side of the exact point-to-geometry distance to the other
+    * (GEOS DiscreteHausdorffDistance without densification). None if
+    * either side is empty.
+    */
+  def hausdorff(a: Geom, b: Geom): Option[Double] = {
+    if (a.isEmpty || b.isEmpty) return None
+    def directed(from: Geom, to: Geom): Double = {
+      var worst = 0.0
+      Geom.transformSeq(from, s => {
+        var i = 0
+        while (i < s.n) {
+          val d = distance(GPoint(Array(s.x(i), s.y(i)), CT.XY), to).getOrElse(0.0)
+          if (d > worst) worst = d
+          i += 1
+        }
+        s
+      })
+      worst
+    }
+    Some(math.max(directed(a, b), directed(b, a)))
+  }
+
+  /** (dist, px, py, qx, qy) with p on a and q on b — requires both
+    * non-empty and non-intersecting.
+    */
+  private def nearestWitness(a: Geom, b: Geom): (Double, Double, Double, Double, Double) = {
     val fa = flatten(a)
     val fb = flatten(b)
     // items: points and segments; index the larger side
@@ -225,14 +278,42 @@ object Intersects {
     // dual-tree best-first: item pairs arrive by increasing envelope
     // distance; once that lower bound reaches best, nothing closer
     // remains anywhere in either tree
+    var bestPid = -1; var bestRid = -1
     ptree.nearestPairSearch(tree) { (pid, rid, d2) =>
       if (math.sqrt(d2) >= best) false
       else {
         val d = pairDist(pid, rid)
-        if (d < best) best = d
+        if (d < best) { best = d; bestPid = pid; bestRid = rid }
         true
       }
     }
-    Some(best)
+    // witness of the winning pair (probe point p*, build point q*)
+    val pIsSeg = bestPid >= pPts
+    val po = (bestPid - pPts) * 4
+    val rIsSeg = bestRid >= nPts
+    val ro = (bestRid - nPts) * 4
+    val w: Array[Double] =
+      if (!pIsSeg && !rIsSeg)
+        Array(probe.pts(2 * bestPid), probe.pts(2 * bestPid + 1),
+          build.pts(2 * bestRid), build.pts(2 * bestRid + 1))
+      else if (!pIsSeg && rIsSeg) {
+        val px = probe.pts(2 * bestPid); val py = probe.pts(2 * bestPid + 1)
+        val c = Alg.closestOnSeg(px, py,
+          build.segs(ro), build.segs(ro + 1), build.segs(ro + 2), build.segs(ro + 3))
+        Array(px, py, c(0), c(1))
+      } else if (pIsSeg && !rIsSeg) {
+        val qx = build.pts(2 * bestRid); val qy = build.pts(2 * bestRid + 1)
+        val c = Alg.closestOnSeg(qx, qy,
+          probe.segs(po), probe.segs(po + 1), probe.segs(po + 2), probe.segs(po + 3))
+        Array(c(0), c(1), qx, qy)
+      } else
+        Alg.closestSegSeg(
+          probe.segs(po), probe.segs(po + 1), probe.segs(po + 2), probe.segs(po + 3),
+          build.segs(ro), build.segs(ro + 1), build.segs(ro + 2), build.segs(ro + 3))
+    // orient so p is on a, q on b
+    val probeIsA = (fa.pts.length / 2 + fa.segs.length / 4) <=
+                   (fb.pts.length / 2 + fb.segs.length / 4)
+    if (probeIsA) (best, w(0), w(1), w(2), w(3))
+    else (best, w(2), w(3), w(0), w(1))
   }
 }

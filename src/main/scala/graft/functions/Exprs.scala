@@ -243,6 +243,29 @@ object GeomOps {
       val e = a.envelope; val o = b.envelope
       if (e.isEmpty || o.isEmpty) null else Double.box(e.distance(o))
     }),
+    // closest-pair witnesses over the dual-tree distance search
+    // (PostGIS ST_ClosestPoint / ST_ShortestLine semantics: p on a,
+    // q on b; intersecting inputs collapse to one shared point)
+    "st_closestpoint" -> (BinaryType, (a: Geom, b: Geom) =>
+      Intersects.closestPoints(a, b).map { case (px, py, _, _) =>
+        wkb(GPoint(Array(px, py), CT.XY)) }.orNull),
+    "st_shortestline" -> (BinaryType, (a: Geom, b: Geom) =>
+      Intersects.closestPoints(a, b).map { case (px, py, qx, qy) =>
+        wkb(GLine(Seqn.xy(Array(px, py, qx, qy)))) }.orNull),
+    // PostGIS ST_Azimuth: clockwise angle from north, [0, 2pi); null
+    // unless both args are non-empty distinct points
+    "st_azimuth" -> (DoubleType, (a: Geom, b: Geom) => (a, b) match {
+      case (p: GPoint, q: GPoint) if !p.isEmpty && !q.isEmpty &&
+          (p.coords(0) != q.coords(0) || p.coords(1) != q.coords(1)) =>
+        val az = math.atan2(q.coords(0) - p.coords(0), q.coords(1) - p.coords(1))
+        Double.box(if (az < 0) az + 2 * math.Pi else az)
+      case _ => null
+    }),
+    // discrete (vertex-sampled) symmetric Hausdorff distance, GEOS
+    // DiscreteHausdorffDistance semantics: max over control vertices of
+    // one side of the EXACT point-to-geometry distance to the other
+    "st_hausdorffdistance" -> (DoubleType, (a: Geom, b: Geom) =>
+      Intersects.hausdorff(a, b).map(Double.box).orNull),
     "st_intersection" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.Overlay.intersection(a, b))),
     "st_union" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.SetOps.union(a, b))),
     "st_difference" -> (BinaryType, (a: Geom, b: Geom) => wkb(graft.core.SetOps.difference(a, b))),
