@@ -450,7 +450,7 @@ object Mp4 {
     val hdlr = box("hdlr", u32(0, 0),
       "vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
       u32(0, 0, 0),
-      "VideoHandler ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      "VideoHandler\u0000".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     val entryBody = java.nio.ByteBuffer.allocate(78)
     entryBody.putInt(0).putInt(1)
     entryBody.putShort(0).putShort(0).putInt(0).putInt(0).putInt(0)
