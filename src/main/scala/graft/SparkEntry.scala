@@ -2514,7 +2514,46 @@ object SparkEntry {
       a.join(b, "k")
         .select(col("k"),
           round(expr("st_hausdorffdistance(mpa, mpb)"), 6).as("hd"))
-    })
+    }),
+
+    "q136_bm25" -> ((s, d) =>
+      // corpus-statistics relevance: ONE map-side-combined global agg
+      // (N, avgdl, per-term df) broadcast back over the scan; scoring
+      // stays in whole-stage codegen. k1=1.25/b=0.75 are exact binary
+      // fractions so the oracle's literals are bit-identical.
+      Relevance.bm25(t(s, d, "documents"), "text", "doc_id",
+        Seq("spark", "join", "window", "hash"))),
+
+    "q137_bloom_blocklist" -> ((s, d) => {
+      // Bloom-bitset pre-filter + exact left_anti refine: result is
+      // exactly corpus ANTI JOIN blocklist (the bitset only ever
+      // sends extra rows to the exact join, never drops one). The
+      // blocklist is every 13th doc's text fingerprint, so duplicate
+      // texts of blocked docs are scrubbed too.
+      val withFp = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val block = withFp.filter(col("doc_id") % 13 === 0).select(col("fp").as("bfp"))
+      Bloom.antiJoin(s, withFp, col("fp"), block, col("bfp"))
+        .select(col("doc_id"), col("fp"))
+    }),
+
+    "q138_hilbert_index" -> ((s, d) =>
+      // Hilbert d-values on a 2^8 grid — the locality-optimal sort key
+      // for range-clustered storage / Hilbert R-tree packing. The
+      // oracle replays the identical rotate/reflect walk through 8
+      // generated CTE levels, gating the curve definition bit-for-bit.
+      t(s, d, "customer").select(
+        col("c_custkey").as("key"),
+        (col("c_custkey") * 7919L % 256L).cast("long").as("x"),
+        (col("c_custkey") * 104729L % 256L).cast("long").as("y"))
+        .withColumn("hd", SpaceCurve.hilbertIndex(col("x"), col("y"), 8))),
+
+    "q139_bigram_lm" -> ((s, d) =>
+      // char-bigram Laplace LM trained on the corpus itself; per-doc
+      // mean log-prob with the log-probs quantized to BIGINT BEFORE
+      // the per-doc sum, so aggregation is exact-integer and immune
+      // to shuffle-order float drift.
+      Relevance.bigramLmScore(t(s, d, "documents"), "text", "doc_id"))
   )
 
   // --------------------------------------------------------- oracle SQL
@@ -4316,7 +4355,86 @@ object SparkEntry {
           |hab AS (SELECT k, max(m) AS h FROM dab GROUP BY k),
           |hba AS (SELECT k, max(m) AS h FROM dba GROUP BY k)
           |SELECT hab.k AS k, round(greatest(hab.h, hba.h), 6) AS hd
-          |FROM hab JOIN hba ON hab.k = hba.k""".stripMargin
+          |FROM hab JOIN hba ON hab.k = hba.k""".stripMargin,
+
+      "q136_bm25" -> {
+        // exact same expression tree as Relevance.bm25 (left-assoc
+        // arithmetic, ln, exact-binary k1/b constants), so floor6
+        // truncation agrees bit-for-bit
+        val terms = Seq("spark", "join", "window", "hash")
+        val tfDefs = terms.map(t =>
+          s"CAST(len(list_filter(toks, t -> t = '$t')) AS BIGINT) AS tf_$t").mkString(",\n    ")
+        val dfDefs = terms.map(t =>
+          s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n    ")
+        val scoreSum = terms.map(t =>
+          s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+             |      / (CAST(df_$t AS DOUBLE) + 0.5))
+             |  * CAST(tf_$t AS DOUBLE) * 2.25
+             |  / (CAST(tf_$t AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+             |      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin)
+          .mkString("(", "\n + ", ")")
+        s"""WITH tk AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |                t -> len(t) > 0) AS toks
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |    $tfDefs
+           |  FROM tk),
+           |st AS (
+           |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           |    $dfDefs
+           |  FROM base)
+           |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+           |  floor($scoreSum * 1000000.0) / 1000000.0 AS bm25
+           |FROM base, st""".stripMargin
+      },
+
+      "q137_bloom_blocklist" -> {
+        val hex5 = "list_reduce(list_transform(range(1,6), " +
+          "i -> strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1), (a,d) -> a*16+d)"
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    CAST(list_reduce(
+           |      list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> $hex5),
+           |      (acc, h) -> (acc * 31 + h) % 2147483648) AS BIGINT) AS fp
+           |  FROM documents)
+           |SELECT a.doc_id, a.fp FROM f a
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM f b WHERE b.doc_id % 13 = 0 AND b.fp = a.fp)""".stripMargin
+      },
+
+      "q138_hilbert_index" -> SpaceCurve.oracleSql(8,
+        """SELECT c_custkey AS key,
+          |       (c_custkey * 7919) % 256 AS x,
+          |       (c_custkey * 104729) % 256 AS y
+          |FROM customer""".stripMargin),
+
+      "q139_bigram_lm" ->
+        """WITH nd AS (
+          |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+          |  FROM documents),
+          |bg0 AS (
+          |  SELECT doc_id, substr(s, CAST(i AS INT), 2) AS bg
+          |  FROM nd, LATERAL unnest(range(1, len(s))) t(i)),
+          |bg AS (SELECT doc_id, bg FROM bg0 WHERE len(bg) = 2),
+          |docbg AS (SELECT doc_id, bg, count(*) AS nb FROM bg GROUP BY doc_id, bg),
+          |model AS (SELECT bg, sum(nb) AS cb FROM docbg GROUP BY bg),
+          |ctx AS (SELECT substr(bg, 1, 1) AS p, sum(cb) AS cp FROM model GROUP BY p),
+          |lpq AS (
+          |  SELECT m.bg,
+          |    CAST(floor(ln((CAST(m.cb AS DOUBLE) + 1.0) / (CAST(c.cp AS DOUBLE) + 27.0))
+          |         * 1000000.0) AS BIGINT) AS lpq
+          |  FROM model m JOIN ctx c ON c.p = substr(m.bg, 1, 1)),
+          |sc AS (
+          |  SELECT d.doc_id, CAST(sum(d.nb * l.lpq) AS BIGINT) AS lm_num,
+          |         CAST(sum(d.nb) AS BIGINT) AS lm_den
+          |  FROM docbg d JOIN lpq l USING (bg) GROUP BY d.doc_id)
+          |SELECT doc_id, lm_num, lm_den,
+          |  floor(CAST(lm_num AS DOUBLE) / CAST(lm_den AS DOUBLE) / 1000000.0
+          |        * 1000000.0) / 1000000.0 AS lm_score
+          |FROM sc""".stripMargin
     )
   }
 }

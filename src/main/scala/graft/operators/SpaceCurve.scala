@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+import graft.functions.RowKernelCodegen
+
+/** Hilbert space-filling curve index. The Z-order (Morton) curve used
+  * by the clustered bench layout (Pages.scala) has locality "seams"
+  * where one bit flip teleports across the map; the Hilbert curve is
+  * the locality-optimal alternative — adjacent d-values are ALWAYS
+  * 4-adjacent cells — which makes it the better sort key for
+  * range-partitioned storage (Iceberg/Delta clustering) and for
+  * packing R-tree leaves (the classic Hilbert R-tree bulk load,
+  * Kamel & Faloutsos VLDB'94).
+  *
+  * `hilbertIndex` is the standard per-bit rotate/reflect walk
+  * (quadrant Gray-code; see Hamilton's "Compact Hilbert Indices" TR or
+  * the Wikipedia xy2d form) as a codegen'd kernel expression — a
+  * 2·order-step integer loop per row, no allocation. The DuckDB
+  * oracle replays the identical walk through `order` generated CTE
+  * levels (SparkEntry writes them out), so the curve definition itself
+  * is gated bit-for-bit, not just "some locality-ish number".
+  */
+object SpaceCurve {
+
+  /** d-value in [0, 4^order) for a cell (x, y) with 0 <= x,y < 2^order.
+    * Out-of-range coordinates are masked into range (callers quantize
+    * first); null in -> null out.
+    */
+  def hilbertIndex(x: Column, y: Column, order: Int): Column =
+    GraftBridge.column(HilbertIndex(
+      GraftBridge.expression(x), GraftBridge.expression(y), order))
+
+  /** Core integer walk, shared by the expression and the specs. */
+  private[operators] def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << order
+    var x = x0 & (n - 1)
+    var y = y0 & (n - 1)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate/reflect the quadrant so the sub-square is walked in
+      // canonical orientation
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = n - 1 - x
+          y = n - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** The inverse walk (d -> (x, y)), for specs/round-trips. */
+  private[operators] def d2xy(order: Int, d0: Long): (Long, Long) = {
+    val n = 1L << order
+    var (x, y) = (0L, 0L)
+    var t = d0
+    var s = 1L
+    while (s < n) {
+      val rx = (t / 2) & 1
+      val ry = (t ^ rx) & 1
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
+  /** DuckDB SQL replaying the same walk: one chained CTE per bit level
+    * over an input relation `src(key, x, y)` (BIGINT coords already in
+    * [0, 2^order), key unique). Returns the full WITH...SELECT
+    * producing (key, x, y, hd) with the ORIGINAL coordinates.
+    */
+  def oracleSql(order: Int, srcCte: String): String = {
+    val n = 1L << order
+    val levels = (order - 1 to 0 by -1).zipWithIndex.map { case (bit, i) =>
+      val s = 1L << bit
+      val prev = if (i == 0) "src" else s"l${i - 1}"
+      // quadrant contribution: (3*rx) XOR ry over {0,1}^2 spelled as a CASE
+      s"""l$i AS (
+         |  SELECT key,
+         |    CASE WHEN (y & $s) = 0
+         |         THEN (CASE WHEN (x & $s) > 0 THEN ${n - 1} - y ELSE y END)
+         |         ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0
+         |         THEN (CASE WHEN (x & $s) > 0 THEN ${n - 1} - x ELSE x END)
+         |         ELSE y END AS y,
+         |    d + ${s * s} * (CASE WHEN (x & $s) = 0 AND (y & $s) = 0 THEN 0
+         |                         WHEN (x & $s) = 0 THEN 1
+         |                         WHEN (y & $s) = 0 THEN 3
+         |                         ELSE 2 END) AS d
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH src AS (SELECT key, x, y, CAST(0 AS BIGINT) AS d FROM ($srcCte)),
+       |${levels.mkString(",\n")}
+       |SELECT s.key AS key, s.x AS x, s.y AS y, l.d AS hd
+       |FROM l${order - 1} l JOIN src s ON l.key = s.key""".stripMargin
+  }
+}
+
+/** (x, y) -> Hilbert d-value; a fixed-trip-count integer loop that
+  * rides whole-stage codegen via the row-kernel bridge.
+  */
+case class HilbertIndex(left: Expression, right: Expression, order: Int)
+    extends BinaryExpression with RowKernelCodegen {
+  require(order >= 1 && order <= 31, s"order $order out of range")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "hilbert_index"
+  override def genEval(vs: Array[Any]): Any =
+    if (vs(0) == null || vs(1) == null) null
+    else java.lang.Long.valueOf(SpaceCurve.xy2d(order,
+      vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Long]))
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HilbertIndex = copy(left = l, right = r)
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SparkTestSession
+
+/** Bloom blocklist anti-join (q137) and Hilbert index (q138). */
+class BloomSpaceCurveSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bloom filter has zero false negatives and a sane FP rate") {
+    val keys = Array.tabulate(20000)(i => Bloom.mix64(i.toLong * 7919L))
+    val f = Bloom.build(keys)
+    assert(keys.forall(f.contains), "false negative!")
+    val probes = Array.tabulate(100000)(i => Bloom.mix64(0xabcdef123L + i))
+    val inserted = keys.toSet
+    val fp = probes.count(p => !inserted.contains(p) && f.contains(p))
+    assert(fp < 1000, s"false-positive rate too high: $fp / 100000") // ~0.1% expected
+  }
+
+  test("bloom antiJoin equals the exact anti-join, incl. null keys") {
+    val corpus = spark.range(0, 5000).toDF("id")
+      .withColumn("key", when(col("id") % 97 === 0, lit(null))
+        .otherwise(col("id") * 31L % 2048L))
+    val block = spark.range(0, 400).select((col("id") * 7L % 2048L).as("bk"))
+    val got = Bloom.antiJoin(spark, corpus, col("key"), block, col("bk"))
+      .select("id").as[Long].collect().sorted
+    val want = corpus.join(block, col("key") === col("bk"), "left_anti")
+      .select("id").as[Long].collect().sorted
+    assert(got === want)
+    assert(want.nonEmpty && want.length < 5000) // the join actually bites
+  }
+
+  test("hilbert xy2d round-trips d2xy and walks unit steps") {
+    val order = 6
+    val n = 1 << order
+    // bijection + round-trip
+    val ds = for (x <- 0 until n; y <- 0 until n) yield SpaceCurve.xy2d(order, x, y)
+    assert(ds.toSet.size === n * n)
+    assert(ds.min === 0L && ds.max === (n * n - 1).toLong)
+    for (d <- 0L until (n * n).toLong) {
+      val (x, y) = SpaceCurve.d2xy(order, d)
+      assert(SpaceCurve.xy2d(order, x, y) === d)
+    }
+    // locality: consecutive d-values are 4-adjacent cells — the
+    // property Z-order lacks and the reason Hilbert wins as a sort key
+    var prev = SpaceCurve.d2xy(order, 0L)
+    for (d <- 1L until (n * n).toLong) {
+      val cur = SpaceCurve.d2xy(order, d)
+      assert(math.abs(cur._1 - prev._1) + math.abs(cur._2 - prev._2) === 1L,
+        s"non-unit step at d=$d")
+      prev = cur
+    }
+  }
+
+  test("hilbert column expression matches the scalar walk and keeps nulls") {
+    val df = spark.range(0, 4096).toDF("k")
+      .withColumn("x", col("k") % 64L)
+      .withColumn("y", col("k") * 31L % 64L)
+      .withColumn("hd", SpaceCurve.hilbertIndex(col("x"), col("y"), 6))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) === SpaceCurve.xy2d(6, r.getLong(1), r.getLong(2)))
+    }
+    val withNull = spark.range(0, 4).toDF("k")
+      .withColumn("x", when(col("k") === 2, lit(null)).otherwise(col("k")))
+      .withColumn("hd", SpaceCurve.hilbertIndex(col("x").cast("long"), col("k"), 4))
+    assert(withNull.where(col("hd").isNull).count() === 1L)
+  }
+}
