@@ -122,12 +122,22 @@ object Bench {
       var compact =
         s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"""" +
           (if (scalingJson.nonEmpty) "," + scalingJson else "") + "}"
-      // hard guard for the tail window: drop the query map before ever
-      // letting the one machine-parsed line risk truncation
-      if (compact.length > 1800)
+      // hard guard for the tail window: before ever letting the one
+      // machine-parsed line risk truncation, keep only the SLOWEST 40
+      // queries (the scaling + total metrics and the hot tail are the
+      // signal; the full map is in BENCH_LAST.json)
+      if (compact.length > 1800) {
+        val top = results.sortBy(-_._2).take(40)
+          .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + d2(v) }
+          .mkString("{", ",", "}")
         compact =
-          s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":{},"sf":"$sfDir"""" +
+          s"""{"metric":"total","value":${d2(total)},"unit":"sec","q_shown":${math.min(40, results.size)},"q_total":${results.size},"queries":$top,"sf":"$sfDir"""" +
             (if (scalingJson.nonEmpty) "," + scalingJson else "") + "}"
+        if (compact.length > 1800)
+          compact =
+            s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":{},"sf":"$sfDir"""" +
+              (if (scalingJson.nonEmpty) "," + scalingJson else "") + "}"
+      }
       println(compact)
       System.out.flush()
       line

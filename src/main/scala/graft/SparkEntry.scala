@@ -2553,7 +2553,69 @@ object SparkEntry {
       // mean log-prob with the log-probs quantized to BIGINT BEFORE
       // the per-doc sum, so aggregation is exact-integer and immune
       // to shuffle-order float drift.
-      Relevance.bigramLmScore(t(s, d, "documents"), "text", "doc_id"))
+      Relevance.bigramLmScore(t(s, d, "documents"), "text", "doc_id")),
+
+    "q140_contamination" -> ((s, d) => {
+      // benchmark-decontamination pass: word-8-gram overlap between
+      // the corpus and a held-out "benchmark" subset; the join key is
+      // the shingle string (one equi-join, bench side broadcast).
+      val docs = t(s, d, "documents")
+      Corpus.contamination(docs, docs.filter(col("doc_id") % 29 === 0),
+        "text", "doc_id", n = 8)
+    }),
+
+    "q141_inverted_index" -> ((s, d) =>
+      // truncated-postings inverted index: (tf desc, doc asc) ranking
+      // with deterministic tie-break; flat relational output.
+      Corpus.invertedIndex(t(s, d, "documents"), "text", "doc_id", topK = 3)),
+
+    "q142_pmi" -> ((s, d) =>
+      // within-doc PMI: upper-triangle pairs generated per-row from
+      // the sorted distinct-token array (no self-join); exact integer
+      // counts, single final ln + floor6.
+      Corpus.pmiPairs(t(s, d, "documents"), "text", "doc_id", minPairCount = 50L)),
+
+    "q143_paragraph_dedup" -> ((s, d) =>
+      // sub-document keep-first dedup over 8-word chunks; the global
+      // first-occurrence rule is one window over the chunk text.
+      Corpus.paragraphDedup(t(s, d, "documents"), "text", "doc_id", chunkWords = 8)),
+
+    "q144_robots" -> ((s, d) => {
+      // crawl politeness: parse per-host robots.txt (RFC 9309 minimal
+      // profile — case-insensitive Disallow lines, empty values
+      // dropped) and prefix-match each URL path. The oracle
+      // reconstructs the expected rules CLOSED-FORM per case arm, so
+      // it gates the parser, not a shared regex.
+      val docs = t(s, d, "documents")
+      val path = concat(lit("/"),
+        when(col("doc_id") % 4 === 0, lit("private"))
+          .when(col("doc_id") % 4 === 1, lit("static"))
+          .when(col("doc_id") % 4 === 2, lit("api"))
+          .otherwise(lit("pages")),
+        lit("/doc-"), col("doc_id"))
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private/\n"),
+        when(length(col("source")) % 2 === 0, lit("Disallow: /api/\n"))
+          .otherwise(lit("Allow: /api/\ndisallow:\n")),
+        lit("Crawl-delay: 1\nDISALLOW: /tmp/x"))
+      val rules = TextOps.robotsDisallows(robots)
+      docs.select(col("doc_id"), path.as("path"),
+        size(rules).as("n_rules"),
+        TextOps.robotsBlocked(rules, path).as("blocked"))
+    }),
+
+    "q145_json_props" -> ((s, d) =>
+      // JSON metadata extraction from the event props column — the
+      // crawl-sidecar pattern (per-page JSON headers/labels) at scan
+      // speed, no shuffle.
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        get_json_object(col("props"), "$.missing").isNotNull.as("has_missing"))),
+
+    "q146_zipf_slope" -> ((s, d) =>
+      // per-source Zipf rank-frequency slope; regression sums are
+      // fixed-point exact integers (see Corpus.zipfSlope).
+      Corpus.zipfSlope(t(s, d, "documents"), "text", "source", topR = 30))
   )
 
   // --------------------------------------------------------- oracle SQL
@@ -4434,7 +4496,136 @@ object SparkEntry {
           |SELECT doc_id, lm_num, lm_den,
           |  floor(CAST(lm_num AS DOUBLE) / CAST(lm_den AS DOUBLE) / 1000000.0
           |        * 1000000.0) / 1000000.0 AS lm_score
-          |FROM sc""".stripMargin
+          |FROM sc""".stripMargin,
+
+      "q140_contamination" ->
+        // word-8-gram shingles with TextOps.wordShingles' exact
+        // semantics incl. the m<n whole-text fallback
+        """WITH c AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+          |  FROM documents),
+          |csh AS (
+          |  SELECT doc_id, unnest(
+          |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+          |                i -> array_to_string(list_slice(tk, CAST(i AS INT),
+          |                       CAST(i + 7 AS INT)), ' '))) END) AS sh
+          |  FROM c),
+          |bsh AS (SELECT doc_id AS bench_id, sh FROM csh WHERE doc_id % 29 = 0)
+          |SELECT a.doc_id,
+          |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS bench_docs,
+          |  CAST(count(DISTINCT a.sh) AS BIGINT) AS shared_shingles
+          |FROM csh a JOIN bsh b ON a.sh = b.sh
+          |WHERE a.doc_id <> b.bench_id
+          |GROUP BY a.doc_id""".stripMargin,
+
+      "q141_inverted_index" ->
+        """WITH td AS (
+          |  SELECT token, doc, count(*) AS tf FROM (
+          |    SELECT doc_id AS doc,
+          |      unnest(list_filter(
+          |        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |        t -> len(t) > 0)) AS token
+          |    FROM documents)
+          |  GROUP BY token, doc),
+          |st AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+          |       FROM td GROUP BY token),
+          |r AS (SELECT token, doc, tf,
+          |        CAST(row_number() OVER (PARTITION BY token
+          |               ORDER BY tf DESC, doc ASC) AS BIGINT) AS "rank"
+          |      FROM td)
+          |SELECT r.token, st.df, st.tf_total, r."rank", r.doc, r.tf
+          |FROM r JOIN st ON r.token = st.token WHERE r."rank" <= 3""".stripMargin,
+
+      "q142_pmi" ->
+        """WITH dt AS (
+          |  SELECT doc_id AS doc,
+          |    list_sort(list_distinct(list_filter(
+          |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0))) AS ts
+          |  FROM documents),
+          |dt2 AS (SELECT * FROM dt WHERE len(ts) > 0),
+          |n AS (SELECT count(*) AS n_docs FROM dt2),
+          |pairs AS (
+          |  SELECT doc, a.x AS tok_a, b.x AS tok_b
+          |  FROM dt2, LATERAL unnest(ts) a(x), LATERAL unnest(ts) b(x)
+          |  WHERE a.x < b.x),
+          |cab AS (SELECT tok_a, tok_b, count(*) AS cab FROM pairs
+          |        GROUP BY tok_a, tok_b HAVING count(*) >= 50),
+          |cx AS (SELECT t AS tok, count(*) AS c
+          |       FROM (SELECT doc, unnest(ts) AS t FROM dt2) GROUP BY t)
+          |SELECT cab.tok_a, cab.tok_b, cab.cab,
+          |  floor(ln(CAST(n_docs AS DOUBLE) * CAST(cab.cab AS DOUBLE)
+          |           / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))
+          |        * 1000000.0) / 1000000.0 AS pmi
+          |FROM cab
+          |JOIN cx ca ON ca.tok = cab.tok_a
+          |JOIN cx cb ON cb.tok = cab.tok_b, n""".stripMargin,
+
+      "q143_paragraph_dedup" ->
+        """WITH c AS (
+          |  SELECT doc_id AS doc,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk,
+          |    CASE WHEN len(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS m
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc, i AS idx,
+          |    array_to_string(list_slice(tk, CAST(i*8+1 AS INT),
+          |      CAST(i*8+8 AS INT)), ' ') AS chunk
+          |  FROM c, LATERAL unnest(range(0,
+          |    CAST(ceil(CAST(m AS DOUBLE) / 8.0) AS BIGINT))) t(i)),
+          |r AS (SELECT doc, idx, chunk,
+          |        row_number() OVER (PARTITION BY chunk
+          |          ORDER BY doc ASC, idx ASC) AS rn
+          |      FROM ch)
+          |SELECT doc, CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+          |FROM r GROUP BY doc""".stripMargin,
+
+      "q144_robots" ->
+        // closed-form expected rules: always /private/ and /tmp/x,
+        // plus /api/ when len(source) is even; blocked iff the path's
+        // first segment is covered by an active rule
+        """SELECT doc_id,
+          |  '/' || CASE doc_id % 4 WHEN 0 THEN 'private' WHEN 1 THEN 'static'
+          |                         WHEN 2 THEN 'api' ELSE 'pages' END
+          |      || '/doc-' || doc_id AS path,
+          |  CAST(CASE WHEN len(source) % 2 = 0 THEN 3 ELSE 2 END AS INT) AS n_rules,
+          |  (doc_id % 4 = 0 OR (doc_id % 4 = 2 AND len(source) % 2 = 0)) AS blocked
+          |FROM documents""".stripMargin,
+
+      "q145_json_props" ->
+        """SELECT event_id,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+          |  (json_extract_string(props, '$.missing') IS NOT NULL) AS has_missing
+          |FROM events""".stripMargin,
+
+      "q146_zipf_slope" ->
+        """WITH tok AS (
+          |  SELECT source AS grp,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0)) AS token
+          |  FROM documents),
+          |f AS (SELECT grp, token, count(*) AS freq FROM tok GROUP BY grp, token),
+          |r AS (SELECT grp, token, freq,
+          |        CAST(row_number() OVER (PARTITION BY grp
+          |          ORDER BY freq DESC, token ASC) AS BIGINT) AS r
+          |      FROM f),
+          |q AS (SELECT grp,
+          |        CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS xq,
+          |        CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS yq
+          |      FROM r WHERE r <= 30),
+          |a AS (SELECT grp, count(*) AS n_terms,
+          |        CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+          |        CAST(sum(xq * yq) AS BIGINT) AS sxy,
+          |        CAST(sum(xq * xq) AS BIGINT) AS sxx
+          |      FROM q GROUP BY grp)
+          |SELECT grp, n_terms,
+          |  floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+          |        / CAST(n_terms * sxx - sx * sx AS DOUBLE)
+          |        * 1000000.0) / 1000000.0 AS slope
+          |FROM a WHERE n_terms >= 2""".stripMargin
     )
   }
 }

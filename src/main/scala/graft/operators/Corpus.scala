@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text operators for training-data curation:
+  * benchmark-contamination detection, inverted-index construction,
+  * PMI co-occurrence statistics, and paragraph-level keep-first
+  * dedup. All pure Column/DataFrame plans — every similarity or
+  * co-occurrence computation is an equi-join on a derived key
+  * (shingle / token / chunk text), never an all-pairs product, so the
+  * shapes hold at 100 TB; counts are exact integers and the only
+  * floating math is a final ln + floor6, making every operator
+  * bit-replayable by the DuckDB oracle.
+  */
+object Corpus {
+
+  /** Lowercased alphanumeric word tokens (empty strings dropped) —
+    * the same tokenizer as Relevance/the inverted index so corpus
+    * statistics compose.
+    */
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Benchmark-contamination scan: which corpus docs share at least
+    * one word n-gram with a held-out benchmark set. This is the
+    * standard decontamination pass run before training (n=8..13 gram
+    * overlap vs eval sets); the join key is the shingle string, so the
+    * plan is one equi-join however large the corpus — the benchmark
+    * side is tiny and broadcasts.
+    *
+    * Output per contaminated corpus doc: keyCol, bench_docs (distinct
+    * benchmark docs hit), shared_shingles (distinct offending
+    * n-grams). Benchmark members are excluded from the output (they
+    * trivially "contaminate" themselves).
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, textCol: String,
+                    keyCol: String, n: Int): DataFrame = {
+    val corpusSh = corpus.select(col(keyCol),
+      explode(TextOps.wordShingles(col(textCol), n)).as("sh"))
+    val benchSh = bench.select(col(keyCol).as("bench_id"),
+      explode(TextOps.wordShingles(col(textCol), n)).as("sh"))
+    corpusSh
+      .join(broadcast(benchSh), "sh")
+      .where(col(keyCol) =!= col("bench_id"))
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col("bench_id")).as("bench_docs"),
+        countDistinct(col("sh")).as("shared_shingles"))
+  }
+
+  /** Inverted index with truncated postings: per token its document
+    * frequency, total term frequency, and the top-`topK` postings
+    * ranked by (tf desc, doc asc) — the deterministic tie-break that
+    * lets the oracle replay the ranking. Emitted exploded
+    * (token, df, tf_total, rank, doc, tf) so the result is flat
+    * relational.
+    *
+    * Scale: one map-side-combinable groupBy(token, doc), one
+    * window per token. A genuinely Zipf-skewed corpus would salt the
+    * head tokens through the two-phase top-k (Sample.saltedTopK,
+    * q121) — the ranking semantics here are identical.
+    */
+  def invertedIndex(docs: DataFrame, textCol: String, keyCol: String,
+                    topK: Int): DataFrame = {
+    val tokDoc = docs
+      .select(col(keyCol).as("doc"), explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tokDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val w = Window.partitionBy(col("token"))
+      .orderBy(col("tf").desc, col("doc").asc)
+    tokDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .join(stats, "token")
+      .select(col("token"), col("df"), col("tf_total"),
+        col("rank"), col("doc"), col("tf"))
+  }
+
+  /** Pointwise mutual information over within-document co-occurrence:
+    *   pmi(a,b) = ln(N * c(a,b) / (c(a) * c(b)))
+    * with c(x) = docs containing x, c(a,b) = docs containing both,
+    * N = docs with at least one token; pairs ordered a < b and
+    * thresholded at `minPairCount` co-occurrences.
+    *
+    * Pair generation is per-row array math (sorted distinct tokens →
+    * upper-triangle pairs), NOT a self-join: a doc with t distinct
+    * tokens costs t(t-1)/2 rows locally and the only shuffle is the
+    * pair-count groupBy. All counts are exact integers; ln + floor6
+    * happens once at the end.
+    */
+  def pmiPairs(docs: DataFrame, textCol: String, keyCol: String,
+               minPairCount: Long): DataFrame = {
+    val dt = docs.select(col(keyCol).as("doc"),
+      array_sort(array_distinct(toks(col(textCol)))).as("ts"))
+      .where(size(col("ts")) > 0)
+    val nDocs = dt.agg(count(lit(1)).as("n_docs"))
+    val pairs = dt.select(col("doc"), explode(flatten(transform(col("ts"),
+      (x, i) => transform(slice(col("ts"), i + 2, size(col("ts"))),
+        y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("doc"), col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+    val cab = pairs.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minPairCount)
+    val cx = dt.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    cab
+      .join(broadcast(cx.select(col("t").as("tok_a"), col("c").as("ca"))), "tok_a")
+      .join(broadcast(cx.select(col("t").as("tok_b"), col("c").as("cb"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("cab"),
+        TextOps.floor6(log(
+          col("n_docs").cast("double") * col("cab").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double")))).as("pmi"))
+  }
+
+  /** Paragraph-level keep-first dedup: text is chunked into
+    * consecutive `chunkWords`-word windows; identical chunks across
+    * the whole corpus keep only their first occurrence (smallest
+    * (doc, position) — a total order, so the survivor set is unique
+    * and partitioning-invariant). Output per doc: n_chunks, kept.
+    *
+    * The global "first occurrence" is one window over the chunk text —
+    * the same one-shuffle shape as exact doc-level dedup (q34), just
+    * at sub-document granularity.
+    */
+  def paragraphDedup(docs: DataFrame, textCol: String, keyCol: String,
+                     chunkWords: Int): DataFrame = {
+    val tk = split(lower(trim(col(textCol))), "\\s+")
+    val m = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(tk))
+    val chunks = when(m === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(m.cast("double") / chunkWords).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * chunkWords + 1, lit(chunkWords)))))
+    val exploded = docs
+      .select(col(keyCol).as("doc"), posexplode(chunks).as(Seq("idx", "chunk")))
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc").asc, col("idx").asc)
+    exploded
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept"))
+  }
+
+  /** Zipf rank-frequency slope per group: least-squares fit of
+    * ln(freq) against ln(rank) over the top `topR` tokens (rank by
+    * freq desc, token asc — deterministic). Natural text sits near
+    * slope -1; corpus segments far off it (boilerplate, spam, tables)
+    * are quality-filter candidates.
+    *
+    * Numerical discipline: ln(rank)/ln(freq) are quantized to
+    * fixed-point BIGINT (floor(ln·1e6)) BEFORE the regression sums, so
+    * Σx, Σy, Σxy, Σx² are exact integers — partitioning-invariant and
+    * oracle-replayable; the closed-form slope
+    * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) does ONE double division at the
+    * end (the 1e6 scale cancels). Magnitudes: x,y ≤ ln(1e12)·1e6 ≈
+    * 2.8e7, so nΣxy at topR ≤ 1e3 stays ~1e17 < 2^63.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, groupCol: String,
+                topR: Int): DataFrame = {
+    val freqs = docs
+      .select(col(groupCol).as("grp"), explode(toks(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("freq").desc, col("token").asc)
+    val ranked = freqs
+      .withColumn("r", row_number().over(w).cast("long"))
+      .where(col("r") <= topR)
+      .select(col("grp"),
+        floor(log(col("r").cast("double")) * lit(1000000.0)).cast("long").as("xq"),
+        floor(log(col("freq").cast("double")) * lit(1000000.0)).cast("long").as("yq"))
+    ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+      .where(col("n_terms") >= 2)
+      .select(col("grp"), col("n_terms"),
+        TextOps.floor6(
+          (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"))
+  }
+}

@@ -267,4 +267,24 @@ object TextOps {
     struct(t3.as("clean"), nEmail.as("n_email"),
       nPhone.as("n_phone"), nIp.as("n_ip"))
   }
+
+  // ------------------------------------------------- robots.txt
+
+  /** Disallow path prefixes from a robots.txt body, RFC 9309 minimal
+    * profile: lines `Disallow: <prefix>` (case-insensitive key,
+    * surrounding whitespace tolerated); empty Disallow values (which
+    * mean "allow all" in the RFC) are dropped. Grouping by User-agent
+    * is NOT interpreted — callers pass the `*` group's body (crawl
+    * pipelines pre-split groups; the synthetic corpus emits only `*`).
+    */
+  def robotsDisallows(robots: Column): Column =
+    filter(
+      regexp_extract_all(robots, lit("(?i)disallow:[ \\t]*([^\\s]*)"), lit(1)),
+      p => length(p) > 0)
+
+  /** RFC 9309 prefix match: a URL path is blocked iff it starts with
+    * any Disallow prefix. Pure array predicate — scan-speed per row.
+    */
+  def robotsBlocked(disallows: Column, path: Column): Column =
+    exists(disallows, p => path.startsWith(p))
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SparkTestSession
+
+/** Corpus curation ops (q140-q143): contamination, inverted index,
+  * PMI, paragraph dedup — hand-checked semantics + invariants.
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("contamination flags exactly the docs sharing an n-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),   // shares both 3-grams with bench doc 3
+      (2L, "beta gamma delta epsilon"), // shares "beta gamma delta"
+      (3L, "alpha beta gamma delta"),   // bench; identical to doc 1
+      (4L, "zeta eta theta iota")).toDF("k", "text")
+    val bench = corpus.filter(col("k") === 3)
+    val out = Corpus.contamination(corpus, bench, "text", "k", n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((1L, 2L)), 2L -> ((1L, 1L))))
+  }
+
+  test("inverted index: df/tf/rank are exact and ties break by doc") {
+    val docs = Seq(
+      (1L, "x x x y"),
+      (2L, "x y y"),
+      (3L, "y")).toDF("k", "text")
+    val out = Corpus.invertedIndex(docs, "text", "k", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out === Set(
+      ("x", 2L, 4L, 1L, 1L, 3L), ("x", 2L, 4L, 2L, 2L, 1L),
+      ("y", 3L, 4L, 1L, 2L, 2L), ("y", 3L, 4L, 2L, 1L, 1L)))
+  }
+
+  test("pmi: independent vs dependent pairs, exact counts") {
+    // a,b always co-occur; a,c never
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "c d")).toDF("k", "text")
+    val out = Corpus.pmiPairs(docs, "text", "k", minPairCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    def f6(x: Double) = math.floor(x * 1e6) / 1e6
+    // pmi(a,b) = ln(4*3/(3*3))
+    assert(out(("a", "b")) === ((3L, f6(math.log(4.0 * 3.0 / (3.0 * 3.0))))))
+    assert(out(("c", "d")) === ((1L, f6(math.log(4.0 * 1.0 / (1.0 * 1.0))))))
+    assert(!out.contains(("a", "c")))
+  }
+
+  test("paragraph dedup keeps first occurrence in (doc, idx) order") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 dup dup dup dup dup dup dup dup"),
+      (2L, "dup dup dup dup dup dup dup dup tail"),
+      (3L, "")).toDF("k", "text")
+    val out = Corpus.paragraphDedup(docs, "text", "k", chunkWords = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 2 chunks, both first occurrences (kept=2)
+    // doc2: chunk "dup x8" already seen in doc1 -> dropped; "tail" kept
+    assert(out(1L) === ((2L, 2L)))
+    assert(out(2L) === ((2L, 1L)))
+    assert(!out.contains(3L)) // empty text -> no chunks
+  }
+
+  test("contamination on the corpus matches a brute-force recompute") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("k"), col("text"))
+    val bench = docs.filter(col("k") % 29 === 0)
+    val got = Corpus.contamination(docs, bench, "text", "k", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force via local sets
+    val sh = docs.select(col("k"), TextOps.wordShingles(col("text"), 8).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val benchIds = sh.keys.filter(_ % 29 == 0).toSeq
+    val want = sh.flatMap { case (k, s) =>
+      val hits = benchIds.filter(b => b != k && sh(b).exists(s.toSet))
+      val shared = s.toSet.filter(g => benchIds.exists(b => b != k && sh(b).contains(g)))
+      if (hits.nonEmpty) Some((k, hits.size.toLong, shared.size.toLong)) else None
+    }.toSet
+    assert(got === want)
+  }
+}
