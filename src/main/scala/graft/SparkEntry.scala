@@ -2615,7 +2615,34 @@ object SparkEntry {
     "q146_zipf_slope" -> ((s, d) =>
       // per-source Zipf rank-frequency slope; regression sums are
       // fixed-point exact integers (see Corpus.zipfSlope).
-      Corpus.zipfSlope(t(s, d, "documents"), "text", "source", topR = 30))
+      Corpus.zipfSlope(t(s, d, "documents"), "text", "source", topR = 30)),
+
+    "q147_crawl_diff" -> ((s, d) => {
+      // incremental-recrawl planner input: classify every URL key as
+      // added/removed/changed/unchanged across two snapshots by
+      // fingerprint — one full-outer equi-join. New snapshot drops
+      // %11 keys, rewrites %7 texts, adds %13 clones under new keys.
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val neu = base.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, col("fp") + 1L).otherwise(col("fp")).as("fp"))
+        .unionAll(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("fp")))
+      Temporal.snapshotDiff(base, neu, "doc_id", "fp")
+    }),
+
+    "q148_temperature_mix" -> ((s, d) =>
+      // alpha=0.5 multilingual resampling: exact integer quotas from
+      // quantized sqrt weights; per-doc selection by md5 order.
+      Corpus.temperatureSample(t(s, d, "documents"), "lang", "doc_id",
+        budget = 300L)),
+
+    "q149_length_quantiles" -> ((s, d) =>
+      // exact nearest-rank p50/p90/p99 of document length per source —
+      // deterministic rank selection, not engine-specific interpolation.
+      Corpus.rankQuantiles(t(s, d, "documents"), "n_chars", "source",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)))
   )
 
   // --------------------------------------------------------- oracle SQL
@@ -4625,7 +4652,51 @@ object SparkEntry {
           |  floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
           |        / CAST(n_terms * sxx - sx * sx AS DOUBLE)
           |        * 1000000.0) / 1000000.0 AS slope
-          |FROM a WHERE n_terms >= 2""".stripMargin
+          |FROM a WHERE n_terms >= 2""".stripMargin,
+
+      "q147_crawl_diff" ->
+        // closed-form: removed (%11) takes precedence (absent from the
+        // new snapshot), then changed (%7), else unchanged; %13 keys
+        // also appear as added clones under key+10^7
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 11 = 0 THEN 'removed'
+          |       WHEN doc_id % 7 = 0 THEN 'changed'
+          |       ELSE 'unchanged' END AS status
+          |FROM documents
+          |UNION ALL
+          |SELECT doc_id + 10000000, 'added' FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+
+      "q148_temperature_mix" ->
+        """WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+          |w AS (SELECT g, n,
+          |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+          |      FROM c),
+          |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM w),
+          |qta AS (SELECT g, CAST(floor(300 * wq / wtot) AS BIGINT) AS quota
+          |        FROM w, tot),
+          |r AS (SELECT doc_id, lang,
+          |        CAST(row_number() OVER (PARTITION BY lang
+          |          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+          |          AS BIGINT) AS rn
+          |      FROM documents)
+          |SELECT r.doc_id, r.lang, (r.rn <= q.quota) AS kept
+          |FROM r JOIN qta q ON q.g = r.lang""".stripMargin,
+
+      "q149_length_quantiles" ->
+        """WITH r AS (
+          |  SELECT source, n_chars,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY n_chars ASC) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          |  FROM documents)
+          |SELECT source, max(n) AS n_rows,
+          |  max(CASE WHEN rn = CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)
+          |           THEN n_chars END) AS p50,
+          |  max(CASE WHEN rn = CAST(ceil(0.9 * CAST(n AS DOUBLE)) AS BIGINT)
+          |           THEN n_chars END) AS p90,
+          |  max(CASE WHEN rn = CAST(ceil(0.99 * CAST(n AS DOUBLE)) AS BIGINT)
+          |           THEN n_chars END) AS p99
+          |FROM r GROUP BY source""".stripMargin
     )
   }
 }

@@ -184,4 +184,58 @@ object Corpus {
             (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
           .as("slope"))
   }
+
+  /** Temperature-resampled multilingual mix (the alpha=0.5 sampling
+    * used to build multilingual training mixes): per-group quota
+    *   quota(g) = floor(budget * wq(g) / Σ wq),  wq(g) = floor(sqrt(n_g)·1e6)
+    * and per-doc selection of the quota docs with the smallest
+    * md5(key) — a deterministic, engine-independent "random" order.
+    * sqrt is correctly rounded IEEE and the weight is quantized to
+    * BIGINT before the normalizing sum, so quotas are exact integers
+    * under any partitioning. Quotas may exceed a rare group's size
+    * (that is upsampling's signal): picked = min(quota, n_g).
+    *
+    * Output per doc: keyCol, group, kept (boolean). One groupBy for
+    * counts (broadcast back), one window per group for the rank.
+    */
+  def temperatureSample(docs: DataFrame, groupCol: String, keyCol: String,
+                        budget: Long): DataFrame = {
+    val counts = docs.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wq", floor(sqrt(col("__n").cast("double")) * lit(1000000.0))
+        .cast("long"))
+    val tot = counts.agg(sum(col("__wq")).as("__wtot"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col("__g"), col("__n"),
+        floor(lit(budget) * col("__wq") / col("__wtot")).cast("long").as("__quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    docs.select(col(keyCol), col(groupCol))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), col(groupCol) === col("__g"))
+      .select(col(keyCol), col(groupCol),
+        (col("__rn") <= col("__quota")).as("kept"))
+  }
+
+  /** Exact nearest-rank quantiles per group: the value at sorted
+    * position ceil(q·n) (1-based). Rank selection over one window —
+    * deterministic (unlike interpolating percentile implementations,
+    * which differ between engines) and exact at any scale. `qs` maps
+    * output column name -> q in (0, 1].
+    */
+  def rankQuantiles(df: DataFrame, valCol: String, groupCol: String,
+                    qs: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol).asc)
+    val ranked = df.select(col(groupCol), col(valCol))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(col(groupCol))).cast("long"))
+    val aggs = max(col("__n")).as("n_rows") +:
+      qs.map { case (name, q) =>
+        max(when(col("__rn") ===
+          ceil(lit(q) * col("__n").cast("double")).cast("long"),
+          col(valCol))).as(name)
+      }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

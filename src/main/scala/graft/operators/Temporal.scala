@@ -123,4 +123,24 @@ object Temporal {
       .select(leftCols.map(c => col("__lrow")(c).as(c)) ++
         payloadCols.map(p => col("__match")(p).as(p)): _*)
   }
+
+  /** Crawl snapshot diff (CDC over two crawls of the same keyspace):
+    * classify every key as added / removed / changed / unchanged by
+    * comparing a content value (fingerprint, etag, hash) across the
+    * old and new snapshot. ONE full-outer equi-join on the key — the
+    * canonical incremental-recrawl planner input at 10^12 URLs (both
+    * sides shuffle-partition on the key; no window, no skew pivot
+    * since URLs are unique per snapshot).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String, valCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("k"), col(valCol).as("__vo"))
+    val n = newSnap.select(col(keyCol).as("k"), col(valCol).as("__vn"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(col("k").as(keyCol),
+        when(col("__vo").isNull, lit("added"))
+          .when(col("__vn").isNull, lit("removed"))
+          .when(col("__vo") === col("__vn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }
