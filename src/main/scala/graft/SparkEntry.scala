@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ST
@@ -2642,7 +2643,55 @@ object SparkEntry {
       // exact nearest-rank p50/p90/p99 of document length per source —
       // deterministic rank selection, not engine-specific interpolation.
       Corpus.rankQuantiles(t(s, d, "documents"), "n_chars", "source",
-        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)))
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
+
+    "q150_pq_codes" -> ((s, d) => {
+      // product quantization: 64-dim embeddings -> 4 codebook indices
+      // + reconstruction error; one codegen'd pass, no join/shuffle.
+      // The oracle replays codebook sampling, subspace distances and
+      // tie-breaks exactly.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      Ann.pqCodes(emb, "vec", "vec_id", m = 4, k = 8)
+    }),
+
+    "q151_lang_confusion" -> ((s, d) =>
+      // language-ID evaluation: confusion counts of predicted vs
+      // labeled language — one hash aggregation over the scan.
+      t(s, d, "documents")
+        .groupBy(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q152_boilerplate" -> ((s, d) => {
+      // CCNet-style boilerplate strip: chunks (8-word windows) whose
+      // within-source document frequency exceeds 10% of the source's
+      // docs are boilerplate. The corpus gets a per-source header
+      // injected so the op has real positives to find.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        concat(lit("subscribe to the "), col("source"),
+          lit(" newsletter now today please "), col("text")).as("text"))
+      Corpus.boilerplate(docs, "text", "doc_id", "source",
+        chunkWords = 8, maxDocFrac = 0.1)
+    }),
+
+    "q153_quality_gate" -> ((s, d) => {
+      // the composed curation gate: language match, quality floor,
+      // token-count band, exact-dup keep-first — one scan + the dedup
+      // window, reason codes as a bitmask.
+      val docs = t(s, d, "documents")
+      // dedup window keyed on md5(text), not raw text: the shuffle
+      // sort compares 32-char keys instead of arbitrary-length bodies
+      val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+      docs
+        .withColumn("__dup_rn", row_number().over(wDup))
+        .select(col("doc_id"),
+          (when(TextOps.langId(col("text")) =!= col("lang"), 1).otherwise(0) +
+            when(TextOps.qualityScore(col("text")) < 0.84, 2).otherwise(0) +
+            when(!TextOps.tokenCount(col("text")).cast("long").between(25L, 10000L), 4)
+              .otherwise(0) +
+            when(col("__dup_rn") > 1, 8).otherwise(0)).cast("int").as("reasons"))
+        .withColumn("keep", col("reasons") === 0)
+    })
   )
 
   // --------------------------------------------------------- oracle SQL
@@ -4696,7 +4745,113 @@ object SparkEntry {
           |           THEN n_chars END) AS p90,
           |  max(CASE WHEN rn = CAST(ceil(0.99 * CAST(n AS DOUBLE)) AS BIGINT)
           |           THEN n_chars END) AS p99
-          |FROM r GROUP BY source""".stripMargin
+          |FROM r GROUP BY source""".stripMargin,
+
+      "q150_pq_codes" -> {
+        // replay: same Knuth-spread codebook sample, same per-subspace
+        // left-fold L2 (list_reduce starts at element 1, matching
+        // Spark's 0.0-seeded fold bit-for-bit), same (dist, code)
+        // tie-break
+        val codes = (1 to 4).map(mi =>
+          s"CAST(max(CASE WHEN m = $mi THEN cid END) AS BIGINT) AS code_$mi")
+          .mkString(",\n  ")
+        val errSum = (1 to 4).map(mi => s"max(CASE WHEN m = $mi THEN dist END)")
+          .mkString(" + ")
+        s"""WITH seed AS (
+           |  SELECT row_number() OVER (
+           |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS cid,
+           |    CAST(embedding AS DOUBLE[]) AS v
+           |  FROM (SELECT * FROM embeddings
+           |        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8)),
+           |ms AS (SELECT CAST(unnest(range(1, 5)) AS INT) AS m),
+           |cb AS (SELECT cid, m, list_slice(v, (m-1)*16 + 1, m*16) AS cv FROM seed, ms),
+           |rows0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sv AS (SELECT vec_id, m, list_slice(v, (m-1)*16 + 1, m*16) AS s
+           |       FROM rows0, ms),
+           |d AS (
+           |  SELECT sv.vec_id, sv.m, cb.cid,
+           |    sqrt(list_reduce(list_transform(range(1, 17),
+           |      i -> (s[CAST(i AS INT)] - cv[CAST(i AS INT)])
+           |         * (s[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+           |      (a, b) -> a + b)) AS dist
+           |  FROM sv JOIN cb ON cb.m = sv.m),
+           |best AS (
+           |  SELECT vec_id, m, cid, dist,
+           |    row_number() OVER (PARTITION BY vec_id, m
+           |      ORDER BY dist ASC, cid ASC) AS rn
+           |  FROM d)
+           |SELECT vec_id,
+           |  $codes,
+           |  floor(($errSum) * 1000000.0) / 1000000.0 AS err
+           |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin
+      },
+
+      "q151_lang_confusion" ->
+        s"""WITH scored AS (
+           |  SELECT lang, regexp_split_to_array(lower(text), '[^a-z]+') AS __toks
+           |  FROM documents
+           |), enc AS (
+           |  SELECT lang, $encSql AS __enc FROM scored
+           |)
+           |SELECT lang,
+           |  CASE WHEN __enc < 8 THEN 'und' ELSE (CASE $decodeSql END) END AS lang_pred,
+           |  count(*) AS n
+           |FROM enc GROUP BY 1, 2""".stripMargin,
+
+      "q152_boilerplate" ->
+        """WITH d0 AS (
+          |  SELECT doc_id AS doc, source AS src,
+          |    'subscribe to the ' || source || ' newsletter now today please ' || text AS text
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc, src, regexp_split_to_array(lower(trim(text)), '\s+') AS tk,
+          |    CASE WHEN len(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS m
+          |  FROM d0),
+          |ch AS (
+          |  SELECT DISTINCT doc, src,
+          |    array_to_string(list_slice(tk, CAST(i*8+1 AS INT),
+          |      CAST(i*8+8 AS INT)), ' ') AS chunk
+          |  FROM c, LATERAL unnest(range(0,
+          |    CAST(ceil(CAST(m AS DOUBLE) / 8.0) AS BIGINT))) t(i)),
+          |ns AS (SELECT source AS src, count(*) AS n_docs FROM documents GROUP BY source),
+          |dfc AS (SELECT src, chunk, count(*) AS cdf FROM ch GROUP BY src, chunk)
+          |SELECT doc, CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(CASE WHEN CAST(cdf AS DOUBLE) > CAST(n_docs AS DOUBLE) * 0.1
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+          |FROM ch
+          |JOIN dfc USING (src, chunk)
+          |JOIN ns USING (src)
+          |GROUP BY doc""".stripMargin,
+
+      "q153_quality_gate" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, lang, text,
+           |    regexp_split_to_array(lower(text), '[^a-z]+') AS __toks,
+           |    CAST(length(text) AS DOUBLE) AS len,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS toks,
+           |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS dup_rn
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, lang, toks, dup_rn, $encSql AS __enc,
+           |    floor((least(len / 500.0, 1.0) * 0.25 +
+           |           (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.35 +
+           |           (1.0 - (CASE WHEN len > 0 THEN least(punct / len * 10.0, 1.0) ELSE 0.0 END)) * 0.15 +
+           |           (CASE WHEN toks > 0 THEN (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+           |                 ELSE 0.0 END) * 0.25) * 1000000.0) / 1000000.0 AS quality
+           |  FROM base),
+           |r AS (
+           |  SELECT doc_id,
+           |    CAST((CASE WHEN (CASE WHEN __enc < 8 THEN 'und'
+           |                     ELSE (CASE $decodeSql END) END) <> lang THEN 1 ELSE 0 END) +
+           |         (CASE WHEN quality < 0.84 THEN 2 ELSE 0 END) +
+           |         (CASE WHEN NOT (CAST(toks AS BIGINT) BETWEEN 25 AND 10000) THEN 4 ELSE 0 END) +
+           |         (CASE WHEN dup_rn > 1 THEN 8 ELSE 0 END) AS INT) AS reasons
+           |  FROM scored)
+           |SELECT doc_id, reasons, (reasons = 0) AS keep FROM r""".stripMargin
     )
   }
 }

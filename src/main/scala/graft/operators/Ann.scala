@@ -198,4 +198,55 @@ object Ann {
       .filter(col("__rn") <= k)
       .select(col(qKey), col(cKey), TextOps.floor6(col("cosine")).as("cosine"), col("__rn").as("rank"))
   }
+
+  /** Product quantization (PQ): compress each embedding to `m` small
+    * codes by splitting it into m subvectors and snapping each to its
+    * nearest entry (L2, ties to the lowest code) in a per-subspace
+    * codebook of `k` entries — the standard 100-TB embedding
+    * compression (Jégou et al., PAMI'11): 64 floats (256 B) become m
+    * bytes, so a 10^12-row index fits in cluster RAM for ADC scans.
+    *
+    * Codebooks here are the same deterministic Knuth-spread corpus
+    * sample the IVF coarse quantizer seeds from (trainCentroids-style
+    * Lloyd refinement would slot in identically); the assignment is
+    * one codegen'd pass over the corpus — per row m·k fixed-order
+    * fold distances, no join, no shuffle — so the oracle can replay
+    * codebook, distances and tie-breaks exactly.
+    *
+    * Output: kCol, code_1..code_m (1-based codebook indices), err =
+    * floor6(Σ per-subspace L2 distances) — the reconstruction error.
+    */
+  def pqCodes(corpus: DataFrame, vCol: String, kCol: String,
+              m: Int, k: Int): DataFrame = {
+    val spread = pmod(col(kCol) * lit(2654435761L), lit(4294967296L))
+    val seedRows = corpus
+      .select(col(kCol).as("__k"), col(vCol).as("__v"), spread.as("__h"))
+      .orderBy(col("__h"), col("__k"))
+      .limit(k)
+      .collect() // k codebook rows — dimension-sized by construction
+    val seeds = seedRows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    def subvec(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    // per subspace: struct(dist, code) minimum — lexicographic least()
+    // IS the (dist asc, code asc) argmin the oracle's window replays
+    val bests = (0 until m).map { mi =>
+      val sv = subvec(col(vCol), mi)
+      val cands = (0 until k).map { ki =>
+        val cb = array(seeds(ki).slice(mi * sub, (mi + 1) * sub).map(lit).toIndexedSeq: _*)
+        val d = sqrt(aggregate(
+          zip_with(sv, cb, (x, c) => (x - c) * (x - c)),
+          lit(0.0d), (acc, v) => acc + v))
+        struct(d.as("d"), lit(ki + 1).as("c"))
+      }
+      least(cands: _*).as(s"__b$mi")
+    }
+    val withBest = corpus.select(col(kCol) +: bests: _*)
+    val err = (0 until m).map(mi => col(s"__b$mi")("d")).reduceLeft(_ + _)
+    withBest.select(
+      col(kCol) +:
+        (0 until m).map(mi => col(s"__b$mi")("c").cast("long").as(s"code_${mi + 1}")) :+
+        TextOps.floor6(err).as("err"): _*)
+  }
 }

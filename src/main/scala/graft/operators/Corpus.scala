@@ -144,6 +144,39 @@ object Corpus {
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept"))
   }
 
+  /** Boilerplate detection (the CCNet line-frequency idea at chunk
+    * granularity): a chunk (consecutive `chunkWords`-word window,
+    * within-doc distinct) is boilerplate when its document frequency
+    * inside its source exceeds `maxDocFrac` of that source's docs —
+    * headers, navigation, subscribe-banners repeat across a site; body
+    * text does not. Output per doc: n_chunks (distinct), n_boiler.
+    *
+    * Shape: one groupBy(src, chunk) for document frequencies (map-side
+    * combinable), re-attached by the same key; per-source doc counts
+    * broadcast. No window, no product.
+    */
+  def boilerplate(docs: DataFrame, textCol: String, keyCol: String,
+                  srcCol: String, chunkWords: Int, maxDocFrac: Double): DataFrame = {
+    val tk = split(lower(trim(col(textCol))), "\\s+")
+    val m = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(tk))
+    val chunks = when(m === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(m.cast("double") / chunkWords).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * chunkWords + 1, lit(chunkWords)))))
+    val ex = docs.select(col(keyCol).as("doc"), col(srcCol).as("src"),
+      explode(array_distinct(chunks)).as("chunk"))
+    val srcSizes = docs.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    val dfc = ex.groupBy(col("src"), col("chunk")).agg(count(lit(1)).as("cdf"))
+    ex.join(dfc, Seq("src", "chunk"))
+      .join(broadcast(srcSizes), "src")
+      .withColumn("__boiler",
+        col("cdf").cast("double") > col("n_docs").cast("double") * lit(maxDocFrac))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler"))
+  }
+
   /** Zipf rank-frequency slope per group: least-squares fit of
     * ln(freq) against ln(rank) over the top `topR` tokens (rank by
     * freq desc, token asc — deterministic). Natural text sits near
