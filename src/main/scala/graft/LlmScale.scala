@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Corpus, Dedup, Relevance}
 
 /** Scaling probe for the LLM-data similarity operators: runs the
   * dedup / near-dup / ANN pipelines over deterministic synthetic
@@ -141,7 +141,16 @@ object LlmScale extends Serializable {
             planes = planes, bands = 4).count()),
         "q88_ann_ivf_topk" -> (() =>
           Ann.ivfTopK(queries, "q_vec", "q_id", emb, "vec", "vec_id",
-            k = 5, nCells = nCells, nProbe = 8, trainIters = 1).count()))
+            k = 5, nCells = nCells, nProbe = 8, trainIters = 1).count()),
+        "q140_contamination" -> (() =>
+          Corpus.contamination(docs, docs.filter(col("doc_id") % 29 === 0),
+            "text", "doc_id", n = 8).count()),
+        "q143_paragraph_dedup" -> (() =>
+          Corpus.paragraphDedup(docs, "text", "doc_id", chunkWords = 8).count()),
+        "q139_bigram_lm" -> (() =>
+          Relevance.bigramLmScore(docs, "text", "doc_id").count()),
+        "q150_pq_codes" -> (() =>
+          Ann.pqCodes(emb, "vec", "vec_id", m = 4, k = 8).count()))
       for ((name, f) <- ops) {
         val (secs, rows) = time(f())
         println(f"| $name | $n | $secs%.2f | $rows |")

@@ -79,23 +79,29 @@ object Relevance {
     * lm_score (floor6 of the single final division). Docs whose
     * normalized text is shorter than 2 chars are dropped (no bigrams).
     *
-    * Scale shape: per-doc bigram counts are one map-side-combinable
-    * groupBy(key, bigram); the model is a ≤729-row broadcast; the
-    * final per-key agg sums exact integers, so the result is invariant
-    * under any partitioning — the property that lets the DuckDB oracle
-    * replay it bit-for-bit.
+    * Scale shape: BOTH aggregations have tiny key cardinality — the
+    * model groupBy has ≤729 keys (27²) and the scoring groupBy has one
+    * key per document — so map-side partial aggregation collapses the
+    * exploded bigram stream inside each task and the shuffles carry
+    * only (keys × partitions) rows. (The first cut pre-aggregated
+    * per-(doc, bigram) counts — a |docs|·|distinct bigrams per doc|
+    * key space whose partial-agg hash maps spill past ~10^7 rows and
+    * went superlinear on the LlmScale ladder; Σ n_d(b)·lpq(b) is the
+    * same exact integer as the per-occurrence sum, so that
+    * aggregation was pure overhead.) The model is a ≤729-row
+    * broadcast; per-key sums are exact integers, so the result is
+    * invariant under any partitioning — the property that lets the
+    * DuckDB oracle replay it bit-for-bit.
     */
   def bigramLmScore(docs: DataFrame, textCol: String, keyCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
     val bigrams = transform(
       sequence(lit(1), length(norm) - 1),
       i => norm.substr(i, lit(2)))
-    val docBg = docs
+    val bg = docs
       .select(col(keyCol), explode(bigrams).as("bg"))
       .where(length(col("bg")) === 2)
-      .groupBy(col(keyCol), col("bg"))
-      .agg(count(lit(1)).as("nb"))
-    val model = docBg.groupBy(col("bg")).agg(sum(col("nb")).as("cb"))
+    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     val ctx = model.groupBy(substring(col("bg"), 1, 1).as("p"))
       .agg(sum(col("cb")).as("cp"))
     val lpq = model
@@ -104,9 +110,9 @@ object Relevance {
         floor(log((col("cb").cast("double") + lit(1.0)) /
                   (col("cp").cast("double") + lit(27.0))) * lit(1000000.0))
           .cast("long").as("lpq"))
-    docBg.join(broadcast(lpq), "bg")
+    bg.join(broadcast(lpq), "bg")
       .groupBy(col(keyCol))
-      .agg(sum(col("nb") * col("lpq")).as("lm_num"), sum(col("nb")).as("lm_den"))
+      .agg(sum(col("lpq")).as("lm_num"), count(lit(1)).as("lm_den"))
       .select(col(keyCol), col("lm_num"), col("lm_den"),
         TextOps.floor6(col("lm_num").cast("double") / col("lm_den").cast("double") /
           lit(1000000.0)).as("lm_score"))

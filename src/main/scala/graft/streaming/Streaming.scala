@@ -140,6 +140,67 @@ object Streaming {
       }
   }
 
+  final case class SessEvent(user: Long, ts: java.sql.Timestamp)
+  final case class SessionOut(user: Long, start_ms: Long, end_ms: Long,
+                              n_events: Long)
+  final case class SessState(startMs: Long, lastMs: Long, n: Long)
+
+  /** Streaming gap-delimited sessionization — the incremental form of
+    * Temporal.sessionize: a user's session CLOSES (and is emitted,
+    * append-mode) when the event-time watermark passes lastEvent+gap.
+    * State per user is three longs, expired with the session, so the
+    * store is bounded by concurrently-active users, not stream length.
+    * Within a batch, events are processed in ts order and a gap
+    * overrun splits sessions exactly like the batch operator; the
+    * StreamingSpec cross-checks emitted sessions against hand-computed
+    * gap semantics across multiple micro-batches.
+    */
+  def sessionizeStream(events: DataFrame, tsCol: String, userCol: String,
+                       gap: String, watermarkDur: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, s"gap must be day-or-smaller denominated, got '$gap'")
+    val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
+    // project/cast BEFORE the watermark: a cast after withWatermark
+    // creates a fresh attribute without the event-time tag and the
+    // query fails analysis
+    val src = events
+      .select(col(userCol).cast("long").as("user"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDur)
+      .as[SessEvent]
+    src.groupByKey(_.user)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.startMs, st.lastMs, st.n))
+          } else {
+            val ts = rows.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var st = state.getOption.getOrElse(SessState(ts.head, ts.head, 0L))
+            ts.foreach { t =>
+              if (st.n > 0L && t - st.lastMs > gapMs) {
+                closed ::= SessionOut(user, st.startMs, st.lastMs, st.n)
+                st = SessState(t, t, 1L)
+              } else {
+                st = SessState(if (st.n == 0L) t else st.startMs,
+                  math.max(st.lastMs, t), st.n + 1L)
+              }
+            }
+            state.update(st)
+            // a timeout at or before the current watermark throws;
+            // clamp (same discipline as nearDupCandidatesStream)
+            state.setTimeoutTimestamp(math.max(st.lastMs + gapMs,
+              state.getCurrentWatermarkMs() + 1000L))
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Per-cell running envelope/count state. `idleTimeout` (e.g.
     * "30 minutes") expires cells not seen for that long — the warm
     * cache stays bounded by ACTIVE cells, not by every cell ever

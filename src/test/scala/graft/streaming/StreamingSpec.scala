@@ -126,6 +126,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs === expected)
   }
 
+  test("streaming sessionization closes sessions at the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
+    val t0 = 1704067200L
+    // user 1: two sessions (events at 0,60,120 s then 1000,1030 s);
+    // user 2: one session (500 s). gap 5 min, watermark 1 min.
+    val a = Seq(
+      (1L, t0 + 0L), (1L, t0 + 60L), (1L, t0 + 120L),
+      (1L, t0 + 1000L), (1L, t0 + 1030L),
+      (2L, t0 + 500L)).toDF("user", "s")
+      .select(col("user"), timestamp_seconds(col("s")).as("ts"))
+    // two sentinel batches push the watermark far past every gap so
+    // all real sessions time out and emit
+    val b = Seq((99L, t0 + 90000L)).toDF("user", "s")
+      .select(col("user"), timestamp_seconds(col("s")).as("ts"))
+    val c = Seq((99L, t0 + 180000L)).toDF("user", "s")
+      .select(col("user"), timestamp_seconds(col("s")).as("ts"))
+    a.coalesce(1).write.parquet(s"$dir/f0")
+    b.coalesce(1).write.parquet(s"$dir/f1")
+    c.coalesce(1).write.parquet(s"$dir/f2")
+
+    val stream = spark.readStream.schema(a.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val sess = Streaming.sessionizeStream(stream, "ts", "user",
+      gap = "5 minutes", watermarkDur = "1 minute")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql(
+      "SELECT user, start_ms, end_ms, n_events FROM sess_stream WHERE user < 99")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Set(
+      (1L, (t0 + 0L) * 1000, (t0 + 120L) * 1000, 3L),
+      (1L, (t0 + 1000L) * 1000, (t0 + 1030L) * 1000, 2L),
+      (2L, (t0 + 500L) * 1000, (t0 + 500L) * 1000, 1L))
+    assert(got === want)
+  }
+
   test("stateful running cell envelope") {
     val obs = Seq(
       Streaming.CellObs(1L, 0.0, 0.0), Streaming.CellObs(1L, 2.0, 3.0),
