@@ -2674,6 +2674,20 @@ object SparkEntry {
         chunkWords = 8, maxDocFrac = 0.1)
     }),
 
+    "q154_vocab_coverage" -> ((s, d) =>
+      // tokenizer-design stat: corpus token mass covered by the top-k
+      // vocab — one global freq agg + a vocab-sized window cumsum
+      // (exact integer mass).
+      Corpus.vocabCoverage(t(s, d, "documents"), "text", Seq(1, 5, 20))),
+
+    "q155_fuzzy_pairs" -> ((s, d) =>
+      // entity-resolution shape: LSH candidates refined by exact
+      // Levenshtein on a 40-char prefix. minhashNearDups' contract
+      // (oracle-gated by q36) is exact jaccard>=t pairs, so the
+      // oracle refines ITS exact pair set identically.
+      Corpus.fuzzyPairs(dedupCorpus(s, d), "text", "k",
+        prefixLen = 40, maxDist = 5)),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -4851,7 +4865,47 @@ object SparkEntry {
            |         (CASE WHEN NOT (CAST(toks AS BIGINT) BETWEEN 25 AND 10000) THEN 4 ELSE 0 END) +
            |         (CASE WHEN dup_rn > 1 THEN 8 ELSE 0 END) AS INT) AS reasons
            |  FROM scored)
-           |SELECT doc_id, reasons, (reasons = 0) AS keep FROM r""".stripMargin
+           |SELECT doc_id, reasons, (reasons = 0) AS keep FROM r""".stripMargin,
+
+      "q154_vocab_coverage" ->
+        """WITH f AS (
+          |  SELECT token, count(*) AS freq FROM (
+          |    SELECT unnest(list_filter(
+          |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0)) AS token
+          |    FROM documents)
+          |  GROUP BY token),
+          |c AS (
+          |  SELECT token, freq,
+          |    CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) AS k,
+          |    CAST(sum(freq) OVER (ORDER BY freq DESC, token ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mass
+          |  FROM f),
+          |t AS (SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_mass
+          |      FROM f)
+          |SELECT k, vocab_size, cum_mass, total_mass
+          |FROM c, t WHERE k IN (1, 5, 20)""".stripMargin,
+
+      "q155_fuzzy_pairs" ->
+        s"""WITH corpus AS ($DEDUP_CORPUS_SQL),
+           |sh AS (
+           |  SELECT k,
+           |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |      ELSE list_transform(range(1, len(toks) - 1),
+           |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sset
+           |  FROM (SELECT k, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM corpus)),
+           |cand AS (
+           |  SELECT a.k AS key_a, b.k AS key_b
+           |  FROM sh a, sh b WHERE a.k < b.k
+           |    AND CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+           |        CAST(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+           |        >= 0.5)
+           |SELECT c.key_a, c.key_b,
+           |  CAST(levenshtein(substr(ta.text, 1, 40), substr(tb.text, 1, 40)) AS BIGINT) AS dist
+           |FROM cand c
+           |JOIN corpus ta ON ta.k = c.key_a
+           |JOIN corpus tb ON tb.k = c.key_b
+           |WHERE levenshtein(substr(ta.text, 1, 40), substr(tb.text, 1, 40)) <= 5""".stripMargin
     )
   }
 }

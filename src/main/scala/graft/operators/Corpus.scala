@@ -218,6 +218,54 @@ object Corpus {
           .as("slope"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design statistic: what
+    * fraction of the corpus token MASS do the top-k vocabulary entries
+    * cover? One global token-frequency aggregation, one window cumsum
+    * in frequency-rank order (ties by token asc — total order), exact
+    * integer mass everywhere; emitted at the requested rank
+    * checkpoints. Output: k, vocab_size, cum_mass, total_mass (the
+    * caller divides; both BIGINTs so the row is hash-exact).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    val freqs = docs.select(explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token").asc)
+    val cum = freqs
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum_mass",
+        sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val totals = freqs.agg(count(lit(1)).as("vocab_size"),
+      sum(col("freq")).as("total_mass"))
+    cum.where(col("k").isin(ks.map(_.toLong): _*))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("vocab_size"), col("cum_mass"), col("total_mass"))
+  }
+
+  /** Fuzzy near-match pairs: minhash-LSH candidates refined by exact
+    * Levenshtein distance on a bounded prefix — the entity-resolution
+    * shape (title/url fuzzy matching) where the DP edit distance is
+    * affordable because it only runs on LSH survivors and a fixed-
+    * length slice, never all pairs. Candidates come from the existing
+    * banded minhash join (key_a < key_b, deduped); both engines
+    * compute the classic integer DP so the oracle can refine its own
+    * brute-force candidates identically.
+    */
+  def fuzzyPairs(docs: DataFrame, textCol: String, keyCol: String,
+                 prefixLen: Int, maxDist: Int,
+                 threshold: Double = 0.5): DataFrame = {
+    val cand = Dedup.minhashNearDups(docs, textCol, keyCol, threshold)
+      .select(col("key_a"), col("key_b"))
+    val texts = docs.select(col(keyCol), substring(col(textCol), 1, prefixLen).as("__p"))
+    cand
+      .join(texts.select(col(keyCol).as("key_a"), col("__p").as("__pa")), "key_a")
+      .join(texts.select(col(keyCol).as("key_b"), col("__p").as("__pb")), "key_b")
+      .withColumn("dist", levenshtein(col("__pa"), col("__pb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("key_a"), col("key_b"), col("dist"))
+  }
+
   /** Temperature-resampled multilingual mix (the alpha=0.5 sampling
     * used to build multilingual training mixes): per-group quota
     *   quota(g) = floor(budget * wq(g) / Σ wq),  wq(g) = floor(sqrt(n_g)·1e6)

@@ -37,7 +37,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q06_relate_pred_matrix", "q15_clip_area", "q16_intersection_area",
     "q71_predicate_tail",
     "q01_pip_contains_join", "q03_covers_count",
-    "q136_bm25", "q142_pmi", "q148_temperature_mix")
+    "q136_bm25", "q142_pmi", "q148_temperature_mix", "q154_vocab_coverage")
 
   test("no query plans a cartesian product or nested-loop join") {
     val spark = SparkTestSession.spark
