@@ -1,7 +1,14 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.RowKernelCodegen
 
 /** Corpus-relative relevance / quality scoring for training-data
   * pipelines: BM25 term relevance and a character-bigram language
@@ -104,17 +111,71 @@ object Relevance {
     val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     val ctx = model.groupBy(substring(col("bg"), 1, 1).as("p"))
       .agg(sum(col("cb")).as("cp"))
-    val lpq = model
+    // the quantized log-prob table is at most 27^2 = 729 rows: collect
+    // it into a flat array (dimension-sized driver collect, same
+    // contract as every broadcast-build side) and score each document
+    // in ONE kernel pass over the normalized string — no explode, no
+    // join, no shuffle on the scoring side. (The explode+broadcast-join
+    // form pushed 2 passes x |total chars| rows through codegen'd
+    // string slicing and was the whole suite's slowest query at sf0.1.)
+    val lpqArr = new Array[Long](27 * 27)
+    model
       .join(broadcast(ctx), substring(col("bg"), 1, 1) === col("p"))
       .select(col("bg"),
         floor(log((col("cb").cast("double") + lit(1.0)) /
                   (col("cp").cast("double") + lit(27.0))) * lit(1000000.0))
           .cast("long").as("lpq"))
-    bg.join(broadcast(lpq), "bg")
-      .groupBy(col(keyCol))
-      .agg(sum(col("lpq")).as("lm_num"), count(lit(1)).as("lm_den"))
+      .collect()
+      .foreach { r =>
+        val s = r.getString(0)
+        lpqArr(BigramLmNumDen.charIdx(s.charAt(0)) * 27 +
+          BigramLmNumDen.charIdx(s.charAt(1))) = r.getLong(1)
+      }
+    val nd = GraftBridge.column(
+      BigramLmNumDen(GraftBridge.expression(norm), lpqArr))
+    docs.select(col(keyCol), nd.as("__nd"))
+      .select(col(keyCol), col("__nd")("num").as("lm_num"),
+        col("__nd")("den").as("lm_den"))
+      .where(col("lm_den") > 0L)
       .select(col(keyCol), col("lm_num"), col("lm_den"),
         TextOps.floor6(col("lm_num").cast("double") / col("lm_den").cast("double") /
           lit(1000000.0)).as("lm_score"))
   }
+}
+
+object BigramLmNumDen {
+  /** Alphabet index over the normalized charset {a..z, space}. */
+  def charIdx(c: Char): Int = if (c == ' ') 26 else c - 'a'
+}
+
+/** normalized text -> struct(num = Σ lpq(bigram), den = #bigrams),
+  * a single allocation-light pass over the string bytes (the input is
+  * [a-z ]-only ASCII by construction). Exact integer sums — identical
+  * to the explode+join form under any partitioning.
+  */
+case class BigramLmNumDen(child: Expression, lpq: Array[Long])
+    extends UnaryExpression with RowKernelCodegen {
+  require(lpq.length == 27 * 27, "lpq must be a 27x27 table")
+  override def dataType: DataType = StructType(Seq(
+    StructField("num", LongType, nullable = false),
+    StructField("den", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bigram_lm_numden"
+  override def genEval(vs: Array[Any]): Any = {
+    if (vs(0) == null) return null
+    val bytes = vs(0).asInstanceOf[UTF8String].getBytes
+    var num = 0L
+    var den = 0L
+    var i = 0
+    while (i + 1 < bytes.length) {
+      val a = BigramLmNumDen.charIdx(bytes(i).toChar)
+      val b = BigramLmNumDen.charIdx(bytes(i + 1).toChar)
+      num += lpq(a * 27 + b)
+      den += 1L
+      i += 1
+    }
+    InternalRow(num, den)
+  }
+  override protected def withNewChildInternal(c: Expression): BigramLmNumDen =
+    copy(child = c)
 }
