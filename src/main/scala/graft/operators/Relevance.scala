@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.RowKernelCodegen
@@ -86,51 +88,57 @@ object Relevance {
     * lm_score (floor6 of the single final division). Docs whose
     * normalized text is shorter than 2 chars are dropped (no bigrams).
     *
-    * Scale shape: BOTH aggregations have tiny key cardinality — the
-    * model groupBy has ≤729 keys (27²) and the scoring groupBy has one
-    * key per document — so map-side partial aggregation collapses the
-    * exploded bigram stream inside each task and the shuffles carry
-    * only (keys × partitions) rows. (The first cut pre-aggregated
-    * per-(doc, bigram) counts — a |docs|·|distinct bigrams per doc|
-    * key space whose partial-agg hash maps spill past ~10^7 rows and
-    * went superlinear on the LlmScale ladder; Σ n_d(b)·lpq(b) is the
-    * same exact integer as the per-occurrence sum, so that
-    * aggregation was pure overhead.) The model is a ≤729-row
-    * broadcast; per-key sums are exact integers, so the result is
-    * invariant under any partitioning — the property that lets the
-    * DuckDB oracle replay it bit-for-bit.
+    * Scale shape: training is ONE imperative aggregate whose state is
+    * the flat 27×27 count table (729 longs per partition, merged
+    * associatively into a single row), and scoring is ONE kernel pass
+    * per document against the driver-derived 729-entry fixed-point
+    * table — two corpus scans total, no explode, no join, no shuffle
+    * of bigram rows anywhere. Counts and per-doc sums are exact
+    * integers, so the result is invariant under any partitioning —
+    * the property that lets the DuckDB oracle replay it bit-for-bit.
+    * (History: the first cut pre-aggregated per-(doc, bigram) counts
+    * and went superlinear on the LlmScale ladder; the second cut
+    * exploded per-occurrence bigram rows, which Catalyst's transform()
+    * lambda turned into O(len²) regex re-evaluation per document.)
     */
   def bigramLmScore(docs: DataFrame, textCol: String, keyCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
-    val bigrams = transform(
-      sequence(lit(1), length(norm) - 1),
-      i => norm.substr(i, lit(2)))
-    val bg = docs
-      .select(col(keyCol), explode(bigrams).as("bg"))
-      .where(length(col("bg")) === 2)
-    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val ctx = model.groupBy(substring(col("bg"), 1, 1).as("p"))
-      .agg(sum(col("cb")).as("cp"))
-    // the quantized log-prob table is at most 27^2 = 729 rows: collect
-    // it into a flat array (dimension-sized driver collect, same
-    // contract as every broadcast-build side) and score each document
-    // in ONE kernel pass over the normalized string — no explode, no
-    // join, no shuffle on the scoring side. (The explode+broadcast-join
-    // form pushed 2 passes x |total chars| rows through codegen'd
-    // string slicing and was the whole suite's slowest query at sf0.1.)
+    // TRAIN: one imperative aggregate pass over the normalized strings
+    // accumulating the full 27x27 count table per partition (729 longs
+    // of state, merged associatively) — no explode, no per-position
+    // substr allocation, no shuffle of bigram rows. (The explode form
+    // was the suite's slowest query: Catalyst re-evaluated the
+    // normalization expression inside the transform() lambda once per
+    // array ELEMENT, i.e. O(len^2) regex work per document.)
+    val cnt = docs
+      .agg(GraftBridge.column(
+        BigramCountAgg(GraftBridge.expression(norm))
+          .toAggregateExpression()).as("c"))
+      .collect()(0).getSeq[Long](0).toArray
+    // Derive the quantized log-prob table on the driver from the exact
+    // integer counts — StrictMath.log, the same function Spark's `log`
+    // expression uses, so the table is bit-identical to the previous
+    // distributed floor(log(...))*1e6 derivation (and to the DuckDB
+    // oracle, which has matched it bit-for-bit since q139 landed).
+    // Entries for never-seen bigrams stay 0: the model trains on the
+    // scored corpus itself, so scoring never probes them.
     val lpqArr = new Array[Long](27 * 27)
-    model
-      .join(broadcast(ctx), substring(col("bg"), 1, 1) === col("p"))
-      .select(col("bg"),
-        floor(log((col("cb").cast("double") + lit(1.0)) /
-                  (col("cp").cast("double") + lit(27.0))) * lit(1000000.0))
-          .cast("long").as("lpq"))
-      .collect()
-      .foreach { r =>
-        val s = r.getString(0)
-        lpqArr(BigramLmNumDen.charIdx(s.charAt(0)) * 27 +
-          BigramLmNumDen.charIdx(s.charAt(1))) = r.getLong(1)
+    var p = 0
+    while (p < 27) {
+      var cp = 0L
+      var q = 0
+      while (q < 27) { cp += cnt(p * 27 + q); q += 1 }
+      q = 0
+      while (q < 27) {
+        val cb = cnt(p * 27 + q)
+        if (cb > 0L)
+          lpqArr(p * 27 + q) = math.floor(
+            StrictMath.log((cb.toDouble + 1.0) / (cp.toDouble + 27.0)) *
+              1000000.0).toLong
+        q += 1
       }
+      p += 1
+    }
     val nd = GraftBridge.column(
       BigramLmNumDen(GraftBridge.expression(norm), lpqArr))
     docs.select(col(keyCol), nd.as("__nd"))
@@ -146,6 +154,67 @@ object Relevance {
 object BigramLmNumDen {
   /** Alphabet index over the normalized charset {a..z, space}. */
   def charIdx(c: Char): Int = if (c == ' ') 26 else c - 'a'
+}
+
+/** Corpus-wide char-bigram count table as a single imperative
+  * aggregate: buffer = flat 27×27 long array, update() is one
+  * allocation-free loop over the normalized string's bytes (the input
+  * is [a-z ]-only ASCII by construction), merge() sums the tables.
+  * This is the map-side-combine form a 10^12-row training pass needs:
+  * the shuffle carries one 729-long row per partition.
+  */
+case class BigramCountAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bigram_count_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](27 * 27)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var i = 0
+    while (i + 1 < bytes.length) {
+      buffer(BigramLmNumDen.charIdx(bytes(i).toChar) * 27 +
+        BigramLmNumDen.charIdx(bytes(i + 1).toChar)) += 1L
+      i += 1
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BigramCountAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BigramCountAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
 }
 
 /** normalized text -> struct(num = Σ lpq(bigram), den = #bigrams),
