@@ -2688,6 +2688,26 @@ object SparkEntry {
       Corpus.fuzzyPairs(dedupCorpus(s, d), "text", "k",
         prefixLen = 40, maxDist = 5)),
 
+    "q156_dup_spans" -> ((s, d) => {
+      // substring-granular dedup (Lee et al. 2022 shape at word-token
+      // granularity): stride-1 12-token windows occurring >1 time in
+      // the corpus mark duplicated spans; overlapping windows merge.
+      // A shared license banner is injected into doc_id%7 docs (and
+      // twice into doc_id%31 docs — within-doc repetition) so the op
+      // has deterministic cross-doc AND within-doc positives on top
+      // of any naturally repeated text.
+      val banner = "all rights reserved reproduction in whole or in " +
+        "part without permission is strictly prohibited"
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" " + banner)).otherwise(lit("")),
+          when(col("doc_id") % 31 === 0,
+            lit(" " + banner + " " + banner)).otherwise(lit("")))
+          .as("text"))
+      Corpus.dupSpans(docs, "text", "doc_id", w = 12)
+        .withColumnRenamed("doc", "doc_id")
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -4885,6 +4905,50 @@ object SparkEntry {
           |      FROM f)
           |SELECT k, vocab_size, cum_mass, total_mass
           |FROM c, t WHERE k IN (1, 5, 20)""".stripMargin,
+
+      "q156_dup_spans" ->
+        """WITH d0 AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 7 = 0
+          |      THEN ' all rights reserved reproduction in whole or in part without permission is strictly prohibited'
+          |      ELSE '' END ||
+          |    CASE WHEN doc_id % 31 = 0
+          |      THEN ' all rights reserved reproduction in whole or in part without permission is strictly prohibited all rights reserved reproduction in whole or in part without permission is strictly prohibited'
+          |      ELSE '' END AS text
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id AS doc,
+          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0) AS tk
+          |  FROM d0),
+          |ex AS (
+          |  SELECT doc, CAST(len(tk) AS BIGINT) AS n_toks, CAST(i AS INT) AS pos,
+          |    md5(array_to_string(
+          |      list_slice(tk, CAST(i + 1 AS INT), CAST(i + 12 AS INT)), ' ')) AS gk
+          |  FROM c, LATERAL unnest(range(0, len(tk) - 11)) r(i)),
+          |m AS (
+          |  SELECT * FROM (
+          |    SELECT ex.*, count(*) OVER (PARTITION BY gk) AS cnt FROM ex)
+          |  WHERE cnt > 1),
+          |i AS (
+          |  SELECT doc, n_toks, pos,
+          |    CASE WHEN pos > coalesce(max(pos + 12) OVER (PARTITION BY doc
+          |           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |         THEN 1 ELSE 0 END AS nw
+          |  FROM m),
+          |s AS (
+          |  SELECT doc, n_toks, pos,
+          |    sum(nw) OVER (PARTITION BY doc ORDER BY pos
+          |      ROWS UNBOUNDED PRECEDING) AS isl
+          |  FROM i),
+          |sp AS (
+          |  SELECT doc, isl, min(pos) AS st, max(pos) + 12 AS en,
+          |    max(n_toks) AS nt
+          |  FROM s GROUP BY doc, isl)
+          |SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          |  CAST(sum(en - st) AS BIGINT) AS dup_tokens,
+          |  CAST(max(nt) AS BIGINT) AS n_toks
+          |FROM sp GROUP BY doc""".stripMargin,
 
       "q155_fuzzy_pairs" ->
         s"""WITH corpus AS ($DEDUP_CORPUS_SQL),

@@ -298,6 +298,72 @@ object Corpus {
         (col("__rn") <= col("__quota")).as("kept"))
   }
 
+  /** Exact duplicated-substring spans — the substring-granular dedup
+    * pass (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") at word-token granularity: every
+    * stride-1 window of `w` consecutive tokens that occurs more than
+    * once ANYWHERE in the corpus (across docs or repeated within one)
+    * marks its token range as duplicated, and overlapping marked
+    * windows merge into maximal spans. A doc-level or chunk-level
+    * dedup (q34/q143) misses exactly these — the quoted paragraph,
+    * the templated license block, the lyrics chorus embedded in
+    * otherwise-unique pages.
+    *
+    * Output per doc with at least one duplicated window:
+    * (doc, n_spans, dup_tokens, n_toks) — merged span count, total
+    * tokens inside merged spans, doc token count.
+    *
+    * Shape, and why it holds at 100 TB:
+    *  - candidate generation is a stride-1 window explode (≈ one row
+    *    per corpus token — the same cardinality q154's global
+    *    frequency agg already handles), never a suffix-array sort of
+    *    the concatenated corpus;
+    *  - duplicate marking is ONE count window partitioned by
+    *    md5(gram) — the shuffle carries a fixed 32-char key instead of
+    *    the w-token gram body (the q153 trick), and map-side nothing
+    *    else: no join back, no second pass over the corpus;
+    *  - span merging is the classic gaps-and-islands pass partitioned
+    *    by doc — the second and last shuffle, sized by the MARKED
+    *    windows only (natural text marks a few percent).
+    * Determinism: every value is an exact integer; md5 keying is
+    * engine-shared, so the DuckDB oracle replays bit-for-bit.
+    */
+  def dupSpans(docs: DataFrame, textCol: String, keyCol: String,
+               w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val tk = toks(col(textCol))
+    val n = size(tk)
+    val grams = when(n < w, array().cast("array<struct<pos:int,gram:string>>"))
+      .otherwise(transform(sequence(lit(0), n - w),
+        i => struct(i.cast("int").as("pos"),
+          concat_ws(" ", slice(tk, i + 1, lit(w))).as("gram"))))
+    val ex = docs
+      .select(col(keyCol).as("doc"), n.cast("long").as("n_toks"),
+        explode(grams).as("g"))
+      .select(col("doc"), col("n_toks"),
+        col("g.pos").as("pos"), md5(col("g.gram")).as("__gk"))
+    val marked = ex
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__gk"))))
+      .where(col("__c") > 1)
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
+    val prevEnd = max(col("pos") + w)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = marked
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands
+      .groupBy(col("doc"), col("__isl"))
+      .agg(min(col("pos")).as("__st"),
+        (max(col("pos")) + w).as("__en"),
+        max(col("n_toks")).as("__nt"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("__en") - col("__st")).cast("long")).as("dup_tokens"),
+        max(col("__nt")).as("n_toks"))
+  }
+
   /** Exact nearest-rank quantiles per group: the value at sorted
     * position ceil(q·n) (1-based). Rank selection over one window —
     * deterministic (unlike interpolating percentile implementations,

@@ -65,6 +65,54 @@ class CorpusSpec extends AnyFunSuite {
     assert(!out.contains(3L)) // empty text -> no chunks
   }
 
+  test("dupSpans: cross-doc windows merge into maximal spans") {
+    // docs 1 and 2 share the 5-token run "a b c d e" -> with w=3 the
+    // windows abc/bcd/cde are duplicated and merge into ONE span of 5
+    // tokens in each doc; the surrounding tokens are unique.
+    val docs = Seq(
+      (1L, "u1 u2 a b c d e u3 u4"),
+      (2L, "v1 a b c d e v2 v3 v4"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7"),
+      (4L, "x y")).toDF("k", "text") // n < w -> no windows
+    val out = Corpus.dupSpans(docs, "text", "k", w = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1L -> ((1L, 5L, 9L)), 2L -> ((1L, 5L, 9L))))
+  }
+
+  test("dupSpans: within-doc repetition marks and merges") {
+    // "p q r s p q r s": pqr/qrs occur twice within the one doc; the
+    // marked windows at positions 0,1,4,5 chain into one span [0,8).
+    val docs = Seq((1L, "p q r s p q r s")).toDF("k", "text")
+    val out = Corpus.dupSpans(docs, "text", "k", w = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1L -> ((1L, 8L, 8L))))
+  }
+
+  test("dupSpans: disjoint duplicated runs stay separate spans") {
+    // two shared 3-token runs separated by >w unique tokens -> 2 spans
+    val docs = Seq(
+      (1L, "a b c u1 u2 u3 u4 u5 d e f"),
+      (2L, "a b c z1 z2 z3 z4 z5 d e f")).toDF("k", "text")
+    val out = Corpus.dupSpans(docs, "text", "k", w = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((2L, 6L)), 2L -> ((2L, 6L))))
+  }
+
+  test("dupSpans is partitioning-invariant on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("k"),
+        concat(col("text"),
+          when(col("k") % 7 === 0, lit(" shared banner tokens one two three" +
+            " four five six seven eight nine ten eleven twelve")).otherwise(lit("")))
+          .as("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.dupSpans(df, "text", "k", w = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(13, col("k")))
+    assert(a.nonEmpty && a === b)
+  }
+
   test("contamination on the corpus matches a brute-force recompute") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("k"), col("text"))
