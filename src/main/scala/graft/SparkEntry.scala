@@ -2708,6 +2708,19 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
     }),
 
+    "q157_geohash" -> ((s, d) => {
+      // geohash binning: the string-prefix-hierarchical cell index
+      // (a prefix IS the parent cell) — precision-5 bins with their
+      // precision-2 parent via substr, pure codegen'd column
+      // arithmetic; the oracle replays the identical closed-form
+      // IEEE expression tree.
+      val pts = customerPts(s, d)
+      pts.withColumn("gh", SpaceCurve.geohash(col("cx"), col("cy"), 5))
+        .groupBy(col("gh"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("gh2", substring(col("gh"), 1, 2))
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -4905,6 +4918,12 @@ object SparkEntry {
           |      FROM f)
           |SELECT k, vocab_size, cum_mass, total_mass
           |FROM c, t WHERE k IN (1, 5, 20)""".stripMargin,
+
+      "q157_geohash" ->
+        s"""WITH p AS (SELECT $CX_SQL AS cx, $CY_SQL AS cy FROM customer),
+           |g AS (SELECT ${SpaceCurve.geohashOracleExpr("cx", "cy", 5)} AS gh FROM p)
+           |SELECT gh, count(*) AS cnt, substr(gh, 1, 2) AS gh2
+           |FROM g GROUP BY gh""".stripMargin,
 
       "q156_dup_spans" ->
         """WITH d0 AS (

@@ -84,6 +84,127 @@ object SpaceCurve {
     (x, y)
   }
 
+  // ------------------------------------------------------------ geohash
+
+  /** The public geohash base32 alphabet (Niemeyer 2008). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash cell id of (lon, lat) at `precision` characters — the
+    * third cell index the engine speaks alongside the web-mercator
+    * Morton cells (tiling/Cell.scala) and H3-style hex bins
+    * (Raster.hexBin): the string-prefix-hierarchical one, where a
+    * prefix IS the parent cell, so per-region rollups are `substr`
+    * and range-clustered storage sorts lexicographically.
+    *
+    * Construction: the canonical interval-halving walk collapses to
+    * closed form — lonIdx = floor((lon+180)/360 · 2^lonBits) (clamped),
+    * same for lat, bits interleaved lon-first, 5-bit groups through the
+    * base32 alphabet. Everything is plain Column arithmetic (floor,
+    * shiftright, &, concat) inside whole-stage codegen — no UDF, no
+    * kernel — and the DuckDB oracle replays the identical IEEE-754
+    * expression tree, so the cell definition is gated bit-for-bit.
+    * Points lying exactly on a cell boundary take the upper cell (the
+    * canonical `>= mid` convention): boundary coordinates make
+    * (lon+180)/360·2^k a dyadic rational that the double path computes
+    * exactly, so floor lands them upward identically to the halving
+    * walk.
+    */
+  def geohash(lon: Column, lat: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12, s"precision $precision")
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val lonIdx = axisIdx(lon, 180.0, 360.0, lonBits)
+    val latIdx = axisIdx(lat, 90.0, 180.0, latBits)
+    val chars = (0 until precision).map { ci =>
+      val v = (0 until 5).map { t =>
+        val j = 5 * ci + t // interleaved bit position, MSB first, lon-even
+        val bit =
+          if (j % 2 == 0) shiftright(lonIdx, lonBits - 1 - j / 2)
+          else shiftright(latIdx, latBits - 1 - (j - 1) / 2)
+        bit.bitwiseAND(lit(1L)) * lit(1L << (4 - t))
+      }.reduce(_ + _)
+      substring(lit(GeohashAlphabet), (v + lit(1L)).cast("int"), lit(1))
+    }
+    concat(chars: _*)
+  }
+
+  private def axisIdx(c: Column, off: Double, span: Double, bits: Int): Column = {
+    val n = (1L << bits).toDouble
+    least(greatest(floor((c + lit(off)) / lit(span) * lit(n)), lit(0.0)),
+      lit(n - 1.0)).cast("long")
+  }
+
+  /** The same closed form as a DuckDB SQL scalar expression over lon /
+    * lat SQL fragments — the oracle half of the bit-for-bit gate.
+    */
+  def geohashOracleExpr(lonSql: String, latSql: String, precision: Int): String = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    def idx(e: String, off: Double, span: Double, bits: Int): String = {
+      val n = (1L << bits).toDouble
+      s"CAST(least(greatest(floor((($e) + $off) / $span * $n), 0.0), ${n - 1.0}) AS BIGINT)"
+    }
+    val li = idx(lonSql, 180.0, 360.0, lonBits)
+    val la = idx(latSql, 90.0, 180.0, latBits)
+    val chars = (0 until precision).map { ci =>
+      val v = (0 until 5).map { t =>
+        val j = 5 * ci + t
+        val src = if (j % 2 == 0) s"(($li) >> ${lonBits - 1 - j / 2})"
+                  else s"(($la) >> ${latBits - 1 - (j - 1) / 2})"
+        s"(($src & 1) * ${1L << (4 - t)})"
+      }.mkString(" + ")
+      s"substr('$GeohashAlphabet', CAST(($v) + 1 AS INT), 1)"
+    }
+    chars.mkString(" || ")
+  }
+
+  /** Local reference decode for specs: cell bounds of a geohash
+    * string as (lonLo, lonHi, latLo, latHi).
+    */
+  private[operators] def geohashBounds(h: String): (Double, Double, Double, Double) = {
+    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+    var even = true
+    for (ch <- h; t <- 4 to 0 by -1) {
+      val bit = (GeohashAlphabet.indexOf(ch) >> t) & 1
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (bit == 1) lonLo = mid else lonHi = mid
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (bit == 1) latLo = mid else latHi = mid
+      }
+      even = !even
+    }
+    (lonLo, lonHi, latLo, latHi)
+  }
+
+  /** The canonical interval-halving encoder (for spec cross-checks). */
+  private[operators] def geohashClassic(lon: Double, lat: Double,
+                                        precision: Int): String = {
+    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+    val sb = new StringBuilder
+    var even = true
+    var bits = 0
+    var acc = 0
+    while (sb.length < precision) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { acc = (acc << 1) | 1; lonLo = mid }
+        else { acc = acc << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { acc = (acc << 1) | 1; latLo = mid }
+        else { acc = acc << 1; latHi = mid }
+      }
+      even = !even
+      bits += 1
+      if (bits == 5) { sb.append(GeohashAlphabet.charAt(acc)); bits = 0; acc = 0 }
+    }
+    sb.toString
+  }
+
   /** DuckDB SQL replaying the same walk: one chained CTE per bit level
     * over an input relation `src(key, x, y)` (BIGINT coords already in
     * [0, 2^order), key unique). Returns the full WITH...SELECT

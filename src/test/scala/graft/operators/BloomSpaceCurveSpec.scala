@@ -69,4 +69,45 @@ class BloomSpaceCurveSpec extends AnyFunSuite {
       .withColumn("hd", SpaceCurve.hilbertIndex(col("x").cast("long"), col("k"), 4))
     assert(withNull.where(col("hd").isNull).count() === 1L)
   }
+
+  test("geohash column matches the canonical halving encoder") {
+    // seeded pseudo-random points plus known published cells
+    val pts = (0 until 5000).map { i =>
+      val lon = ((i * 7919L % 36000L) - 18000L) / 100.0 + (i % 7) * 1e-4
+      val lat = ((i * 104729L % 18000L) - 9000L) / 100.0 + (i % 5) * 1e-4
+      (i.toLong, lon, lat)
+    }
+    val df = pts.toDF("k", "lon", "lat")
+      .withColumn("gh", SpaceCurve.geohash(col("lon"), col("lat"), 7))
+    df.collect().foreach { r =>
+      val want = SpaceCurve.geohashClassic(r.getDouble(1), r.getDouble(2), 7)
+      assert(r.getString(3) === want, s"at ${(r.getDouble(1), r.getDouble(2))}")
+    }
+    // published reference cell: (lat 57.64911, lon 10.40744) -> u4pruyd
+    val ref = Seq((10.40744, 57.64911)).toDF("lon", "lat")
+      .select(SpaceCurve.geohash(col("lon"), col("lat"), 7)).head.getString(0)
+    assert(ref === "u4pruyd")
+  }
+
+  test("geohash prefixes nest: char k+1 refines the parent cell") {
+    for (p <- 1 to 6) {
+      val full = SpaceCurve.geohashClassic(-73.9857, 40.7484, 7) // midtown NYC
+      val b = SpaceCurve.geohashBounds(full.take(p))
+      val bNext = SpaceCurve.geohashBounds(full.take(p + 1))
+      assert(bNext._1 >= b._1 && bNext._2 <= b._2 &&
+        bNext._3 >= b._3 && bNext._4 <= b._4)
+      assert(-73.9857 >= b._1 && -73.9857 < b._2)
+      assert(40.7484 >= b._3 && 40.7484 < b._4)
+    }
+  }
+
+  test("geohash boundary points take the upper cell, matching the walk") {
+    // exact cell-edge coordinates (dyadic after the +off/span fold)
+    val edges = Seq((-135.0, 0.0), (0.0, 45.0), (45.0, -45.0), (180.0 - 1e-9, 90.0 - 1e-9))
+    edges.zipWithIndex.foreach { case ((lon, lat), i) =>
+      val got = Seq((lon, lat)).toDF("lon", "lat")
+        .select(SpaceCurve.geohash(col("lon"), col("lat"), 6)).head.getString(0)
+      assert(got === SpaceCurve.geohashClassic(lon, lat, 6), s"edge case $i")
+    }
+  }
 }
