@@ -2721,6 +2721,13 @@ object SparkEntry {
         .withColumn("gh2", substring(col("gh"), 1, 2))
     }),
 
+    "q158_bpe_train" -> ((s, d) =>
+      // BPE merge training: one corpus pass builds the word-frequency
+      // table; 6 merge iterations run at vocab scale (pair-count agg →
+      // deterministic argmax → two-pass anchored replace). The oracle
+      // unrolls the identical 6 stages as generated SQL CTEs.
+      Bpe.train(t(s, d, "documents"), "text", merges = 6)),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -4918,6 +4925,9 @@ object SparkEntry {
           |      FROM f)
           |SELECT k, vocab_size, cum_mass, total_mass
           |FROM c, t WHERE k IN (1, 5, 20)""".stripMargin,
+
+      "q158_bpe_train" ->
+        Bpe.trainOracleSql("SELECT text FROM documents", 6),
 
       "q157_geohash" ->
         s"""WITH p AS (SELECT $CX_SQL AS cx, $CY_SQL AS cy FROM customer),
