@@ -2728,6 +2728,16 @@ object SparkEntry {
       // unrolls the identical 6 stages as generated SQL CTEs.
       Bpe.train(t(s, d, "documents"), "text", merges = 6)),
 
+    "q159_centroid_outliers" -> ((s, d) =>
+      // semantic outliers: rank each vector by cosine to its label
+      // group's centroid (exact BIGINT sum vector; cosine is
+      // scale-invariant so the sum stands in for the mean), 5 least
+      // similar per group.
+      Ann.centroidOutliers(
+        t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("vec")),
+        "vec", "vec_id", "label", topK = 5)),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -4928,6 +4938,28 @@ object SparkEntry {
 
       "q158_bpe_train" ->
         Bpe.trainOracleSql("SELECT text FROM documents", 6),
+
+      "q159_centroid_outliers" ->
+        """WITH q AS (
+          |  SELECT vec_id, label,
+          |    list_transform(CAST(embedding AS DOUBLE[]),
+          |      x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |e AS (
+          |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM (
+          |    SELECT label, unnest(range(1, len(qv) + 1)) AS pos,
+          |           unnest(qv) AS v
+          |    FROM q) GROUP BY label, pos),
+          |sv AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS sv
+          |       FROM e GROUP BY label),
+          |r AS (
+          |  SELECT q.label, q.vec_id,
+          |    CAST(row_number() OVER (PARTITION BY q.label ORDER BY
+          |      list_cosine_similarity(
+          |        list_transform(q.qv, x -> CAST(x AS DOUBLE)), sv.sv) ASC,
+          |      q.vec_id ASC) AS BIGINT) AS rank
+          |  FROM q JOIN sv USING (label))
+          |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
 
       "q157_geohash" ->
         s"""WITH p AS (SELECT $CX_SQL AS cx, $CY_SQL AS cy FROM customer),

@@ -39,6 +39,44 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = ST.vec_cosine(a, b)
 
+  /** Semantic outlier detection per group: rank each vector by cosine
+    * similarity to its GROUP CENTROID, least-similar first — the "drop
+    * documents far from their domain's semantic center" curation pass.
+    *
+    * Exactness discipline: the group centroid is accumulated as exact
+    * per-dimension BIGINT sums of fixed-point-quantized coordinates
+    * (floor(x·2^20) — the Lloyd-training scale), so the aggregation is
+    * partitioning-invariant; cosine is scale-invariant, so ranking
+    * against the SUM vector equals ranking against the mean without
+    * ever dividing. The final cosine runs in double with the fixed
+    * index-order fold both engines share (VecCosine /
+    * list_cosine_similarity), and only RANKS are emitted.
+    *
+    * Shape: one posexplode + groupBy(grp, dim) for the sums (map-side
+    * combinable, dim×groups output rows), sum vectors broadcast back,
+    * one window per group for the rank. No product, no driver loop.
+    */
+  def centroidOutliers(df: DataFrame, vecCol: String, keyCol: String,
+                       grpCol: String, topK: Int): DataFrame = {
+    val qv = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * LloydScale).cast("long"))
+    val base = df.select(col(keyCol).as("__k"), col(grpCol).as("__g"), qv.as("__qv"))
+    val sums = base
+      .select(col("__g"), posexplode(col("__qv")).as(Seq("__dim", "__q")))
+      .groupBy(col("__g"), col("__dim"))
+      .agg(sum(col("__q")).as("__s"))
+      .groupBy(col("__g"))
+      .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__s")))),
+        p => p("__s").cast("double")).as("__sv"))
+    val cosC = ST.vec_cosine(
+      transform(col("__qv"), x => x.cast("double")), col("__sv"))
+    val w = Window.partitionBy(col("__g")).orderBy(cosC.asc, col("__k").asc)
+    base.join(broadcast(sums), "__g")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("__g").as(grpCol), col("__k").as(keyCol), col("rank"))
+  }
+
   /** Exact brute-force cosine top-k: every query against every corpus
     * row (broadcast the small query side), per-query window top-k.
     */

@@ -180,6 +180,39 @@ class AnnDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("centroidOutliers equals a local recompute and is partitioning-invariant") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.centroidOutliers(df, "vec", "vec_id", "label", topK = 5)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run(vecs)
+    assert(got === run(vecs.repartition(17, col("vec_id"))))
+    // local recompute: exact long sums per label, cosine to sum vector
+    val rows = vecs.collect().map(r =>
+      (r.getInt(1), r.getLong(0), r.getSeq[Double](2).toArray))
+    val sums = rows.groupBy(_._1).view.mapValues { g =>
+      val s = new Array[Long](g.head._3.length)
+      for ((_, _, v) <- g; i <- v.indices) s(i) += math.floor(v(i) * 1048576.0).toLong
+      s
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val want = rows.groupBy(_._1).iterator.flatMap { case (lbl, g) =>
+      val sv = sums(lbl).map(_.toDouble)
+      g.map { case (_, id, v) =>
+        (lbl, id, cos(v.map(x => math.floor(x * 1048576.0)), sv)) }
+        .sortBy { case (_, id, c) => (c, id) }
+        .take(5).zipWithIndex
+        .map { case ((l, id, _), i) => (l, id, (i + 1).toLong) }
+    }.toSet
+    assert(got === want)
+  }
+
   test("minhash LSH candidates cover all exact Jaccard >= 0.5 pairs") {
     val exact = Dedup.jaccardPairsExact(corpusDocs, "text", "k", shingleN = 3, threshold = 0.5)
       .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
