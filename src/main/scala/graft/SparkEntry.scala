@@ -2738,6 +2738,24 @@ object SparkEntry {
           col("embedding").cast("array<double>").as("vec")),
         "vec", "vec_id", "label", topK = 5)),
 
+    "q160_dup_spans_cut" -> ((s, d) => {
+      // the CUT half of substring dedup: globally-first occurrence of
+      // each duplicated 12-token window survives, the rest are cut and
+      // the cleaned doc is rebuilt. Same injected corpus as q156 so
+      // the cut provably bites (q156 proves the spans exist; this
+      // proves the removal).
+      val banner = "all rights reserved reproduction in whole or in " +
+        "part without permission is strictly prohibited"
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" " + banner)).otherwise(lit("")),
+          when(col("doc_id") % 31 === 0,
+            lit(" " + banner + " " + banner)).otherwise(lit("")))
+          .as("text"))
+      Corpus.dupSpansCut(docs, "text", "doc_id", w = 12)
+        .withColumnRenamed("doc", "doc_id")
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -4960,6 +4978,66 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q160_dup_spans_cut" ->
+        """WITH d0 AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 7 = 0
+          |      THEN ' all rights reserved reproduction in whole or in part without permission is strictly prohibited'
+          |      ELSE '' END ||
+          |    CASE WHEN doc_id % 31 = 0
+          |      THEN ' all rights reserved reproduction in whole or in part without permission is strictly prohibited all rights reserved reproduction in whole or in part without permission is strictly prohibited'
+          |      ELSE '' END AS text
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id AS doc,
+          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0) AS tk
+          |  FROM d0),
+          |ex AS (
+          |  SELECT doc, CAST(i AS INT) AS pos,
+          |    md5(array_to_string(
+          |      list_slice(tk, CAST(i + 1 AS INT), CAST(i + 12 AS INT)), ' ')) AS gk
+          |  FROM c, LATERAL unnest(range(0, len(tk) - 11)) r(i)),
+          |m AS (
+          |  SELECT * FROM (
+          |    SELECT ex.*, row_number() OVER (PARTITION BY gk
+          |      ORDER BY doc ASC, pos ASC) AS rn FROM ex)
+          |  WHERE rn > 1),
+          |i AS (
+          |  SELECT doc, pos,
+          |    CASE WHEN pos > coalesce(max(pos + 12) OVER (PARTITION BY doc
+          |           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |         THEN 1 ELSE 0 END AS nw
+          |  FROM m),
+          |s AS (
+          |  SELECT doc, pos, sum(nw) OVER (PARTITION BY doc ORDER BY pos
+          |    ROWS UNBOUNDED PRECEDING) AS isl
+          |  FROM i),
+          |sp AS (SELECT doc, isl, min(pos) AS st, max(pos) + 12 AS en
+          |       FROM s GROUP BY doc, isl),
+          |spl AS (SELECT doc, list({'st': st, 'en': en} ORDER BY st) AS spans
+          |        FROM sp GROUP BY doc),
+          |j AS (
+          |  SELECT c.doc, c.tk,
+          |    coalesce(spl.spans, CAST([] AS STRUCT(st INTEGER, en INTEGER)[])) AS spans
+          |  FROM c LEFT JOIN spl ON c.doc = spl.doc),
+          |k AS (
+          |  SELECT doc, tk,
+          |    list_prepend(0, list_transform(spans, s -> s.en)) AS starts,
+          |    list_append(list_transform(spans, s -> s.st), CAST(len(tk) AS INT)) AS ends
+          |  FROM j),
+          |r AS (
+          |  SELECT doc, tk,
+          |    flatten(list_transform(range(1, len(starts) + 1),
+          |      i -> list_slice(tk, CAST(starts[CAST(i AS INT)] + 1 AS INT),
+          |                      CAST(ends[CAST(i AS INT)] AS INT)))) AS kept
+          |  FROM k)
+          |SELECT doc AS doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+          |  CAST(len(tk) - len(kept) AS BIGINT) AS cut_tokens,
+          |  CAST(len(kept) AS BIGINT) AS kept_tokens,
+          |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+          |FROM r""".stripMargin,
 
       "q157_geohash" ->
         s"""WITH p AS (SELECT $CX_SQL AS cx, $CY_SQL AS cy FROM customer),

@@ -328,8 +328,11 @@ object Corpus {
     * Determinism: every value is an exact integer; md5 keying is
     * engine-shared, so the DuckDB oracle replays bit-for-bit.
     */
-  def dupSpans(docs: DataFrame, textCol: String, keyCol: String,
-               w: Int): DataFrame = {
+  /** Stride-1 w-token windows of every doc: (doc, n_toks, pos, __gk)
+    * with __gk = md5(gram) — shared by dupSpans / dupSpansCut.
+    */
+  private def windowExplode(docs: DataFrame, textCol: String,
+                            keyCol: String, w: Int): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     val tk = toks(col(textCol))
     val n = size(tk)
@@ -337,11 +340,16 @@ object Corpus {
       .otherwise(transform(sequence(lit(0), n - w),
         i => struct(i.cast("int").as("pos"),
           concat_ws(" ", slice(tk, i + 1, lit(w))).as("gram"))))
-    val ex = docs
+    docs
       .select(col(keyCol).as("doc"), n.cast("long").as("n_toks"),
         explode(grams).as("g"))
       .select(col("doc"), col("n_toks"),
         col("g.pos").as("pos"), md5(col("g.gram")).as("__gk"))
+  }
+
+  def dupSpans(docs: DataFrame, textCol: String, keyCol: String,
+               w: Int): DataFrame = {
+    val ex = windowExplode(docs, textCol, keyCol, w)
     val marked = ex
       .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__gk"))))
       .where(col("__c") > 1)
@@ -362,6 +370,62 @@ object Corpus {
       .agg(count(lit(1)).as("n_spans"),
         sum((col("__en") - col("__st")).cast("long")).as("dup_tokens"),
         max(col("__nt")).as("n_toks"))
+  }
+
+  /** The CUT half of substring dedup: every duplicated w-token window
+    * keeps its globally-first occurrence (min (doc, pos) per distinct
+    * window — a total order, so the survivor set is unique under any
+    * partitioning) and all other occurrences mark their token range
+    * for removal; marked ranges merge into maximal cut spans per doc,
+    * and the cleaned document is rebuilt from the kept segments.
+    *
+    * Output per doc: (doc, n_toks, cut_tokens, kept_tokens,
+    * clean_md5) — clean_md5 hashes the kept tokens space-joined in
+    * the normalized token space (the actual cleaned body; hashed so
+    * the relational output stays narrow).
+    *
+    * Same two-shuffle shape as dupSpans with keep-first decided by a
+    * row_number over the SAME md5-keyed window pass (rn > 1 ⇒
+    * duplicated AND not the canonical occurrence); the rebuild is
+    * per-row array slicing between the sorted cut spans — no extra
+    * corpus pass.
+    */
+  def dupSpansCut(docs: DataFrame, textCol: String, keyCol: String,
+                  w: Int): DataFrame = {
+    val ex = windowExplode(docs, textCol, keyCol, w)
+    val rn = row_number().over(Window.partitionBy(col("__gk"))
+      .orderBy(col("doc").asc, col("pos").asc))
+    val cut = ex.withColumn("__rn", rn).where(col("__rn") > 1)
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
+    val prevEnd = max(col("pos") + w)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = cut
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("__isl"))
+      .agg(min(col("pos")).as("st"), (max(col("pos")) + w).as("en"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("__spans"))
+    val tk = toks(col(textCol))
+    val withSpans = docs
+      .select(col(keyCol).as("doc"), tk.as("__tk"))
+      .join(spans, Seq("doc"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<st:int,en:int>>")))
+    val starts = concat(array(lit(0)), transform(col("__spans"), s => s("en")))
+    val ends = concat(transform(col("__spans"), s => s("st")),
+      array(size(col("__tk"))))
+    val kept = flatten(zip_with(starts, ends,
+      (a, b) => slice(col("__tk"), a + 1, greatest(b - a, lit(0)))))
+    withSpans
+      .withColumn("__kept", kept)
+      .select(col("doc"),
+        size(col("__tk")).cast("long").as("n_toks"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long").as("cut_tokens"),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", col("__kept"))).as("clean_md5"))
   }
 
   /** Exact nearest-rank quantiles per group: the value at sorted

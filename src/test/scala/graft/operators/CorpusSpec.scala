@@ -113,6 +113,56 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.nonEmpty && a === b)
   }
 
+  test("dupSpansCut keeps the globally-first occurrence and rebuilds the doc") {
+    // doc1 (smaller key) keeps the shared run; doc2 loses it.
+    val docs = Seq(
+      (1L, "u1 u2 a b c d e u3"),
+      (2L, "v1 a b c d e v2 v3")).toDF("k", "text")
+    val out = Corpus.dupSpansCut(docs, "text", "k", w = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def m5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((8L, 0L, 8L, m5("u1 u2 a b c d e u3"))))
+    assert(out(2L) === ((8L, 5L, 3L, m5("v1 v2 v3"))))
+  }
+
+  test("dupSpansCut: within-doc repeat cuts the second occurrence only") {
+    // w=3 over "p q r s x p q r s": windows pqr(0) qrs(1) repeat at
+    // (5)(6); cut span = [5,9) -> kept "p q r s x"
+    val docs = Seq((1L, "p q r s x p q r s")).toDF("k", "text")
+    val out = Corpus.dupSpansCut(docs, "text", "k", w = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((9L, 4L, 5L)))
+  }
+
+  test("dupSpansCut is partitioning-invariant and conserves token counts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("k"),
+        concat(col("text"),
+          when(col("k") % 7 === 0, lit(" shared banner tokens one two three" +
+            " four five six seven eight nine ten eleven twelve")).otherwise(lit("")))
+          .as("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.dupSpansCut(df, "text", "k", w = 12)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(13, col("k")))
+    assert(a === b)
+    assert(a.values.forall { case (n, cut, kept, _) => cut + kept == n })
+    assert(a.values.map(_._2).sum > 0) // the cut actually bites
+    // exactly one banner occurrence survives corpus-wide: total cut =
+    // (occurrences - 1) * 13 banner tokens unless merges with natural
+    // dup text change span boundaries — so just check survivors: every
+    // %7 doc except the globally-first loses at least the banner.
+    val first = a.keys.filter(_ % 7 == 0).min
+    a.foreach { case (k, (_, cut, _, _)) =>
+      if (k % 7 == 0 && k != first) assert(cut >= 13L, s"doc $k cut=$cut")
+    }
+  }
+
   test("contamination on the corpus matches a brute-force recompute") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("k"), col("text"))
