@@ -2756,6 +2756,24 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
     }),
 
+    "q161_shingle_novelty" -> ((s, d) => {
+      // content-granular crawl novelty: distinct 8-gram shingles of
+      // each NEW-crawl doc never seen in the OLD crawl. New crawl =
+      // q147's synthetic recrawl (drop %11, prepend-marker rewrite of
+      // %7, clone %13 under new keys): clones score 0, rewrites score
+      // exactly their changed windows.
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val neu = base.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("breaking update entirely fresh paragraph "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Corpus.shingleNovelty(base, neu, "text", "doc_id", n = 8)
+        .withColumnRenamed("doc", "doc_id")
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -4978,6 +4996,38 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q161_shingle_novelty" ->
+        """WITH base AS (SELECT doc_id, text FROM documents),
+          |neu AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0
+          |      THEN 'breaking update entirely fresh paragraph ' || text
+          |      ELSE text END AS text
+          |  FROM base WHERE doc_id % 11 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 10000000, text FROM base WHERE doc_id % 13 = 0),
+          |osh AS (
+          |  SELECT DISTINCT sh FROM (
+          |    SELECT unnest(
+          |      CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+          |           ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+          |                  i -> array_to_string(list_slice(tk, CAST(i AS INT),
+          |                         CAST(i + 7 AS INT)), ' '))) END) AS sh
+          |    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+          |          FROM base))),
+          |nsh AS (
+          |  SELECT doc_id AS doc, unnest(
+          |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+          |                i -> array_to_string(list_slice(tk, CAST(i AS INT),
+          |                       CAST(i + 7 AS INT)), ' '))) END) AS sh
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+          |        FROM neu))
+          |SELECT n.doc AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+          |  CAST(sum(CASE WHEN o.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel
+          |FROM nsh n LEFT JOIN osh o ON n.sh = o.sh
+          |GROUP BY n.doc""".stripMargin,
 
       "q160_dup_spans_cut" ->
         """WITH d0 AS (

@@ -428,6 +428,33 @@ object Corpus {
         md5(concat_ws(" ", col("__kept"))).as("clean_md5"))
   }
 
+  /** Cross-snapshot content novelty: for every doc of the NEW crawl,
+    * how many of its distinct word n-gram shingles never appear in the
+    * OLD crawl — the content-granular companion to the key-level
+    * snapshotDiff (q147), and the statistic that prices an incremental
+    * crawl for training ("how much genuinely new text did we fetch").
+    *
+    * Shape: the old side reduces to its distinct shingle set (one
+    * map-side-combinable distinct — at 100 TB this is the crawl's
+    * shingle dictionary, hash-partitioned, never collected), the new
+    * side left-joins on the shingle string and counts misses per doc.
+    * Clones of old pages score novel=0; rewritten pages score exactly
+    * their changed windows.
+    */
+  def shingleNovelty(oldDocs: DataFrame, newDocs: DataFrame,
+                     textCol: String, keyCol: String, n: Int): DataFrame = {
+    val newSh = newDocs.select(col(keyCol).as("doc"),
+      explode(TextOps.wordShingles(col(textCol), n)).as("sh"))
+    val oldSh = oldDocs
+      .select(explode(TextOps.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    newSh.join(oldSh, Seq("sh"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("novel"))
+  }
+
   /** Exact nearest-rank quantiles per group: the value at sorted
     * position ceil(q·n) (1-based). Rank selection over one window —
     * deterministic (unlike interpolating percentile implementations,

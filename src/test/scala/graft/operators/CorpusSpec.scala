@@ -163,6 +163,23 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleNovelty: clones score 0, new text scores all, rewrites score the delta") {
+    val old = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),  // 2 distinct 8-gram shingles
+      (2L, "z1 z2 z3")).toDF("k", "text")   // whole-text fallback shingle
+    val neu = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),       // clone -> novel 0
+      (11L, "n1 n2 n3 n4 n5 n6 n7 n8"),          // brand new -> all novel
+      (12L, "x0 w1 w2 w3 w4 w5 w6 w7 w8 w9")     // prepend -> 2 old + 1 new
+    ).toDF("k", "text")
+    val out = Corpus.shingleNovelty(old, neu, "text", "k", n = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      10L -> ((2L, 0L)),
+      11L -> ((1L, 1L)),
+      12L -> ((3L, 1L))))
+  }
+
   test("contamination on the corpus matches a brute-force recompute") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("k"), col("text"))
