@@ -2774,6 +2774,26 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
     }),
 
+    "q162_geohash_join" -> ((s, d) => {
+      // geohash-indexed spatial join: the 25-box side polyfills to
+      // precision-3 cells (explode of the SMALL side), the point side
+      // computes its single cell (one codegen'd expression on the
+      // 10^12-row side), equi-join on the cell string, exact closed-box
+      // refine. The oracle is the brute-force containment join itself,
+      // so one missing cover cell would surface as a dropped row.
+      val boxes = nationBoxes(s, d)
+        .select(col("n_nationkey"), col("nx0"), col("ny0"), col("nx1"), col("ny1"),
+          explode(SpaceCurve.geohashCoverBox(
+            col("nx0"), col("ny0"), col("nx1"), col("ny1"), 3)).as("gh"))
+      val pts = customerPts(s, d)
+        .select(col("c_custkey"), col("cx"), col("cy"),
+          SpaceCurve.geohash(col("cx"), col("cy"), 3).as("gh"))
+      pts.join(boxes, "gh")
+        .where(col("cx").between(col("nx0"), col("nx1")) &&
+          col("cy").between(col("ny0"), col("ny1")))
+        .select(col("n_nationkey"), col("c_custkey"))
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -4996,6 +5016,13 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q162_geohash_join" ->
+        s"""SELECT n.n_nationkey, c.c_custkey
+           |FROM nation n JOIN (
+           |  SELECT c_custkey, $CX_SQL AS cx, $CY_SQL AS cy FROM customer) c
+           |ON c.cx BETWEEN $NX0_SQL AND $NX0_SQL + 72.0
+           |AND c.cy BETWEEN $NY0_SQL AND $NY0_SQL + 34.0""".stripMargin,
 
       "q161_shingle_novelty" ->
         """WITH base AS (SELECT doc_id, text FROM documents),

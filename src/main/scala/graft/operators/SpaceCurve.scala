@@ -114,8 +114,17 @@ object SpaceCurve {
     val totalBits = 5 * precision
     val lonBits = (totalBits + 1) / 2
     val latBits = totalBits / 2
-    val lonIdx = axisIdx(lon, 180.0, 360.0, lonBits)
-    val latIdx = axisIdx(lat, 90.0, 180.0, latBits)
+    geohashFromIdx(axisIdx(lon, 180.0, 360.0, lonBits),
+      axisIdx(lat, 90.0, 180.0, latBits), precision)
+  }
+
+  /** Cell string from already-quantized axis indices (lonIdx in
+    * [0, 2^ceil(5p/2)), latIdx in [0, 2^floor(5p/2))).
+    */
+  def geohashFromIdx(lonIdx: Column, latIdx: Column, precision: Int): Column = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
     val chars = (0 until precision).map { ci =>
       val v = (0 until 5).map { t =>
         val j = 5 * ci + t // interleaved bit position, MSB first, lon-even
@@ -127,6 +136,31 @@ object SpaceCurve {
       substring(lit(GeohashAlphabet), (v + lit(1L)).cast("int"), lit(1))
     }
     concat(chars: _*)
+  }
+
+  /** Geohash polyfill of a closed box [x0,x1]×[y0,y1]: the array of
+    * all precision-p cells intersecting it (inclusive index ranges on
+    * both axes — the same clamped closed-form quantization as the
+    * point encoder, so a point's cell is ALWAYS inside the cover of
+    * any box containing the point; q162's brute-force oracle proves
+    * that completeness end to end). Per-row array construction,
+    * shuffle-free; callers explode + equi-join on the cell string.
+    * Cover size is ((x1-x0)/cell+2)·((y1-y0)/cell+2) — pick the
+    * precision so this stays O(100) for the box sizes at hand, the
+    * same parameter discipline as hexCover/cellCover.
+    */
+  def geohashCoverBox(x0: Column, y0: Column, x1: Column, y1: Column,
+                      precision: Int): Column = {
+    require(precision >= 1 && precision <= 12, s"precision $precision")
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val lo = axisIdx(x0, 180.0, 360.0, lonBits)
+    val hi = axisIdx(x1, 180.0, 360.0, lonBits)
+    val la = axisIdx(y0, 90.0, 180.0, latBits)
+    val lb = axisIdx(y1, 90.0, 180.0, latBits)
+    flatten(transform(sequence(lo, hi), i =>
+      transform(sequence(la, lb), j => geohashFromIdx(i, j, precision))))
   }
 
   private def axisIdx(c: Column, off: Double, span: Double, bits: Int): Column = {

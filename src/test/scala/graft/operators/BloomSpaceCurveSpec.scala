@@ -101,6 +101,27 @@ class BloomSpaceCurveSpec extends AnyFunSuite {
     }
   }
 
+  test("geohash cover is complete: a contained point's cell is always in the cover") {
+    val rows = (0 until 400).map { i =>
+      val x0 = ((i * 37) % 300).toDouble - 170.0
+      val y0 = ((i * 53) % 140).toDouble - 80.0
+      val x1 = x0 + 0.3 + (i % 11) * 1.7 // sub-cell through multi-cell widths
+      val y1 = y0 + 0.2 + (i % 7) * 1.3
+      val px = x0 + (x1 - x0) * ((i % 13) / 12.0) // incl. both edges
+      val py = y0 + (y1 - y0) * ((i % 5) / 4.0)
+      (i.toLong, x0, y0, x1, y1, px, py)
+    }
+    val df = rows.toDF("k", "x0", "y0", "x1", "y1", "px", "py")
+      .withColumn("cover", SpaceCurve.geohashCoverBox(
+        col("x0"), col("y0"), col("x1"), col("y1"), 4))
+      .withColumn("gh", SpaceCurve.geohash(col("px"), col("py"), 4))
+      .withColumn("ok", array_contains(col("cover"), col("gh")))
+    assert(df.where(!col("ok")).count() === 0L)
+    // covers are duplicate-free (one row per (box, point) pair in joins)
+    val dup = df.where(size(col("cover")) =!= size(array_distinct(col("cover")))).count()
+    assert(dup === 0L)
+  }
+
   test("geohash boundary points take the upper cell, matching the walk") {
     // exact cell-edge coordinates (dyadic after the +off/span fold)
     val edges = Seq((-135.0, 0.0), (0.0, 45.0), (45.0, -45.0), (180.0 - 1e-9, 90.0 - 1e-9))
