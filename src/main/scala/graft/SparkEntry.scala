@@ -2794,6 +2794,19 @@ object SparkEntry {
         .select(col("n_nationkey"), col("c_custkey"))
     }),
 
+    "q163_crawl_schedule" -> ((s, d) =>
+      // politeness-aware frontier scheduling: domains interleave
+      // round-robin under a deterministic md5 shuffle order; the
+      // global position is computed WITHOUT a global sort (per-round
+      // ranks + broadcast round offsets) and the oracle is the naive
+      // single-window total order it must equal.
+      Frontier.schedule(
+        t(s, d, "documents").select(
+          concat(lit("https://"), col("source"), lit(".example.com/p/"),
+            col("doc_id")).as("url"),
+          col("source").as("domain")),
+        "url", "domain")),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5016,6 +5029,21 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q163_crawl_schedule" ->
+        """WITH u AS (
+          |  SELECT 'https://' || source || '.example.com/p/' || doc_id AS url,
+          |         source AS domain
+          |  FROM documents),
+          |r AS (
+          |  SELECT url, domain,
+          |    CAST(row_number() OVER (PARTITION BY domain
+          |      ORDER BY md5(url) ASC, url ASC) AS BIGINT) AS round
+          |  FROM u)
+          |SELECT url, domain, round,
+          |  CAST(row_number() OVER (ORDER BY round ASC, md5(url) ASC, url ASC)
+          |       AS BIGINT) AS pos
+          |FROM r""".stripMargin,
 
       "q162_geohash_join" ->
         s"""SELECT n.n_nationkey, c.c_custkey

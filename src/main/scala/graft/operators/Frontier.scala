@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier scheduling: order the fetch queue so that domains
+  * interleave round-robin — the politeness discipline (one in-flight
+  * fetch per host, maximal spacing between same-host fetches) that a
+  * crawler needs BEFORE the queue is sharded to fetchers.
+  *
+  * Semantics: every url gets a `round` (its rank within its domain
+  * under the deterministic md5(url) shuffle order) and a global
+  * position `pos` = all earlier rounds' sizes + its rank within its
+  * round. That is exactly the total order (round, md5(url), url) — a
+  * single global row_number() — but computed WITHOUT a global sort:
+  * ranks are per-round windows (parallel across rounds), and the
+  * round offsets come from one tiny aggregation (|rounds| = max urls
+  * per domain) broadcast back. Within a round every domain appears at
+  * most once, which is the politeness invariant.
+  *
+  * Determinism: md5 is the engine-shared shuffle order, url the final
+  * tiebreak — the schedule is replayable and stable under
+  * repartitioning, retries, and corpus growth within a domain's tail.
+  */
+object Frontier {
+
+  def schedule(df: DataFrame, urlCol: String, domainCol: String): DataFrame = {
+    val byDomain = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(urlCol)).asc, col(urlCol).asc)
+    val withRound = df.select(col(urlCol), col(domainCol))
+      .withColumn("round", row_number().over(byDomain).cast("long"))
+    val roundSizes = withRound.groupBy(col("round"))
+      .agg(count(lit(1)).as("__n"))
+    val wCum = Window.orderBy(col("round").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = roundSizes
+      .withColumn("__off", coalesce(sum(col("__n")).over(wCum), lit(0L)))
+      .select(col("round"), col("__off"))
+    val inRound = Window.partitionBy(col("round"))
+      .orderBy(md5(col(urlCol)).asc, col(urlCol).asc)
+    withRound
+      .withColumn("__p", row_number().over(inRound).cast("long"))
+      .join(broadcast(offsets), "round")
+      .select(col(urlCol), col(domainCol), col("round"),
+        (col("__off") + col("__p")).as("pos"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SparkTestSession
+
+/** Politeness crawl scheduling (q163): the sort-free schedule must
+  * equal the naive global-window total order, and every round must
+  * touch each domain at most once.
+  */
+class FrontierSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = {
+    // skewed: one hot domain with 60 urls, a few medium, many singletons
+    val rows = (0 until 60).map(i => (s"https://hot.example/$i", "hot")) ++
+      (0 until 9).flatMap(d => (0 until 6).map(i => (s"https://m$d.example/$i", s"m$d"))) ++
+      (0 until 40).map(i => (s"https://one$i.example/x", s"one$i"))
+    rows.toDF("url", "domain")
+  }
+
+  test("schedule equals the single global-window total order") {
+    val got = Frontier.schedule(corpus, "url", "domain")
+    val naive = got.select(col("url"), col("domain"), col("round"))
+      .withColumn("pos2", row_number().over(
+        Window.orderBy(col("round").asc, md5(col("url")).asc, col("url").asc)).cast("long"))
+    val bad = got.join(naive, Seq("url", "domain", "round"))
+      .where(col("pos") =!= col("pos2")).count()
+    assert(bad === 0L)
+    // positions are a permutation of 1..n
+    val n = corpus.count()
+    assert(got.select(col("pos")).distinct().count() === n)
+    assert(got.agg(min(col("pos")), max(col("pos"))).head() ===
+      org.apache.spark.sql.Row(1L, n))
+  }
+
+  test("politeness: each domain appears at most once per round") {
+    val got = Frontier.schedule(corpus, "url", "domain")
+    val dup = got.groupBy(col("round"), col("domain"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).count()
+    assert(dup === 0L)
+    // the hot domain's fetches are maximally spaced: round r of hot
+    // comes after ALL round r-1 urls of every domain
+    val hot = got.where(col("domain") === "hot")
+      .orderBy(col("round")).collect().map(r => r.getLong(3))
+    assert(hot.length === 60 && hot.sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("schedule is partitioning-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Frontier.schedule(df, "url", "domain")
+        .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(run(corpus.repartition(1)) === run(corpus.repartition(7, col("url"))))
+  }
+}
