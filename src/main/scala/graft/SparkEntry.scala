@@ -2754,6 +2754,11 @@ object SparkEntry {
           .as("text"))
       Corpus.dupSpansCut(docs, "text", "doc_id", w = 12)
         .withColumnRenamed("doc", "doc_id")
+        // no-op predicate on a span-derived column: without it, a
+        // bare count() of this result lets Catalyst ELIMINATE the
+        // left join to the (unique-keyed) span side and the bench
+        // would time an empty plan instead of the dedup pipeline
+        .where(col("cut_tokens") >= 0L)
     }),
 
     "q161_shingle_novelty" -> ((s, d) => {

@@ -353,3 +353,59 @@ object StSimhash60 {
     sig
   }
 }
+
+/** Stride-1 duplicate-detection window keys over an ALREADY-TOKENIZED
+  * array column: for tokens t_0..t_{n-1} emits one (pos, gk) struct
+  * per window, gk = md5 hex of the w tokens joined by single spaces —
+  * byte-identical to md5(concat_ws(' ', slice(tk, pos+1, w))), so the
+  * DuckDB oracles replay it unchanged.
+  *
+  * Exists because the Column formulation (transform + sequence + slice
+  * + concat_ws + md5 per window) is a higher-order-function chain:
+  * interpreted evaluation with per-element boxing made candidate
+  * generation the dominant cost of q156/q160 (~4.6 s at sf0.1). This
+  * is one tight loop per row: token bytes materialized once, one
+  * MessageDigest reused across windows.
+  */
+case class DupWindowKeys(child: Expression, w: Int)
+    extends UnaryKernelCodegen {
+  require(w >= 2, s"window must be >= 2 tokens, got $w")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gk", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexd = "0123456789abcdef".toCharArray
+    val out = new Array[Any](n - w + 1)
+    var p = 0
+    while (p + w <= n) {
+      md.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks(p + j))
+        j += 1
+      }
+      val dig = md.digest()
+      val hc = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hc(2 * b) = hexd((dig(b) >> 4) & 0xf)
+        hc(2 * b + 1) = hexd(dig(b) & 0xf)
+        b += 1
+      }
+      out(p) = InternalRow(p, UTF8String.fromString(new String(hc)))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): DupWindowKeys =
+    copy(child = c)
+}

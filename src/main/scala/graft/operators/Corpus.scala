@@ -335,16 +335,19 @@ object Corpus {
                             keyCol: String, w: Int): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     val tk = toks(col(textCol))
-    val n = size(tk)
-    val grams = when(n < w, array().cast("array<struct<pos:int,gram:string>>"))
-      .otherwise(transform(sequence(lit(0), n - w),
-        i => struct(i.cast("int").as("pos"),
-          concat_ws(" ", slice(tk, i + 1, lit(w))).as("gram"))))
+    // candidate generation as ONE kernel pass per row (DupWindowKeys):
+    // the Column spelling — md5(concat_ws(' ', slice(tk, pos+1, w)))
+    // per position via transform/sequence — is an interpreted HOF
+    // chain and dominated q156/q160; the kernel emits byte-identical
+    // (pos, md5) structs in a tight loop.
+    val keys = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DupWindowKeys(
+        org.apache.spark.sql.GraftBridge.expression(tk), w))
     docs
-      .select(col(keyCol).as("doc"), n.cast("long").as("n_toks"),
-        explode(grams).as("g"))
+      .select(col(keyCol).as("doc"), size(tk).cast("long").as("n_toks"),
+        explode(keys).as("g"))
       .select(col("doc"), col("n_toks"),
-        col("g.pos").as("pos"), md5(col("g.gram")).as("__gk"))
+        col("g.pos").as("pos"), col("g.gk").as("__gk"))
   }
 
   def dupSpans(docs: DataFrame, textCol: String, keyCol: String,
