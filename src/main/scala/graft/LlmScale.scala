@@ -150,7 +150,17 @@ object LlmScale extends Serializable {
         "q139_bigram_lm" -> (() =>
           Relevance.bigramLmScore(docs, "text", "doc_id").count()),
         "q150_pq_codes" -> (() =>
-          Ann.pqCodes(emb, "vec", "vec_id", m = 4, k = 8).count()))
+          Ann.pqCodes(emb, "vec", "vec_id", m = 4, k = 8).count()),
+        "q156_dup_spans" -> (() =>
+          Corpus.dupSpans(docs, "text", "doc_id", w = 12).count()),
+        "q160_dup_spans_cut" -> (() =>
+          Corpus.dupSpansCut(docs, "text", "doc_id", w = 12)
+            .where(col("cut_tokens") >= 0L).count()),
+        "q158_bpe_train" -> (() =>
+          graft.operators.Bpe.train(docs, "text", merges = 4).count()),
+        "q161_shingle_novelty" -> (() =>
+          Corpus.shingleNovelty(docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", n = 8).count()))
       for ((name, f) <- ops) {
         val (secs, rows) = time(f())
         println(f"| $name | $n | $secs%.2f | $rows |")

@@ -40,6 +40,24 @@ object SparkEntry {
   private val CX_SQL = "(CAST((c_custkey * 7919) % 23040 AS DOUBLE) / 64.0 - 180.0)"
   private val CY_SQL = "(CAST((c_custkey * 104729) % 10880 AS DOUBLE) / 64.0 - 85.0)"
 
+  /** Crawl pages with synthesized link-bearing HTML: every doc links
+    * one arithmetic h{k}.example.org target, one maybe-in-corpus
+    * same-source target, and one relative link (excluded by the
+    * absolute filter).
+    */
+  private def linkPages(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id")))
+      .withColumn("t1", concat(lit("https://h"),
+        pmod(col("doc_id") * 7L + 1L, lit(40L)), lit(".example.org/x/"), col("doc_id")))
+      .withColumn("t2", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), pmod(col("doc_id") * 13L + 5L, lit(1000L))))
+      .withColumn("html", to_binary(concat(
+        lit("<html><body><p>t</p><a href=\""), col("t1"),
+        lit("\">a</a> <a id=\"n\" href=\""), col("t2"),
+        lit("\">b</a> <a href=\"/rel\">r</a></body></html>")), lit("utf-8")))
+
   /** Nation boxes: 5x5 grid of 72 x 34 degree tiles (integer corners). */
   private def nationBoxes(spark: SparkSession, dir: String): DataFrame = {
     withST(spark)
@@ -2812,6 +2830,18 @@ object SparkEntry {
           col("source").as("domain")),
         "url", "domain")),
 
+    "q164_link_edges" -> ((s, d) =>
+      // host-level link graph straight from the HTML payloads: one
+      // scan, regex anchor extraction, one hash agg. The oracle
+      // reconstructs the expected edges from first principles (no
+      // regex replay), so it gates the extraction itself.
+      Graph.linkEdges(linkPages(s, d), "html", "url")),
+
+    "q165_frontier_discover" -> ((s, d) =>
+      // frontier discovery: absolute link targets not in the corpus,
+      // with reference counts — the next crawl's candidate queue.
+      Frontier.discover(linkPages(s, d), "html", "url")),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5034,6 +5064,34 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q164_link_edges" ->
+        """WITH e AS (
+          |  SELECT source || '.example.com' AS src_host,
+          |         'h' || ((doc_id * 7 + 1) % 40) || '.example.org' AS dst_host
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT source || '.example.com', source || '.example.com'
+          |  FROM documents)
+          |SELECT src_host, dst_host, count(*) AS n_links
+          |FROM e GROUP BY src_host, dst_host""".stripMargin,
+
+      "q165_frontier_discover" ->
+        """WITH urls AS (
+          |  SELECT DISTINCT 'https://' || source || '.example.com/p/' || doc_id AS u
+          |  FROM documents),
+          |tg AS (
+          |  SELECT 'https://h' || ((doc_id * 7 + 1) % 40) || '.example.org/x/'
+          |           || doc_id AS dst
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'https://' || source || '.example.com/p/'
+          |           || ((doc_id * 13 + 5) % 1000)
+          |  FROM documents)
+          |SELECT dst AS dst_url, count(*) AS n_refs
+          |FROM tg LEFT JOIN urls ON tg.dst = urls.u
+          |WHERE urls.u IS NULL
+          |GROUP BY dst""".stripMargin,
 
       "q163_crawl_schedule" ->
         """WITH u AS (

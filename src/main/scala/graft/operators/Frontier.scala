@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object Frontier {
 
+  /** Frontier discovery (seed expansion): absolute link targets that
+    * are NOT in the corpus — the next crawl's candidate queue, with
+    * per-url reference counts as the naive priority signal. One
+    * explode + one anti-join on the url string + one hash aggregation;
+    * the known-url side is the corpus' distinct url set
+    * (hash-partitioned at scale, never collected).
+    */
+  def discover(pages: DataFrame, htmlCol: String, urlCol: String): DataFrame = {
+    val known = pages.select(col(urlCol).as("__known")).distinct()
+    pages
+      .select(explode(TextOps.extractLinks(col(htmlCol))).as("dst_url"))
+      .where(TextOps.isAbsoluteUrl(col("dst_url")))
+      .join(known, col("dst_url") === col("__known"), "left_anti")
+      .groupBy(col("dst_url"))
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
   def schedule(df: DataFrame, urlCol: String, domainCol: String): DataFrame = {
     val byDomain = Window.partitionBy(col(domainCol))
       .orderBy(md5(col(urlCol)).asc, col(urlCol).asc)

@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Host-level link-graph edges extracted straight from the HTML
+    * payloads: one (src_host, dst_host, n_links) row per ordered host
+    * pair, counting every absolute-href anchor (duplicates are real
+    * parallel edges and weight the graph). The feeder for pageRankInt
+    * — corpus in, host graph out, one scan + one hash aggregation.
+    * Relative links are excluded (base-url resolution is a separate
+    * concern); host extraction shares TextOps.urlHost so edges key
+    * exactly like the rest of the crawl pipeline.
+    */
+  def linkEdges(pages: DataFrame, htmlCol: String, urlCol: String): DataFrame =
+    pages
+      .select(TextOps.urlHost(col(urlCol)).as("src_host"),
+        explode(TextOps.extractLinks(col(htmlCol))).as("__href"))
+      .where(TextOps.isAbsoluteUrl(col("__href")))
+      .select(col("src_host"), TextOps.urlHost(col("__href")).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
   /** Integer PageRank over a directed edge list.
     *
     * Semantics (replayed verbatim by the SQL oracle):

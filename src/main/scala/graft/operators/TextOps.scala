@@ -152,6 +152,21 @@ object TextOps {
     unescapeHtml(regexp_replace(noFoot, "<[^>]*>", ""))
   }
 
+  /** All anchor-tag href targets of an HTML `binary` column, in
+    * document order (duplicates kept — each anchor is one out-link).
+    * RE2-compatible pattern, so the DuckDB oracle replays it verbatim.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html.cast("string"),
+      lit("<a[^>]*href=\"([^\"]*)\""), lit(1))
+
+  /** True iff the href is absolute (has a URI scheme) — the subset
+    * whose host can key a link-graph edge; relative links would need
+    * base-url resolution first.
+    */
+  def isAbsoluteUrl(href: Column): Column =
+    href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
   // ------------------------------------------------- url analysis
 
   /** Lowercased host (authority without port) of an absolute URL. */

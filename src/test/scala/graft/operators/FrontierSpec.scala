@@ -50,6 +50,29 @@ class FrontierSpec extends AnyFunSuite {
     assert(hot.length === 60 && hot.sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("linkEdges and discover: absolute anchors only, duplicates weighted, known urls excluded") {
+    val pages = Seq(
+      ("https://a.example/1",
+        """<html><a href="https://b.example/x">1</a> <a href="https://b.example/x">2</a>
+          |<a href="/rel">r</a> <a id="k" href="https://a.example/2">self</a></html>""".stripMargin),
+      ("https://a.example/2", """<a href="ftp://c.example/f">f</a>"""),
+      ("https://d.example/9", "<p>no links</p>"))
+      .toDF("url", "htmlStr")
+      .withColumn("html", to_binary(col("htmlStr"), lit("utf-8")))
+    val edges = Graph.linkEdges(pages, "html", "url")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(edges === Map(
+      ("a.example", "b.example") -> 2L,   // duplicate anchors weight the edge
+      ("a.example", "a.example") -> 1L,   // self-host link
+      ("a.example", "c.example") -> 1L))  // ftp scheme is absolute too
+    val frontier = Frontier.discover(pages, "html", "url")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // https://a.example/2 is in the corpus -> not frontier
+    assert(frontier === Map(
+      "https://b.example/x" -> 2L,
+      "ftp://c.example/f" -> 1L))
+  }
+
   test("schedule is partitioning-invariant") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Frontier.schedule(df, "url", "domain")
