@@ -2842,6 +2842,14 @@ object SparkEntry {
       // with reference counts — the next crawl's candidate queue.
       Frontier.discover(linkPages(s, d), "html", "url")),
 
+    "q166_seq_packing" -> ((s, d) =>
+      // pretraining sequence packing: deterministic (md5, key) concat
+      // order, exact global token offsets via bucketed prefix sums
+      // (no global sort), 512-token sequences; integer DIV keeps
+      // offsets exact past 2^53 tokens.
+      Corpus.packSequences(t(s, d, "documents"), "text", "doc_id", ctx = 512)
+        .withColumnRenamed("doc", "doc_id")),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5064,6 +5072,26 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q166_seq_packing" ->
+        """WITH d AS (
+          |  SELECT doc_id AS doc, md5(CAST(doc_id AS VARCHAR)) AS h,
+          |    CAST(len(list_filter(
+          |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0)) AS BIGINT) AS n_toks
+          |  FROM documents),
+          |p AS (
+          |  SELECT doc, n_toks,
+          |    coalesce(sum(n_toks) OVER (ORDER BY h ASC, doc ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      0) AS start_off
+          |  FROM d WHERE n_toks > 0)
+          |SELECT doc AS doc_id, n_toks, CAST(start_off AS BIGINT) AS start_off,
+          |  CAST(start_off // 512 AS BIGINT) AS seq_first,
+          |  CAST((start_off + n_toks - 1) // 512 AS BIGINT) AS seq_last,
+          |  CAST((start_off + n_toks - 1) // 512 - start_off // 512 + 1
+          |       AS BIGINT) AS n_seqs
+          |FROM p""".stripMargin,
 
       "q164_link_edges" ->
         """WITH e AS (

@@ -458,6 +458,52 @@ object Corpus {
         sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("novel"))
   }
 
+  /** Sequence packing — the concat-then-chop layout of LM pretraining:
+    * documents concatenate in a deterministic global order and the
+    * token stream chops into fixed `ctx`-token training sequences.
+    * Output per non-empty doc: its exact global token offset and the
+    * first/last sequence ids it lands in (a doc spans `n_seqs`
+    * sequences; boundary-crossing docs are the attention-masking /
+    * loss-weighting cases a packing manifest exists to expose).
+    *
+    * The global order is (md5(key), key) — engine-shared, replayable,
+    * growth-stable. The prefix sum is computed WITHOUT a global sort:
+    * the first two md5 hex chars bucket the order's leading component
+    * (256 buckets, windows run in parallel per bucket), and bucket
+    * offsets come from one 256-row aggregation broadcast back — the
+    * same shape as Frontier.schedule. Token offsets use integer DIV,
+    * exact at any corpus size (a double division would lose exactness
+    * past 2^53 tokens — real at 100 TB).
+    */
+  def packSequences(docs: DataFrame, textCol: String, keyCol: String,
+                    ctx: Int): DataFrame = {
+    require(ctx >= 1, s"ctx $ctx")
+    val base = docs.select(col(keyCol).as("doc"),
+      md5(col(keyCol).cast("string")).as("__h"),
+      size(toks(col(textCol))).cast("long").as("n_toks"))
+      .where(col("n_toks") > 0)
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val inBucket = Window.partitionBy(col("__b"))
+      .orderBy(col("__h").asc, col("doc").asc)
+    val withLocal = base.withColumn("__local",
+      coalesce(sum(col("n_toks"))
+        .over(inBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bucketTotals = base.groupBy(col("__b"))
+      .agg(sum(col("n_toks")).as("__bt"))
+    val wB = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    withLocal.join(broadcast(offsets), "__b")
+      .withColumn("start_off", col("__off") + col("__local"))
+      .withColumn("seq_first", expr(s"start_off DIV $ctx"))
+      .withColumn("seq_last", expr(s"(start_off + n_toks - 1) DIV $ctx"))
+      .select(col("doc"), col("n_toks"), col("start_off"),
+        col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + 1L).as("n_seqs"))
+  }
+
   /** Exact nearest-rank quantiles per group: the value at sorted
     * position ceil(q·n) (1-based). Rank selection over one window —
     * deterministic (unlike interpolating percentile implementations,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -178,6 +179,39 @@ class CorpusSpec extends AnyFunSuite {
       10L -> ((2L, 0L)),
       11L -> ((1L, 1L)),
       12L -> ((3L, 1L))))
+  }
+
+  test("packSequences: gapless offsets, correct spans, equals the naive global window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("k"), col("text"))
+    val got = Corpus.packSequences(docs, "text", "k", ctx = 128)
+    val rows = got.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    // gapless: sorted by offset, each start = previous start + previous n
+    val byOff = rows.map(_._2).sortBy(_._2)
+    assert(byOff.head._2 === 0L)
+    byOff.sliding(2).foreach { case Array((n0, s0, _, _, _), (_, s1, _, _, _)) =>
+      assert(s1 === s0 + n0)
+    case _ => }
+    // spans: seq ids match integer division, n_seqs consistent
+    rows.foreach { case (_, (n, s, f, l, ns)) =>
+      assert(f === s / 128 && l === (s + n - 1) / 128 && ns === l - f + 1)
+    }
+    // equals the naive single global window
+    val naive = docs
+      .select(col("k"), md5(col("k").cast("string")).as("h"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => length(t) > 0)).cast("long").as("n"))
+      .where(col("n") > 0)
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("h").asc, col("k").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    rows.foreach { case (k, (_, s, _, _, _)) => assert(naive(k) === s, s"doc $k") }
+    // partitioning invariance
+    val re = Corpus.packSequences(docs.repartition(13, col("k")), "text", "k", ctx = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    rows.foreach { case (k, (_, s, _, _, _)) => assert(re(k) === s) }
   }
 
   test("contamination on the corpus matches a brute-force recompute") {
