@@ -2850,6 +2850,37 @@ object SparkEntry {
       Corpus.packSequences(t(s, d, "documents"), "text", "doc_id", ctx = 512)
         .withColumnRenamed("doc", "doc_id")),
 
+    "q167_rollup_cube" -> ((s, d) =>
+      // multi-dimensional corpus reporting: CUBE over (lang, source) —
+      // all four grouping sets in ONE pass (Spark expands to a single
+      // Expand + hash agg, no re-scan per set); exact BIGINT measures.
+      t(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))),
+
+    "q168_crawl_plan" -> ((s, d) => {
+      // the composed next-crawl plan: frontier discovery (q165) →
+      // robots.txt Disallow filter through the real parser (q144's
+      // RFC 9309 profile; note /p/1 prefix-blocks /p/12 too) →
+      // politeness round-robin schedule (q163). The oracle rebuilds
+      // every stage from first principles (literal arithmetic, no
+      // regex replay).
+      val frontier = Frontier.discover(linkPages(s, d), "html", "url")
+        .withColumn("host", TextOps.urlHost(col("dst_url")))
+        .withColumn("path", TextOps.urlPath(col("dst_url")))
+      val k = regexp_extract(col("host"), "^h([0-9]+)\\.example\\.org$", 1)
+      val robots = when(length(k) > 0 && k.cast("long") % 3 === 0,
+          lit("User-agent: *\nDisallow: /x/"))
+        .when(col("host").endsWith(".example.com"),
+          lit("User-agent: *\nDisallow: /p/1\nDisallow: /p/3"))
+        .otherwise(lit("User-agent: *\nDisallow:"))
+      val allowed = frontier.where(
+        !TextOps.robotsBlocked(TextOps.robotsDisallows(robots), col("path")))
+      Frontier.schedule(
+        allowed.select(col("dst_url").as("url"), col("host").as("domain")),
+        "url", "domain")
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5072,6 +5103,42 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q168_crawl_plan" ->
+        """WITH urls AS (
+          |  SELECT DISTINCT 'https://' || source || '.example.com/p/' || doc_id AS u
+          |  FROM documents),
+          |tg AS (
+          |  SELECT 'https://h' || ((doc_id * 7 + 1) % 40) || '.example.org/x/'
+          |           || doc_id AS dst,
+          |         'h' || ((doc_id * 7 + 1) % 40) || '.example.org' AS host,
+          |         ((doc_id * 7 + 1) % 40) % 3 = 0 AS blocked
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'https://' || source || '.example.com/p/'
+          |           || ((doc_id * 13 + 5) % 1000),
+          |         source || '.example.com',
+          |         CAST((doc_id * 13 + 5) % 1000 AS VARCHAR) LIKE '1%'
+          |           OR CAST((doc_id * 13 + 5) % 1000 AS VARCHAR) LIKE '3%'
+          |  FROM documents),
+          |f AS (
+          |  SELECT dst, host FROM tg LEFT JOIN urls ON tg.dst = urls.u
+          |  WHERE urls.u IS NULL AND NOT blocked
+          |  GROUP BY dst, host),
+          |r AS (
+          |  SELECT dst AS url, host AS domain,
+          |    CAST(row_number() OVER (PARTITION BY host
+          |      ORDER BY md5(dst) ASC, dst ASC) AS BIGINT) AS round
+          |  FROM f)
+          |SELECT url, domain, round,
+          |  CAST(row_number() OVER (ORDER BY round ASC, md5(url) ASC, url ASC)
+          |       AS BIGINT) AS pos
+          |FROM r""".stripMargin,
+
+      "q167_rollup_cube" ->
+        """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
 
       "q166_seq_packing" ->
         """WITH d AS (
