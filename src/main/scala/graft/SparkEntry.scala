@@ -2881,6 +2881,18 @@ object SparkEntry {
         "url", "domain")
     }),
 
+    "q169_funnel" -> ((s, d) =>
+      // 3-step ordered funnel (signup -> purchase -> error as a stand-in
+      // chain): earliest strict-after completion per user; k-1 joins
+      // over funnel entrants only, no full-stream window.
+      Temporal.funnel(t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "purchase", "error"))),
+
+    "q170_retention" -> ((s, d) =>
+      // retention cohort triangle: calendar-week cohorts from integer
+      // day arithmetic, distinct active users per (cohort, offset).
+      Temporal.retentionCohorts(t(s, d, "events"), "user_id", "ts")),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5103,6 +5115,40 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q169_funnel" ->
+        """WITH a AS (
+          |  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS t1
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+          |b AS (
+          |  SELECT a.user_id, a.t1,
+          |    CAST(min(CASE WHEN epoch_us(e.ts) > a.t1
+          |                  THEN epoch_us(e.ts) END) AS BIGINT) AS t2
+          |  FROM a LEFT JOIN events e
+          |    ON e.user_id = a.user_id AND e.event_type = 'purchase'
+          |  GROUP BY a.user_id, a.t1),
+          |c AS (
+          |  SELECT b.user_id, b.t1, b.t2,
+          |    CAST(min(CASE WHEN b.t2 IS NOT NULL AND epoch_us(e.ts) > b.t2
+          |                  THEN epoch_us(e.ts) END) AS BIGINT) AS t3
+          |  FROM b LEFT JOIN events e
+          |    ON e.user_id = b.user_id AND e.event_type = 'error'
+          |  GROUP BY b.user_id, b.t1, b.t2)
+          |SELECT user_id, t1, t2, t3,
+          |  CASE WHEN t3 IS NOT NULL THEN 3
+          |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS reached
+          |FROM c""".stripMargin,
+
+      "q170_retention" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) // 86400000000 AS d
+          |  FROM events),
+          |f AS (SELECT user_id, min(d) // 7 AS cohort_week
+          |      FROM e GROUP BY user_id)
+          |SELECT f.cohort_week, e.d // 7 - f.cohort_week AS week_offset,
+          |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+          |FROM e JOIN f USING (user_id)
+          |GROUP BY f.cohort_week, week_offset""".stripMargin,
 
       "q168_crawl_plan" ->
         """WITH urls AS (

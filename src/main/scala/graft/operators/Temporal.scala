@@ -143,4 +143,58 @@ object Temporal {
           .when(col("__vo") === col("__vn"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Ordered funnel analysis: for each user, the earliest completion
+    * chain through `steps` — t1 = first step-1 event, t_{i+1} = first
+    * step-(i+1) event STRICTLY after t_i (the greedy chain; strict >
+    * makes simultaneous events non-qualifying, a total and replayable
+    * rule). Output per user who entered the funnel: the step
+    * timestamps (micros, null once the chain breaks) and `reached`.
+    *
+    * Shape: one filtered aggregation for step 1, then per additional
+    * step one equi-join on the user + one conditional-min aggregation
+    * — k-1 joins for a k-step funnel, each shuffling only funnel
+    * entrants (monotonically shrinking), never a window over the full
+    * event stream.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(micros(col(tsCol))).as("t1"))
+      .withColumn("reached", lit(1))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val n = i + 2
+      val ev = events.where(col(typeCol) === st)
+        .select(col(userCol), micros(col(tsCol)).as("__t"))
+      val keep = cur.columns.filter(_ != "reached").map(col) :+ col("reached")
+      cur = cur.join(ev, Seq(userCol), "left")
+        .groupBy(keep: _*)
+        .agg(min(when(col("__t") > col(s"t${n - 1}"), col("__t"))).as(s"t$n"))
+        .withColumn("reached",
+          when(col(s"t$n").isNotNull, lit(n)).otherwise(col("reached")))
+    }
+    cur
+  }
+
+  /** Retention cohort matrix: users bucketed by the calendar week of
+    * their first event (cohort_week = first-day DIV 7, days = epoch
+    * micros DIV 86400e6 — all integer division, exact and
+    * engine-shared), counted distinct in every calendar week offset
+    * they were active. Two hash aggregations + one equi-join on the
+    * user — the standard cohort triangle at any scale.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val days = events.select(col(userCol).as("__u"),
+      micros(col(tsCol)).as("__us"))
+      .withColumn("__day", expr("__us DIV 86400000000"))
+    val first = days.groupBy(col("__u"))
+      .agg(expr("min(__day) DIV 7").as("cohort_week"))
+    days.join(first, "__u")
+      .withColumn("week_offset", expr("__day DIV 7") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+  }
 }

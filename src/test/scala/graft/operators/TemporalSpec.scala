@@ -90,6 +90,42 @@ class TemporalSpec extends AnyFunSuite {
       row.getDouble(4) === 9.5)
   }
 
+  test("funnel: strict-after chaining, break carries reached, simultaneous non-qualifying") {
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),   // full chain
+      (2L, "A", 10L), (2L, "B", 10L),                   // simultaneous B: not after
+      (3L, "B", 5L), (3L, "A", 10L), (3L, "B", 50L),    // early B ignored, late B counts
+      (4L, "B", 99L),                                   // never entered
+      (5L, "A", 40L), (5L, "C", 50L)                    // skips B: C must not count
+    ).toDF("u", "et", "sec").withColumn("ts", col("sec").cast("timestamp"))
+    val out = Temporal.funnel(ev, "u", "ts", "et", Seq("A", "B", "C"))
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(r.fieldIndex("reached")),
+          Option(r.get(r.fieldIndex("t2"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("t3"))).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) === ((3, Some(20000000L), Some(30000000L))))
+    assert(out(2L) === ((1, None, None)))
+    assert(out(3L) === ((2, Some(50000000L), None)))
+    assert(!out.contains(4L))
+    assert(out(5L) === ((1, None, None)))
+  }
+
+  test("retentionCohorts: calendar-week buckets, distinct users, exact integer math") {
+    val day = 86400L
+    val ev = Seq(
+      (1L, 0L), (1L, 6L * day), (1L, 7L * day),     // cohort week 0: active w0 (x2 events), w1
+      (2L, 8L * day), (2L, 8L * day + 10),          // cohort week 1: one active week, dup event
+      (3L, 1L * day), (3L, 15L * day)               // cohort week 0: w0 and w2
+    ).toDF("u", "sec").withColumn("ts", col("sec").cast("timestamp"))
+    val out = Temporal.retentionCohorts(ev, "u", "ts")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L,   // users 1 and 3 in week 0
+      (0L, 1L) -> 1L,   // user 1
+      (0L, 2L) -> 1L,   // user 3
+      (1L, 0L) -> 1L))  // user 2, duplicate event counted once
+  }
+
   test("guards: missing columns / empty keys / column collisions reject") {
     intercept[IllegalArgumentException] {
       Temporal.latestSnapshot(corpus(1), Seq.empty, "ts", "id")
