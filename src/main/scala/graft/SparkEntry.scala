@@ -2893,6 +2893,17 @@ object SparkEntry {
       // day arithmetic, distinct active users per (cohort, offset).
       Temporal.retentionCohorts(t(s, d, "events"), "user_id", "ts")),
 
+    "q171_pagerank_links" -> ((s, d) =>
+      // the crawl-quality loop end to end: HTML payloads -> anchor
+      // extraction -> host-level edges (q164) -> integer PageRank
+      // (q129's bit-replayable arithmetic) — the quality prior
+      // computed from the corpus itself rather than synthetic edges.
+      Graph.pageRankInt(
+        Graph.linkEdges(linkPages(s, d), "html", "url")
+          .select(col("src_host").as("a"), col("dst_host").as("b")),
+        "a", "b", iters = 4)
+        .select(col("id").as("host"), col("rank"))),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5115,6 +5126,34 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q171_pagerank_links" -> {
+        def iter(k: Int): String =
+          s"""r$k AS (SELECT n.id,
+             |  (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
+             |  + (85 * COALESCE(i.s, 0)) // 100 AS r
+             |FROM nodes n LEFT JOIN (
+             |  SELECT e.b AS id, CAST(sum(r.r // dg.deg) AS BIGINT) AS s
+             |  FROM e JOIN r${k - 1} r ON e.a = r.id JOIN dg ON e.a = dg.id
+             |  GROUP BY e.b) i ON n.id = i.id)""".stripMargin
+        s"""WITH raw AS (
+           |  SELECT source || '.example.com' AS a,
+           |         'h' || ((doc_id * 7 + 1) % 40) || '.example.org' AS b
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT source || '.example.com', source || '.example.com'
+           |  FROM documents),
+           |e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+           |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |dg AS (SELECT a AS id, count(*) AS deg FROM e GROUP BY a),
+           |r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS r FROM nodes),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |${iter(4)}
+           |SELECT id AS host, r AS rank FROM r4""".stripMargin
+      },
 
       "q169_funnel" ->
         """WITH a AS (
