@@ -201,6 +201,63 @@ object Streaming {
       }
   }
 
+  final case class FetchReq(domain: String, url: String, ts: java.sql.Timestamp)
+  final case class FetchSlot(domain: String, url: String, req_ms: Long,
+                             fetch_ms: Long)
+  final case class DomainGate(nextFreeMs: Long)
+
+  /** Streaming politeness rate limiter — the live counterpart of the
+    * batch frontier schedule (q163): fetch requests stream in, and
+    * per domain each request is assigned the earliest fetch slot that
+    * keeps `minGap` between same-domain fetches:
+    *   fetch = max(request time, domain's next free slot);
+    *   next free slot = fetch + minGap.
+    * Within a batch requests process in (ts, url) order — a total
+    * order, so assignments are deterministic and replayable. State is
+    * ONE long per active domain and expires at the watermark once the
+    * gate is in the past (an expired gate constrains nothing: any
+    * later request has ts > watermark >= nextFree), so the store is
+    * bounded by domains fetched within the politeness horizon, not by
+    * every domain ever seen.
+    */
+  def politenessStream(reqs: DataFrame, tsCol: String, urlCol: String,
+                       domainCol: String, minGap: String,
+                       watermarkDur: String): Dataset[FetchSlot] = {
+    import reqs.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(minGap))
+    require(iv.months == 0, s"minGap must be day-or-smaller denominated, got '$minGap'")
+    val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val src = reqs
+      .select(col(domainCol).cast("string").as("domain"),
+        col(urlCol).cast("string").as("url"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDur)
+      .as[FetchReq]
+    src.groupByKey(_.domain)
+      .flatMapGroupsWithState[DomainGate, FetchSlot](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (domain, rows, state: GroupState[DomainGate]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = rows.toArray.sortBy(r => (r.ts.getTime, r.url))
+            var nextFree = state.getOption.map(_.nextFreeMs).getOrElse(Long.MinValue)
+            val out = ordered.map { r =>
+              val req = r.ts.getTime
+              val fetch = math.max(req, nextFree)
+              nextFree = fetch + gapMs
+              FetchSlot(domain, r.url, req, fetch)
+            }
+            state.update(DomainGate(nextFree))
+            state.setTimeoutTimestamp(math.max(nextFree,
+              state.getCurrentWatermarkMs() + 1000L))
+            out.iterator
+          }
+      }
+  }
+
   /** Per-cell running envelope/count state. `idleTimeout` (e.g.
     * "30 minutes") expires cells not seen for that long — the warm
     * cache stays bounded by ACTIVE cells, not by every cell ever

@@ -166,6 +166,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming politeness limiter spaces same-domain fetches across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pol_stream").toString
+    val t0 = 1704067200L
+    // batch 1: hot domain bursts 3 requests at the same second plus one
+    // at +5 s; cold domain one request. minGap 10 s.
+    val a = Seq(
+      ("hot", "u1", t0 + 0L), ("hot", "u2", t0 + 0L), ("hot", "u3", t0 + 0L),
+      ("hot", "u4", t0 + 5L), ("cold", "c1", t0 + 0L))
+      .toDF("domain", "url", "s")
+      .select(col("domain"), col("url"), timestamp_seconds(col("s")).as("ts"))
+    // batch 2: a hot request AFTER the gate from batch 1 state
+    val b = Seq(("hot", "u5", t0 + 31L)).toDF("domain", "url", "s")
+      .select(col("domain"), col("url"), timestamp_seconds(col("s")).as("ts"))
+    a.coalesce(1).write.parquet(s"$dir/f0")
+    b.coalesce(1).write.parquet(s"$dir/f1")
+    val stream = spark.readStream.schema(a.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*")
+    val slots = Streaming.politenessStream(stream, "ts", "url", "domain",
+      minGap = "10 seconds", watermarkDur = "1 minute")
+    val q = slots.writeStream.outputMode("append")
+      .format("memory").queryName("pol_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT url, fetch_ms FROM pol_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val ms = 1000L
+    // in-batch order is (ts, url): u1@0, u2 deferred to +10, u3 to +20,
+    // u4 (req +5) to +30; cold unaffected; batch-2 u5 (req +31) lands
+    // at +40 because the persisted gate says next free = +40.
+    assert(got === Map(
+      "u1" -> (t0 + 0L) * ms, "u2" -> (t0 + 10L) * ms,
+      "u3" -> (t0 + 20L) * ms, "u4" -> (t0 + 30L) * ms,
+      "c1" -> (t0 + 0L) * ms, "u5" -> (t0 + 40L) * ms))
+    // politeness invariant: same-domain fetches >= minGap apart
+    val hot = got.filterKeys(_.startsWith("u")).values.toSeq.sorted
+    assert(hot.sliding(2).forall(p => p.length < 2 || p(1) - p(0) >= 10L * ms))
+  }
+
   test("stateful running cell envelope") {
     val obs = Seq(
       Streaming.CellObs(1L, 0.0, 0.0), Streaming.CellObs(1L, 2.0, 3.0),
