@@ -2904,6 +2904,14 @@ object SparkEntry {
         "a", "b", iters = 4)
         .select(col("id").as("host"), col("rank"))),
 
+    "q172_vocab_encode" -> ((s, d) =>
+      // tokenize-the-corpus: top-20 vocab by (freq desc, token) rank
+      // (the synthetic corpus has 31 distinct tokens, so OOV fires),
+      // re-encode every doc against it (broadcast join), OOV counted,
+      // exact id-sum checksum; one corpus scan.
+      Corpus.vocabEncode(t(s, d, "documents"), "text", "doc_id", vocabSize = 20)
+        .withColumnRenamed("doc", "doc_id")),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5126,6 +5134,25 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q172_vocab_encode" ->
+        """WITH tokd AS (
+          |  SELECT doc_id AS doc, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |    t -> len(t) > 0)) AS token
+          |  FROM documents),
+          |freqs AS (SELECT token, count(*) AS freq FROM tokd GROUP BY token),
+          |vocab AS (
+          |  SELECT token, id FROM (
+          |    SELECT token, CAST(row_number() OVER (
+          |      ORDER BY freq DESC, token ASC) AS BIGINT) AS id
+          |    FROM freqs)
+          |  WHERE id <= 20)
+          |SELECT t.doc AS doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+          |  CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |  CAST(sum(coalesce(v.id, 0)) AS BIGINT) AS id_sum
+          |FROM tokd t LEFT JOIN vocab v ON t.token = v.token
+          |GROUP BY t.doc""".stripMargin,
 
       "q171_pagerank_links" -> {
         def iter(k: Int): String =

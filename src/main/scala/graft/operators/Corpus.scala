@@ -504,6 +504,39 @@ object Corpus {
         (col("seq_last") - col("seq_first") + 1L).as("n_seqs"))
   }
 
+  /** Vocabulary assignment + corpus re-encode — the "tokenize the
+    * corpus" step after vocabulary design (q154 picks the size, this
+    * applies it): token ids are the (freq desc, token asc) ranks of
+    * the top `vocabSize` tokens (a total order ⇒ the id table is
+    * unique and replayable), and every document re-encodes against it
+    * with out-of-vocabulary tokens counted. Output per doc:
+    * (doc, n_toks, n_oov, id_sum) — id_sum is the exact BIGINT
+    * checksum of the encoded id sequence (order-independent, so one
+    * hash agg suffices; a production encoder would write the id
+    * arrays themselves, same plan shape).
+    *
+    * Shape: one corpus explode feeding (a) the vocab-sized frequency
+    * agg whose ranking window runs on the VOCAB table, and (b) the
+    * re-encode, a broadcast join of that table back onto the exploded
+    * tokens + one groupBy(doc). The corpus is scanned once.
+    */
+  def vocabEncode(docs: DataFrame, textCol: String, keyCol: String,
+                  vocabSize: Int): DataFrame = {
+    val tokd = docs.select(col(keyCol).as("doc"),
+      explode(toks(col(textCol))).as("token"))
+    val freqs = tokd.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token").asc)
+    val vocab = freqs
+      .withColumn("id", row_number().over(w).cast("long"))
+      .where(col("id") <= vocabSize)
+      .select(col("token"), col("id"))
+    tokd.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("id"), lit(0L))).as("id_sum"))
+  }
+
   /** Exact nearest-rank quantiles per group: the value at sorted
     * position ceil(q·n) (1-based). Rank selection over one window —
     * deterministic (unlike interpolating percentile implementations,
