@@ -2912,6 +2912,31 @@ object SparkEntry {
       Corpus.vocabEncode(t(s, d, "documents"), "text", "doc_id", vocabSize = 20)
         .withColumnRenamed("doc", "doc_id")),
 
+    "q173_dist_sphere" -> ((s, d) =>
+      // great-circle distances (meters) from every customer point to
+      // a fixed probe city — the geography-measure companion to the
+      // planar degree kernel; identical IEEE expression trees on both
+      // engines, floor6 guard on the emitted value.
+      customerPts(s, d).select(col("c_custkey"),
+        TextOps.floor6(Sphere.haversineM(col("cx"), col("cy"),
+          lit(2.3125), lit(48.859375))).as("dist_m"))),
+
+    "q174_dwithin_sphere" -> ((s, d) => {
+      // 500-km spherical within-distance join: 25 capitals polyfill a
+      // conservatively padded box to geohash-2 cells (small side),
+      // customers compute one cell key, equi-join + exact haversine
+      // refine. The oracle is the brute-force haversine join, so
+      // cover completeness is proven end to end.
+      val capitals = nationBoxes(s, d).select(col("n_nationkey"),
+        ((col("nx0") + col("nx1")) * 0.5).as("clon"),
+        ((col("ny0") + col("ny1")) * 0.5).as("clat"))
+      Sphere.dwithinSphereJoin(capitals, "clon", "clat",
+        customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy")),
+        "cx", "cy", radiusM = 500000.0, precision = 2)
+        .select(col("n_nationkey"), col("c_custkey"),
+          TextOps.floor6(col("dist_m")).as("dist_m"))
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5134,6 +5159,27 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q173_dist_sphere" ->
+        s"""SELECT c_custkey,
+           |  floor(${Sphere.haversineOracleExpr(CX_SQL, CY_SQL,
+                "2.3125", "48.859375")} * 1000000.0) / 1000000.0 AS dist_m
+           |FROM customer""".stripMargin,
+
+      "q174_dwithin_sphere" ->
+        s"""WITH cap AS (
+           |  SELECT n_nationkey,
+           |    ($NX0_SQL + ($NX0_SQL + 72.0)) * 0.5 AS clon,
+           |    ($NY0_SQL + ($NY0_SQL + 34.0)) * 0.5 AS clat
+           |  FROM nation),
+           |pts AS (SELECT c_custkey, $CX_SQL AS cx, $CY_SQL AS cy FROM customer),
+           |d AS (
+           |  SELECT n_nationkey, c_custkey,
+           |    ${Sphere.haversineOracleExpr("cap.clon", "cap.clat", "pts.cx", "pts.cy")} AS dist_m
+           |  FROM cap, pts)
+           |SELECT n_nationkey, c_custkey,
+           |  floor(dist_m * 1000000.0) / 1000000.0 AS dist_m
+           |FROM d WHERE dist_m <= 500000.0""".stripMargin,
 
       "q172_vocab_encode" ->
         """WITH tokd AS (
