@@ -2937,6 +2937,24 @@ object SparkEntry {
           TextOps.floor6(col("dist_m")).as("dist_m"))
     }),
 
+    "q175_split_leakage" -> ((s, d) => {
+      // split-leakage audit: near-dup pairs (q36's oracle-proven exact
+      // jaccard >= 0.5 contract) crossing the md5 train/val/test
+      // boundary (q91's split) — the "is val secretly in train" check
+      // run before any training job. Off-diagonal rows are leaks.
+      val corpus = dedupCorpus(s, d)
+      val splits = corpus.select(col("k"),
+        TextOps.splitAssign(col("k")).as("split"))
+      Dedup.minhashNearDups(corpus, "text", "k", threshold = 0.5)
+        .select(col("key_a"), col("key_b"))
+        .join(splits.select(col("k").as("key_a"), col("split").as("sa")), "key_a")
+        .join(splits.select(col("k").as("key_b"), col("split").as("sb")), "key_b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5159,6 +5177,38 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q175_split_leakage" -> {
+        val hex6k = "list_reduce(list_transform(range(1,7), " +
+          "i -> strpos('0123456789abcdef', substring(md5(CAST(k AS VARCHAR)), i, 1)) - 1), " +
+          "(a,d) -> a*16+d)"
+        s"""WITH corpus AS ($DEDUP_CORPUS_SQL),
+           |sh AS (
+           |  SELECT k,
+           |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |      ELSE list_transform(range(1, len(toks) - 1),
+           |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sset
+           |  FROM (SELECT k, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM corpus)),
+           |pairs AS (
+           |  SELECT a.k AS key_a, b.k AS key_b
+           |  FROM sh a, sh b WHERE a.k < b.k
+           |    AND CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+           |        CAST(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+           |        >= 0.5),
+           |sp AS (
+           |  SELECT k,
+           |    CASE WHEN $hex6k / 16777216.0 < 0.8 THEN 'train'
+           |         WHEN $hex6k / 16777216.0 < 0.9 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT DISTINCT k FROM corpus))
+           |SELECT least(sa.split, sb.split) AS split_a,
+           |  greatest(sa.split, sb.split) AS split_b,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs
+           |JOIN sp sa ON pairs.key_a = sa.k
+           |JOIN sp sb ON pairs.key_b = sb.k
+           |GROUP BY split_a, split_b""".stripMargin
+      },
 
       "q173_dist_sphere" ->
         s"""SELECT c_custkey,
