@@ -2955,6 +2955,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    "q176_int8_quantize" -> ((s, d) =>
+      // int8 scalar quantization of the embeddings: corpus-calibrated
+      // per-dim affine codes (one dim-sized agg broadcast back), exact
+      // code checksum + floor6'd max reconstruction error per vector.
+      Ann.int8Quantize(
+        t(s, d, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vec")),
+        "vec", "vec_id")),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5177,6 +5186,39 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q176_int8_quantize" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+          |e AS (
+          |  SELECT pos, min(x) AS lo, max(x) AS hi FROM (
+          |    SELECT unnest(range(1, len(ev) + 1)) AS pos, unnest(ev) AS x
+          |    FROM v) GROUP BY pos),
+          |s AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+          |      FROM e),
+          |q AS (
+          |  SELECT vec_id,
+          |    list_transform(range(1, len(ev) + 1), i -> CASE
+          |      WHEN his[CAST(i AS INT)] = los[CAST(i AS INT)] THEN CAST(0 AS BIGINT)
+          |      ELSE CAST(least(greatest(floor(
+          |        (ev[CAST(i AS INT)] - los[CAST(i AS INT)])
+          |          / (his[CAST(i AS INT)] - los[CAST(i AS INT)]) * 255.0),
+          |        0.0), 255.0) AS BIGINT) END) AS codes,
+          |    list_transform(range(1, len(ev) + 1), i -> CASE
+          |      WHEN his[CAST(i AS INT)] = los[CAST(i AS INT)] THEN 0.0
+          |      ELSE abs(ev[CAST(i AS INT)] - (los[CAST(i AS INT)]
+          |        + ((least(greatest(floor(
+          |            (ev[CAST(i AS INT)] - los[CAST(i AS INT)])
+          |              / (his[CAST(i AS INT)] - los[CAST(i AS INT)]) * 255.0),
+          |            0.0), 255.0) + 0.5) / 255.0)
+          |          * (his[CAST(i AS INT)] - los[CAST(i AS INT)]))) END) AS errs
+          |  FROM v, s)
+          |SELECT vec_id,
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          |    (a, c) -> a + c) AS BIGINT) AS code_sum,
+          |  floor(list_reduce(list_prepend(0.0, errs),
+          |    (a, e) -> greatest(a, e)) * 1000000.0) / 1000000.0 AS max_err
+          |FROM q""".stripMargin,
 
       "q175_split_leakage" -> {
         val hex6k = "list_reduce(list_transform(range(1,7), " +

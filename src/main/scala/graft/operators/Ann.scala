@@ -77,6 +77,57 @@ object Ann {
       .select(col("__g").as(grpCol), col("__k").as(keyCol), col("rank"))
   }
 
+  /** Int8 scalar quantization of an embedding column — the standard
+    * 4× vector-store compression (per-dimension affine codes), as a
+    * corpus-calibrated pass: per-dim min/max from ONE posexplode
+    * aggregation (dim-sized output, broadcast back), then each vector
+    * encodes as q_i = floor((x_i−min_i)/(max_i−min_i)·255) clamped to
+    * [0,255] (floor, not round-half-even — engine-agreed), and
+    * reconstructs as min + (q+0.5)/255·span for the error report.
+    * Output per vector: (key, code_sum, max_err) — code_sum the exact
+    * BIGINT checksum of the code vector, max_err the floor6'd max
+    * absolute reconstruction error (the quality number a deployment
+    * watches). Degenerate dims (min==max) code to 0 with error 0.
+    */
+  def int8Quantize(df: DataFrame, vecCol: String, keyCol: String): DataFrame = {
+    val dv = transform(col(vecCol).cast("array<double>"), x => x)
+    val base = df.select(col(keyCol).as("__k"), dv.as("__v"))
+    val stats = base
+      .select(posexplode(col("__v")).as(Seq("__dim", "__x")))
+      .groupBy(col("__dim"))
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("__dim"), col("__lo")))),
+          p => p("__lo")).as("__los"),
+        transform(array_sort(collect_list(struct(col("__dim"), col("__hi")))),
+          p => p("__hi")).as("__his"))
+    val joined = base.crossJoin(broadcast(stats))
+    val idx = sequence(lit(0), size(col("__v")) - 1)
+    val codes = transform(idx, i => {
+      val x = element_at(col("__v"), i + 1)
+      val lo = element_at(col("__los"), i + 1)
+      val hi = element_at(col("__his"), i + 1)
+      when(hi === lo, lit(0L)).otherwise(
+        least(greatest(floor((x - lo) / (hi - lo) * lit(255.0)), lit(0.0)),
+          lit(255.0)).cast("long"))
+    })
+    val errs = transform(idx, i => {
+      val x = element_at(col("__v"), i + 1)
+      val lo = element_at(col("__los"), i + 1)
+      val hi = element_at(col("__his"), i + 1)
+      val q = when(hi === lo, lit(0.0)).otherwise(
+        least(greatest(floor((x - lo) / (hi - lo) * lit(255.0)), lit(0.0)),
+          lit(255.0)))
+      when(hi === lo, lit(0.0)).otherwise(
+        abs(x - (lo + ((q + lit(0.5)) / lit(255.0)) * (hi - lo))))
+    })
+    joined.select(col("__k").as(keyCol),
+      aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
+      graft.operators.TextOps.floor6(
+        aggregate(errs, lit(0.0), (acc, e) => greatest(acc, e))).as("max_err"))
+  }
+
   /** Exact brute-force cosine top-k: every query against every corpus
     * row (broadcast the small query side), per-query window top-k.
     */

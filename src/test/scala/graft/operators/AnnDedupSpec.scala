@@ -213,6 +213,30 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("int8Quantize: local recompute, degenerate dim, extremes hit 0/255") {
+    val vecs = Seq(
+      (1L, Seq(0.0, 5.0, -1.0)),
+      (2L, Seq(1.0, 5.0, 1.0)),
+      (3L, Seq(0.5, 5.0, 3.0))).toDF("k", "vec")
+    val out = Ann.int8Quantize(vecs, "vec", "k")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // dim 0: lo 0 hi 1; dim 1 degenerate -> code 0, err 0; dim 2: lo -1 hi 3
+    def code(x: Double, lo: Double, hi: Double) =
+      math.min(math.max(math.floor((x - lo) / (hi - lo) * 255.0), 0.0), 255.0).toLong
+    def err(x: Double, lo: Double, hi: Double) =
+      math.abs(x - (lo + ((code(x, lo, hi) + 0.5) / 255.0) * (hi - lo)))
+    def f6(x: Double) = math.floor(x * 1e6) / 1e6
+    val rows = Map(1L -> Seq(0.0, 5.0, -1.0), 2L -> Seq(1.0, 5.0, 1.0),
+      3L -> Seq(0.5, 5.0, 3.0))
+    rows.foreach { case (k, v) =>
+      val cs = code(v(0), 0.0, 1.0) + 0L + code(v(2), -1.0, 3.0)
+      val me = f6(math.max(err(v(0), 0.0, 1.0), err(v(2), -1.0, 3.0)))
+      assert(out(k) === ((cs, me)), s"vec $k")
+    }
+    // extremes: min codes 0, max codes 255 (the clamp boundaries)
+    assert(code(0.0, 0.0, 1.0) === 0L && code(1.0, 0.0, 1.0) === 255L)
+  }
+
   test("minhash LSH candidates cover all exact Jaccard >= 0.5 pairs") {
     val exact = Dedup.jaccardPairsExact(corpusDocs, "text", "k", shingleN = 3, threshold = 0.5)
       .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
