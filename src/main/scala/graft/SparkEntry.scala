@@ -2964,6 +2964,30 @@ object SparkEntry {
           col("embedding").cast("array<double>").as("vec")),
         "vec", "vec_id")),
 
+    "q177_training_mix" -> ((s, d) => {
+      // the end-to-end training-mix build: exact-dup keep-first +
+      // token-band gate (q153's arms) -> alpha=0.5 temperature mix by
+      // lang (q148) -> sequence packing with exact global offsets
+      // (q166). One oracle rebuilds all three stages.
+      val docs = t(s, d, "documents")
+      val toksW = when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+      val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+      val kept = docs
+        .withColumn("__rn", row_number().over(wDup))
+        .where(col("__rn") === 1 && toksW.between(25L, 10000L))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val sel = kept.join(
+        Corpus.temperatureSample(kept, "lang", "doc_id", budget = 300L)
+          .where(col("kept")).select(col("doc_id")),
+        "doc_id")
+      Corpus.packSequences(sel, "text", "doc_id", ctx = 512)
+        .withColumnRenamed("doc", "doc_id")
+        .join(sel.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          col("start_off"), col("seq_first"), col("n_seqs"))
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5186,6 +5210,50 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q177_training_mix" ->
+        """WITH g AS (
+          |  SELECT doc_id, lang, text,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+          |      AS BIGINT) AS toks,
+          |    row_number() OVER (PARTITION BY md5(text)
+          |      ORDER BY doc_id ASC) AS dup_rn
+          |  FROM documents),
+          |kept AS (
+          |  SELECT doc_id, lang, text FROM g
+          |  WHERE dup_rn = 1 AND toks BETWEEN 25 AND 10000),
+          |c AS (SELECT lang AS grp, count(*) AS n FROM kept GROUP BY lang),
+          |w AS (SELECT grp,
+          |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+          |      FROM c),
+          |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM w),
+          |qta AS (SELECT grp, CAST(floor(300 * wq / wtot) AS BIGINT) AS quota
+          |        FROM w, tot),
+          |r AS (SELECT doc_id, lang, text,
+          |        CAST(row_number() OVER (PARTITION BY lang
+          |          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+          |          AS BIGINT) AS rn
+          |      FROM kept),
+          |sel AS (SELECT r.doc_id, r.lang, r.text
+          |        FROM r JOIN qta ON qta.grp = r.lang WHERE r.rn <= qta.quota),
+          |d AS (
+          |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+          |    CAST(len(list_filter(
+          |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0)) AS BIGINT) AS n_toks
+          |  FROM sel),
+          |p AS (
+          |  SELECT doc_id, lang, n_toks,
+          |    coalesce(sum(n_toks) OVER (ORDER BY h ASC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      0) AS start_off
+          |  FROM d WHERE n_toks > 0)
+          |SELECT doc_id, lang, n_toks, CAST(start_off AS BIGINT) AS start_off,
+          |  CAST(start_off // 512 AS BIGINT) AS seq_first,
+          |  CAST((start_off + n_toks - 1) // 512 - start_off // 512 + 1
+          |       AS BIGINT) AS n_seqs
+          |FROM p""".stripMargin,
 
       "q176_int8_quantize" ->
         """WITH v AS (
