@@ -2988,6 +2988,25 @@ object SparkEntry {
           col("start_off"), col("seq_first"), col("n_seqs"))
     }),
 
+    "q178_quality_drift" -> ((s, d) => {
+      // crawl-distribution monitor: PSI of the quality-score histogram
+      // between the base crawl and q147's synthetic recrawl (the %7
+      // rewrites shift scores, so the drift is real). Per-bucket psi
+      // terms; Σ = the alarm number.
+      val base = t(s, d, "documents")
+      val neu = base.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" !!!,,, ??? ;;; ... !!!,,, ??? ;;; ...")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      def buckets(df: DataFrame) = df.select(
+        least(greatest(floor(TextOps.qualityScore(col("text")) * 10.0), lit(0.0)),
+          lit(9.0)).cast("long").as("bucket"))
+      Corpus.psiDrift(buckets(base), buckets(neu))
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5210,6 +5229,49 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q178_quality_drift" -> {
+        val qual =
+          """floor((least(len / 500.0, 1.0) * 0.25 +
+            |  (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.35 +
+            |  (1.0 - (CASE WHEN len > 0 THEN least(punct / len * 10.0, 1.0) ELSE 0.0 END)) * 0.15 +
+            |  (CASE WHEN toks > 0 THEN (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+            |        ELSE 0.0 END) * 0.25) * 1000000.0) / 1000000.0""".stripMargin
+        def bucketCte(name: String, src: String): String =
+          s"""$name AS (
+             |  SELECT CAST(least(greatest(floor(($qual) * 10.0), 0.0), 9.0) AS BIGINT) AS bucket
+             |  FROM (
+             |    SELECT CAST(length(text) AS DOUBLE) AS len,
+             |      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             |      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             |      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS toks
+             |    FROM ($src)))""".stripMargin
+        s"""WITH ${bucketCte("ob", "SELECT text FROM documents")},
+           |${bucketCte("nb", """
+             SELECT CASE WHEN doc_id % 7 = 0
+               THEN text || ' !!!,,, ??? ;;; ... !!!,,, ??? ;;; ...'
+               ELSE text END AS text
+             FROM documents WHERE doc_id % 11 <> 0
+             UNION ALL
+             SELECT text FROM documents WHERE doc_id % 13 = 0""")},
+           |o AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_old FROM ob GROUP BY bucket),
+           |n AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM nb GROUP BY bucket),
+           |j AS (
+           |  SELECT coalesce(o.bucket, n.bucket) AS bucket,
+           |    coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new
+           |  FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+           |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+           |        CAST(sum(n_new) AS BIGINT) AS t_new,
+           |        CAST(count(*) AS BIGINT) AS nbk FROM j)
+           |SELECT bucket, n_old, n_new,
+           |  floor((((CAST(n_old AS DOUBLE) + 0.5) / (CAST(t_old AS DOUBLE) + 0.5 * CAST(nbk AS DOUBLE)))
+           |       - ((CAST(n_new AS DOUBLE) + 0.5) / (CAST(t_new AS DOUBLE) + 0.5 * CAST(nbk AS DOUBLE))))
+           |    * ln(((CAST(n_old AS DOUBLE) + 0.5) / (CAST(t_old AS DOUBLE) + 0.5 * CAST(nbk AS DOUBLE)))
+           |       / ((CAST(n_new AS DOUBLE) + 0.5) / (CAST(t_new AS DOUBLE) + 0.5 * CAST(nbk AS DOUBLE))))
+           |    * 1000000.0) / 1000000.0 AS psi_term
+           |FROM j, t""".stripMargin
+      },
 
       "q177_training_mix" ->
         """WITH g AS (

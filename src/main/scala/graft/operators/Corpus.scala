@@ -537,6 +537,37 @@ object Corpus {
         sum(coalesce(col("id"), lit(0L))).as("id_sum"))
   }
 
+  /** Distribution drift between two corpus snapshots as the
+    * Population Stability Index over pre-bucketed rows: per bucket
+    *   psi_term = (p − q)·ln(p/q),  Σ psi_term = PSI
+    * with Laplace-smoothed shares p = (n_old + ½)/(t_old + ½·B) (B =
+    * observed buckets) so empty buckets stay finite. The crawl
+    * monitor: PSI over quality/length/lang buckets is the standard
+    * "did this crawl change under us" alarm (<0.1 stable, >0.25
+    * investigate).
+    *
+    * Both inputs are (bucket) rows; counts are exact BIGINTs from two
+    * hash aggs + one full-outer equi-join, and the single double
+    * expression is one fixed tree the oracle mirrors. The totals ride
+    * a one-row scalar broadcast (the q136/q148 class).
+    */
+  def psiDrift(oldB: DataFrame, newB: DataFrame): DataFrame = {
+    val o = oldB.groupBy(col("bucket")).agg(count(lit(1)).as("n_old"))
+    val n = newB.groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val joined = o.join(n, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tots = joined.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"), count(lit(1)).as("nb"))
+    val p = (col("n_old").cast("double") + lit(0.5)) /
+      (col("t_old").cast("double") + lit(0.5) * col("nb").cast("double"))
+    val q = (col("n_new").cast("double") + lit(0.5)) /
+      (col("t_new").cast("double") + lit(0.5) * col("nb").cast("double"))
+    joined.crossJoin(broadcast(tots))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        TextOps.floor6((p - q) * log(p / q)).as("psi_term"))
+  }
+
   /** Exact nearest-rank quantiles per group: the value at sorted
     * position ceil(q·n) (1-based). Rank selection over one window —
     * deterministic (unlike interpolating percentile implementations,

@@ -214,6 +214,25 @@ class CorpusSpec extends AnyFunSuite {
     rows.foreach { case (k, (_, s, _, _, _)) => assert(re(k) === s) }
   }
 
+  test("psiDrift: local recompute, missing buckets smoothed, identical dists ~ 0") {
+    val oldB = Seq(0L, 0L, 0L, 1L, 1L, 2L).toDF("bucket")
+    val newB = Seq(0L, 1L, 1L, 1L, 3L, 3L).toDF("bucket") // bucket 2 gone, 3 new
+    val out = Corpus.psiDrift(oldB, newB)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val nb = 4.0
+    def share(n: Long, t: Long) = (n + 0.5) / (t + 0.5 * nb)
+    def f6(x: Double) = math.floor(x * 1e6) / 1e6
+    val counts = Map(0L -> (3L, 1L), 1L -> (2L, 3L), 2L -> (1L, 0L), 3L -> (0L, 2L))
+    counts.foreach { case (b, (no, nn)) =>
+      val p = share(no, 6L); val q = share(nn, 6L)
+      assert(out(b) === ((no, nn, f6((p - q) * math.log(p / q)))), s"bucket $b")
+    }
+    // identical distributions -> every term is ~0 (exactly 0 after floor6 of 0.0)
+    val same = Corpus.psiDrift(oldB, oldB)
+      .collect().map(_.getDouble(3))
+    assert(same.forall(_ == 0.0))
+  }
+
   test("contamination on the corpus matches a brute-force recompute") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("k"), col("text"))
