@@ -28,18 +28,19 @@ class PlanSweepSpec extends AnyFunSuite {
   //   per-row cost 25 codegen'd envelope tests). The prepared-R-tree
   //   operator (q05) and the cell-join rule (q63/q75) are the shapes
   //   for larger dimension tables.
-  // - q136/q142/q148/q176/q177: BM25, PMI, the temperature sampler,
-  //   int8 quantization and the training-mix capstone join rows
-  //   against a ONE-row corpus-statistics aggregate (N / avgdl /
-  //   per-term df / Σweights / per-dim min-max arrays) — a scalar
-  //   broadcast, O(n·1); the nested "loop" has exactly one iteration.
+  // - q136/q142/q148/q176/q177/q178: BM25, PMI, the temperature
+  //   sampler, int8 quantization, the training-mix capstone and the
+  //   PSI drift monitor join rows against a ONE-row corpus-statistics
+  //   aggregate (N / avgdl / per-term df / Σweights / per-dim min-max
+  //   arrays / totals) — a scalar broadcast, O(n·1); the nested
+  //   "loop" has exactly one iteration.
   private val whitelist = Set(
     "q39_cosine_topk",
     "q06_relate_pred_matrix", "q15_clip_area", "q16_intersection_area",
     "q71_predicate_tail",
     "q01_pip_contains_join", "q03_covers_count",
     "q136_bm25", "q142_pmi", "q148_temperature_mix", "q154_vocab_coverage",
-    "q176_int8_quantize", "q177_training_mix")
+    "q176_int8_quantize", "q177_training_mix", "q178_quality_drift")
 
   test("no query plans a cartesian product or nested-loop join") {
     val spark = SparkTestSession.spark
