@@ -3007,6 +3007,39 @@ object SparkEntry {
       Corpus.psiDrift(buckets(base), buckets(neu))
     }),
 
+    "q179_path_rollup" -> ((s, d) =>
+      // site-structure rollup: page and token counts per (host, path
+      // prefix) up to depth 2 — the crawl-budget / sitemap-inference
+      // aggregate; one explode + one hash agg.
+      t(s, d, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/s"), col("doc_id") % 4,
+          lit("/p"), col("doc_id")))
+        .select(TextOps.urlHost(col("url")).as("host"),
+          col("n_chars"),
+          explode(TextOps.pathPrefixes(col("url"), 2)).as("prefix"))
+        .groupBy(col("host"), col("prefix"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("n_chars")).as("chars"))),
+
+    "q180_anchor_terms" -> ((s, d) => {
+      // anchor-text index: terms used when LINKING to a host (the
+      // off-page relevance signal); positional zip of href/text
+      // captures, absolute links only, one hash agg. The oracle
+      // rebuilds the expected (host, term) counts from first
+      // principles — relative-link anchors ("skip me") must not leak.
+      val pages = t(s, d, "documents")
+        .withColumn("t1", concat(lit("https://h"),
+          pmod(col("doc_id") * 7L + 1L, lit(40L)), lit(".example.org/x/"), col("doc_id")))
+        .withColumn("t2", concat(lit("https://"), col("source"),
+          lit(".example.com/p/"), pmod(col("doc_id") * 13L + 5L, lit(1000L))))
+        .withColumn("html", to_binary(concat(
+          lit("<html><body><a href=\""), col("t1"),
+          lit("\">visit partner news</a> <a class=\"x\" href=\""), col("t2"),
+          lit("\">"), col("lang"), lit(" article p"), col("doc_id") % 5,
+          lit("</a> <a href=\"/rel\">skip me</a></body></html>")), lit("utf-8")))
+      Graph.anchorTermIndex(pages, "html")
+    }),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5229,6 +5262,32 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q180_anchor_terms" ->
+        """WITH e AS (
+          |  SELECT 'h' || ((doc_id * 7 + 1) % 40) || '.example.org' AS dst_host,
+          |         t.term
+          |  FROM documents, LATERAL unnest(['visit', 'partner', 'news']) t(term)
+          |  UNION ALL
+          |  SELECT source || '.example.com', t.term
+          |  FROM documents,
+          |    LATERAL unnest([lang, 'article', 'p' || CAST(doc_id % 5 AS VARCHAR)]) t(term)
+          |)
+          |SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
+          |FROM e GROUP BY dst_host, term""".stripMargin,
+
+      "q179_path_rollup" ->
+        """WITH u AS (
+          |  SELECT source || '.example.com' AS host, n_chars,
+          |    lang AS s1, 's' || CAST(doc_id % 4 AS VARCHAR) AS s2
+          |  FROM documents),
+          |p AS (
+          |  SELECT host, n_chars, '/' || s1 || '/' AS prefix FROM u
+          |  UNION ALL
+          |  SELECT host, n_chars, '/' || s1 || '/' || s2 || '/' FROM u)
+          |SELECT host, prefix, CAST(count(*) AS BIGINT) AS n_pages,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM p GROUP BY host, prefix""".stripMargin,
 
       "q178_quality_drift" -> {
         val qual =

@@ -42,6 +42,32 @@ object Graph {
       .groupBy(col("src_host"), col("dst_host"))
       .agg(count(lit(1)).as("n_links"))
 
+  /** Anchor-text index: the terms other pages use when LINKING to a
+    * host — the classic off-page relevance signal (anchor text
+    * describes the target better than the target describes itself).
+    * One pass extracts (href, anchor-text) pairs positionally (two
+    * group extractions of the same RE2 pattern zip by occurrence
+    * index), absolute hrefs only, anchor text tokenized with the
+    * corpus tokenizer; one hash aggregation of (dst_host, term)
+    * counts. Feeds BM25-style ranking keyed on the TARGET.
+    */
+  def anchorTermIndex(pages: DataFrame, htmlCol: String): DataFrame = {
+    val s0 = col(htmlCol).cast("string")
+    val pat = "<a[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    val toks = (c: org.apache.spark.sql.Column) =>
+      filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+    pages
+      .withColumn("__h", regexp_extract_all(s0, lit(pat), lit(1)))
+      .withColumn("__t", regexp_extract_all(s0, lit(pat), lit(2)))
+      .select(explode(arrays_zip(col("__h"), col("__t"))).as("__z"))
+      .select(col("__z.__h").as("href"), col("__z.__t").as("atext"))
+      .where(TextOps.isAbsoluteUrl(col("href")))
+      .select(TextOps.urlHost(col("href")).as("dst_host"),
+        explode(toks(col("atext"))).as("term"))
+      .groupBy(col("dst_host"), col("term"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Integer PageRank over a directed edge list.
     *
     * Semantics (replayed verbatim by the SQL oracle):

@@ -167,6 +167,18 @@ object TextOps {
   def isAbsoluteUrl(href: Column): Column =
     href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
 
+  /** All path prefixes of a URL up to `maxDepth` segments, each with
+    * a trailing slash ("/a/b/c" -> ["/a/", "/a/b/", "/a/b/c/"]) — the
+    * site-structure rollup key family (crawl budgeting and sitemap
+    * inference aggregate on these). Pure array expression per row.
+    */
+  def pathPrefixes(url: Column, maxDepth: Int): Column = {
+    val segs = filter(split(urlPath(url), "/"), s => s =!= "")
+    when(size(segs) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), least(size(segs), lit(maxDepth))),
+        d => concat(lit("/"), concat_ws("/", slice(segs, lit(1), d)), lit("/"))))
+  }
+
   // ------------------------------------------------- url analysis
 
   /** Lowercased host (authority without port) of an absolute URL. */

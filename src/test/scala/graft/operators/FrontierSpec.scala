@@ -73,6 +73,35 @@ class FrontierSpec extends AnyFunSuite {
       "ftp://c.example/f" -> 1L))
   }
 
+  test("pathPrefixes: nesting, depth clamp, rootless and trailing-slash urls") {
+    val rows = Seq(
+      "https://a.example/x/y/z/w",
+      "https://a.example/x/",
+      "https://a.example",       // no path -> no prefixes
+      "https://a.example/x/y?q=1#f")
+      .toDF("url")
+      .withColumn("p", TextOps.pathPrefixes(col("url"), 3))
+    val got = rows.collect().map(_.getSeq[String](1).toList)
+    assert(got(0) === List("/x/", "/x/y/", "/x/y/z/")) // depth clamped at 3
+    assert(got(1) === List("/x/"))
+    assert(got(2) === Nil)
+    assert(got(3) === List("/x/", "/x/y/")) // query/fragment stripped
+  }
+
+  test("anchorTermIndex drops relative-link anchors and counts duplicates") {
+    val pages = Seq(
+      """<a href="https://b.example/x">big fish</a> <a href="/rel">skip me</a>
+        |<a id="z" href="https://b.example/y">big pond</a>""".stripMargin)
+      .toDF("htmlStr")
+      .withColumn("html", to_binary(col("htmlStr"), lit("utf-8")))
+    val got = Graph.anchorTermIndex(pages, "html")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      ("b.example", "big") -> 2L,
+      ("b.example", "fish") -> 1L,
+      ("b.example", "pond") -> 1L))
+  }
+
   test("schedule is partitioning-invariant") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Frontier.schedule(df, "url", "domain")
