@@ -3040,6 +3040,12 @@ object SparkEntry {
       Graph.anchorTermIndex(pages, "html")
     }),
 
+    "q181_tfidf_keywords" -> ((s, d) =>
+      // per-doc top-3 TF-IDF keywords: idf quantized to fixed point
+      // BEFORE the product (exact integer scores, total tie order).
+      Relevance.tfidfKeywords(t(s, d, "documents"), "text", "doc_id", topK = 3)
+        .withColumnRenamed("doc", "doc_id")),
+
     "q153_quality_gate" -> ((s, d) => {
       // the composed curation gate: language match, quality floor,
       // token-count band, exact-dup keep-first — one scan + the dedup
@@ -5262,6 +5268,30 @@ object SparkEntry {
           |      q.vec_id ASC) AS BIGINT) AS rank
           |  FROM q JOIN sv USING (label))
           |SELECT label, vec_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q181_tfidf_keywords" ->
+        """WITH tokd AS (
+          |  SELECT doc, token, CAST(count(*) AS BIGINT) AS tf FROM (
+          |    SELECT doc_id AS doc, unnest(list_filter(
+          |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      t -> len(t) > 0)) AS token
+          |    FROM documents)
+          |  GROUP BY doc, token),
+          |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+          |          FROM tokd GROUP BY token),
+          |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+          |s AS (
+          |  SELECT doc, token, tf, df,
+          |    tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+          |      * 1000000.0) AS BIGINT) AS wq
+          |  FROM tokd JOIN dfreq USING (token), n),
+          |r AS (
+          |  SELECT doc, token, tf, df, wq,
+          |    CAST(row_number() OVER (PARTITION BY doc
+          |      ORDER BY wq DESC, token ASC) AS BIGINT) AS rank
+          |  FROM s)
+          |SELECT doc AS doc_id, rank, token, tf, df, wq
+          |FROM r WHERE rank <= 3""".stripMargin,
 
       "q180_anchor_terms" ->
         """WITH e AS (

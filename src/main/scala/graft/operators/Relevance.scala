@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,6 +30,38 @@ import graft.functions.RowKernelCodegen
   *    floating sum, and bit-replayable by the DuckDB oracle.
   */
 object Relevance {
+
+  /** TF-IDF keyword extraction: per document its top-k terms by
+    *   wq = tf · floor(ln(N/df)·1e6)
+    * — the idf quantized to fixed-point BIGINT BEFORE the product, so
+    * scores are exact integers (partitioning-invariant, oracle-
+    * replayable) and ties break (wq desc, token asc). The "what is
+    * this page about" signal for corpus browsing and weak labeling.
+    *
+    * Shape: one corpus explode -> groupBy(doc, token) for tf
+    * (map-side combinable), a token-sized df aggregation joined back,
+    * N as a one-row scalar broadcast (the q136 class), one window per
+    * doc for the rank.
+    */
+  def tfidfKeywords(docs: DataFrame, textCol: String, keyCol: String,
+                    topK: Int): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val tokd = docs.select(col(keyCol).as("doc"), explode(toks).as("token"))
+      .groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokd.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(keyCol)).as("__n"))
+    val scored = tokd.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("wq", col("tf") *
+        floor(log(col("__n").cast("double") / col("df").cast("double"))
+          * lit(1000000.0)).cast("long"))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("wq").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("doc"), col("rank"), col("token"), col("tf"),
+        col("df"), col("wq"))
+  }
 
   /** Lowercased alphanumeric word tokens (empty strings dropped). */
   private def toks(text: Column): Column =

@@ -40,7 +40,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q71_predicate_tail",
     "q01_pip_contains_join", "q03_covers_count",
     "q136_bm25", "q142_pmi", "q148_temperature_mix", "q154_vocab_coverage",
-    "q176_int8_quantize", "q177_training_mix", "q178_quality_drift")
+    "q176_int8_quantize", "q177_training_mix", "q178_quality_drift",
+    "q181_tfidf_keywords")
 
   test("no query plans a cartesian product or nested-loop join") {
     val spark = SparkTestSession.spark
