@@ -48,6 +48,26 @@ class RelevanceSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("bm25") === 0.0)
   }
 
+  test("tfidfKeywords: hand-checked scores, ubiquitous terms rank last, ties by token") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry cherry common")).toDF("k", "text")
+    val out = Relevance.tfidfKeywords(docs, "text", "k", topK = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def wq(tf: Long, df: Long) = tf * math.floor(math.log(3.0 / df) * 1e6).toLong
+    // doc 1: apple tf2 df1 beats banana tf1 df2; "common" (df3, idf 0) last
+    assert(out((1L, 1L)) === (("apple", 2L, 1L, wq(2, 1))))
+    assert(out((1L, 2L)) === (("banana", 1L, 2L, wq(1, 2))))
+    // doc 2: banana and cherry tie exactly (tf1, df2) -> token asc order
+    assert(out((2L, 1L)) === (("banana", 1L, 2L, wq(1, 2))))
+    assert(out((2L, 2L)) === (("cherry", 1L, 2L, wq(1, 2))))
+    // doc 3: cherry tf2; then common with wq = 0 (ln(3/3) = 0)
+    assert(out((3L, 1L)) === (("cherry", 2L, 2L, wq(2, 2))))
+    assert(out((3L, 2L)) === (("common", 1L, 3L, 0L)))
+  }
+
   test("bigram LM: hand-checked counts and exact-integer scoring") {
     // corpus "abab" + "ba": bigrams ab,ba,ab | ba
     // counts: ab=2, ba=2; ctx a*=2, b*=2
