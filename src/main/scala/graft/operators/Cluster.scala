@@ -23,11 +23,10 @@ import graft.functions.ST._
   *      equi-join + one aggregation; `localCheckpoint` at every
   *      boundary truncates the lineage (the q25 kNN pattern — without
   *      it the plan doubles per round and the driver dies long before
-  *      the data does). Rounds needed = graph diameter in hops, which
-  *      for eps-density clusters is small (a cluster D wide has
-  *      diameter <= D/eps); the alternating large-star/small-star
-  *      variant would give O(log n) for adversarial chain graphs at
-  *      2x the per-round cost — not taken, documented.
+  *      the data does). Rounds needed = graph diameter in eps-hops —
+  *      1..2 for eps-density blobs (measured: the alternating-star CC
+  *      swap, though result-identical, costs 1.6x here; see the note
+  *      at the propagation loop for when to prefer it).
   *   4. border points: non-core points with a core eps-neighbor join
   *      the MIN neighbouring core's cluster. Standard DBSCAN leaves
   *      border assignment order-dependent; min is the deterministic
@@ -98,40 +97,54 @@ object Cluster {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("__m").as("v"))
         .filter(col("u") =!= col("v"))
-      // small-star over (u, v <= u); ls edges are child > parent
+      // small-star over (u, v <= u); ls edges are child > parent.
+      // NO distinct here: the min aggregations downstream are
+      // duplicate-insensitive, so deduping the star output buys
+      // nothing — the one distinct per round below (after
+      // re-symmetrization) is what keeps multiplicities bounded at 1
+      // entering the next round. (r5 ran TWO full dedup shuffles per
+      // round on the suite's slowest query.)
       val ss = {
         val m2 = mins(ls)
         val down = ls.join(m2, col("u") === col("__mu"))
         down.filter(col("v") =!= col("__m"))
           .select(col("v").as("u"), col("__m").as("v"))
-          .unionAll(down.select(col("u"), col("__m").as("v")))
+          // the (u, m(u)) half comes from the per-u aggregate — ONE
+          // row per node, where the r5 spelling emitted it once per
+          // EDGE and let the distinct absorb deg(u) duplicates
+          .unionAll(m2.select(col("__mu").as("u"), col("__m").as("v")))
           .filter(col("u") =!= col("v"))
-          .distinct()
-          .localCheckpoint()
       }
-      // order-independent fixed-point signature: count + xor-of-hash
-      val sig = ss.agg(count(lit(1)),
+      // re-symmetrize: star edges (child, parent) + reverse, so the
+      // next large-star sees the full neighborhood again; the single
+      // per-round distinct lives here
+      e = ss.unionAll(ss.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .localCheckpoint()
+      // order-independent fixed-point signature (count + xor-of-hash)
+      // over the just-checkpointed canonical edge SET — a cheap scan
+      // of materialized partitions, and equivalent to r5's signature
+      // on the deduped star output (e is a bijection of it)
+      val sig = e.agg(count(lit(1)),
           coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
         .collect()(0)
       val cur = (sig.getLong(0), sig.getLong(1))
       converged = cur == prevSig
       prevSig = cur
-      // re-symmetrize: star edges (child, parent) + reverse, so the
-      // next large-star sees the full neighborhood again
-      e = ss.unionAll(ss.select(col("v").as("u"), col("u").as("v")))
-        .distinct()
-        .localCheckpoint()
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     // fixed point: forest edges (child, parent=center). Centers are
-    // the rows' parents; add (center, center) for completeness.
+    // the rows' parents; add (center, center) for completeness. The
+    // two sides are disjoint by the fixed-point structure — a center
+    // has only larger neighbors, so it never appears as a child — and
+    // groupBy makes children unique, so no outer dedup is needed
+    // (r5 paid a third full-union distinct here).
     val forest = e.filter(col("v") < col("u"))
       .groupBy(col("u")).agg(min(col("v")).as("component"))
       .select(col("u").as("id"), col("component"))
     forest.unionAll(
         forest.select(col("component").as("id"), col("component")).distinct())
-      .distinct()
   }
 
   /** DBSCAN over a point table.
@@ -171,6 +184,17 @@ object Cluster {
       .filter(col(idCol) =!= col("__nid"))
       .localCheckpoint()
 
+    // cluster ids: min core id per connected component of the
+    // core-core eps graph, by iterative min-label propagation.
+    // MEASURED (r6): swapping this loop for [[connectedComponents]]
+    // (result-identical — both converge to the min member core id)
+    // REGRESSED q120 2.7 -> 4.4 s at sf0.1: eps-density clusters are
+    // diameter-1..2 blobs, so this loop converges in 2 rounds of 3
+    // stages, while the star CC pays symmetrize/distinct setup + 5
+    // exchanges per round + forest extraction. The star swap only
+    // wins on stringy clusters (diameter >> eps); callers with such
+    // data should run Cluster.connectedComponents on the core graph
+    // directly — same output, O(log n) rounds.
     var lbl = cores.withColumn("__lbl", col(idCol)).localCheckpoint()
     var round = 0
     var changed = 1L
