@@ -354,6 +354,56 @@ object StSimhash60 {
   }
 }
 
+/** Distinct word n-gram shingles of a text column in ONE kernel pass —
+  * value-identical to the Column spelling
+  * `array_distinct(transform(sequence(0, m-n), i -> concat_ws(' ',
+  * slice(split(lower(trim(text)), "\\s+"), i+1, n))))` (with the m<n
+  * one-element fallback), which every shingle consumer (contamination,
+  * novelty, jaccard, minhash refine) previously evaluated as an
+  * interpreted higher-order-function chain: Catalyst re-evaluates the
+  * whole tokenize subtree inside the transform lambda once per WINDOW,
+  * i.e. O(len^2) regex work per document (the q156/q160 pathology,
+  * here in its array-producing form). One tokenize + one window loop
+  * per row instead.
+  *
+  * Fidelity notes: sqlTrim strips 0x20 only (SQL trim semantics);
+  * split uses limit -1 like Spark's `split`, so a trailing
+  * non-space whitespace yields a trailing empty token exactly like
+  * the Column spelling; LinkedHashSet reproduces array_distinct's
+  * keep-first-occurrence order.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryKernelCodegen {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val text = a.asInstanceOf[UTF8String].toString
+    val toks = VecOps.sqlTrim(text)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    if (toks.length < n)
+      return new GenericArrayData(
+        Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
 /** Stride-1 duplicate-detection window keys over an ALREADY-TOKENIZED
   * array column: for tokens t_0..t_{n-1} emits one (pos, gk) struct
   * per window, gk = md5 hex of the w tokens joined by single spaces —

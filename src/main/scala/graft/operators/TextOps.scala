@@ -96,8 +96,21 @@ object TextOps {
         i => norm.substr(i, lit(n)))))
   }
 
-  /** Word n-gram shingles. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles — one kernel pass per row
+    * ([[graft.functions.WordShingles]]); value-identical to
+    * [[wordShinglesColumnSpelling]], the interpreted HOF chain it
+    * replaced (the lambda re-evaluated the tokenize subtree per
+    * window: O(len^2) regex work per doc), spec-gated equivalent.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
+
+  /** The r5 Column spelling of [[wordShingles]] — retained as the
+    * executable specification the kernel is property-tested against.
+    */
+  private[graft] def wordShinglesColumnSpelling(text: Column, n: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val m = size(toks)
     when(m < n, array(concat_ws(" ", toks)))

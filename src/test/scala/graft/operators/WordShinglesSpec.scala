@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SparkTestSession
+
+/** The r6 WordShingles kernel vs the r5 Column spelling it replaced:
+  * element-for-element (values AND order — array_distinct keeps first
+  * occurrence) equality on hostile inputs, every n in 1..9.
+  */
+class WordShinglesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val hostile: Seq[String] = Seq(
+    "",                       // empty: split yields [""]
+    " ",                      // spaces only: trim -> ""
+    "   ",
+    "\t",                     // non-space whitespace survives SQL trim
+    "a",
+    "a b",
+    "a  b",                   // run of delimiters
+    " a b ",                  // leading/trailing spaces (trimmed)
+    "\ta b\n",                // leading tab -> leading empty token
+    "a b\t",                  // trailing tab -> trailing empty token
+    "A B a b A B",            // case fold + duplicate shingles
+    "x y x y x y x y",        // heavy dedup, order matters
+    "one two three four five six seven eight nine ten",
+    "word " * 40 + "end",     // long repeated run
+    "tab\tsep\ttokens and  double  spaces",
+    "ünï-códe tøkens ünï-códe tøkens",
+    "0 1 2 3 4 5 6 7 8 9 0 1 2 3 4",
+    "punct, is; kept? as! part-of tokens.")
+
+  test("kernel shingles == Column-spelling shingles (values and order)") {
+    val df = hostile.toDF("text")
+    for (n <- 1 to 9) {
+      val both = df.select(
+        TextOps.wordShingles(col("text"), n).as("k"),
+        TextOps.wordShinglesColumnSpelling(col("text"), n).as("c"))
+        .collect()
+      both.zip(hostile).foreach { case (r, src) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text=${src.take(40)}")
+      }
+    }
+  }
+
+  test("kernel shingles survive explode/groupBy round trip identically") {
+    val df = hostile.zipWithIndex.map(_.swap).toDF("id", "text")
+    val a = df.select(col("id"), explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = df.select(col("id"),
+        explode(TextOps.wordShinglesColumnSpelling(col("text"), 3)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
