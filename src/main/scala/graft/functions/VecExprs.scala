@@ -404,6 +404,53 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Consecutive `w`-word chunks of a text column in ONE kernel pass —
+  * value-identical to the Column spelling used by paragraphDedup /
+  * boilerplate through r5:
+  *
+  *   tk = split(lower(trim(text)), "\\s+")
+  *   m  = 0 when trim(text) = '' else size(tk)
+  *   chunks = [] when m = 0 else
+  *     transform(sequence(0, ceil(m/w)-1),
+  *       i -> concat_ws(' ', slice(tk, i*w+1, w)))
+  *
+  * whose lambda embeds the tokenize subtree and re-splits the document
+  * once per CHUNK (O(len^2/w) regex work per row). One tokenize + one
+  * grouping loop instead; the last chunk is shorter when w does not
+  * divide m, exactly like slice().
+  */
+case class WordChunks(child: Expression, w: Int)
+    extends UnaryKernelCodegen {
+  require(w >= 1, s"chunk size must be >= 1 word, got $w")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val trimmed = VecOps.sqlTrim(a.asInstanceOf[UTF8String].toString)
+    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val m = toks.length
+    val nChunks = (m + w - 1) / w
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder
+    var c = 0
+    while (c < nChunks) {
+      sb.setLength(0)
+      var j = c * w
+      val end = math.min(j + w, m)
+      while (j < end) {
+        if (j > c * w) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordChunks =
+    copy(child = c)
+}
+
 /** Stride-1 duplicate-detection window keys over an ALREADY-TOKENIZED
   * array column: for tokens t_0..t_{n-1} emits one (pos, gk) struct
   * per window, gk = md5 hex of the w tokens joined by single spaces —

@@ -23,6 +23,27 @@ object Corpus {
   private def toks(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Consecutive chunkWords-word chunks — one kernel pass
+    * ([[graft.functions.WordChunks]]); value-identical to
+    * [[wordChunksColumnSpelling]], spec-gated.
+    */
+  private def wordChunks(text: Column, chunkWords: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordChunks(
+        org.apache.spark.sql.GraftBridge.expression(text), chunkWords))
+
+  /** The r5 Column spelling of [[wordChunks]] — retained as the
+    * executable specification the kernel is property-tested against.
+    */
+  private[graft] def wordChunksColumnSpelling(text: Column, chunkWords: Int): Column = {
+    val tk = split(lower(trim(text)), "\\s+")
+    val m = when(length(trim(text)) === 0, lit(0)).otherwise(size(tk))
+    when(m === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(m.cast("double") / chunkWords).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * chunkWords + 1, lit(chunkWords)))))
+  }
+
   /** Benchmark-contamination scan: which corpus docs share at least
     * one word n-gram with a held-out benchmark set. This is the
     * standard decontamination pass run before training (n=8..13 gram
@@ -127,12 +148,11 @@ object Corpus {
     */
   def paragraphDedup(docs: DataFrame, textCol: String, keyCol: String,
                      chunkWords: Int): DataFrame = {
-    val tk = split(lower(trim(col(textCol))), "\\s+")
-    val m = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(tk))
-    val chunks = when(m === 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), ceil(m.cast("double") / chunkWords).cast("int") - 1),
-        i => concat_ws(" ", slice(tk, i * chunkWords + 1, lit(chunkWords)))))
+    // chunking is ONE kernel pass (WordChunks) — the r5 Column
+    // spelling re-evaluated the tokenize subtree inside the transform
+    // lambda once per chunk (O(len^2/w) regex work per row); the
+    // kernel is value-identical, spec-gated (WordShinglesSpec)
+    val chunks = wordChunks(col(textCol), chunkWords)
     val exploded = docs
       .select(col(keyCol).as("doc"), posexplode(chunks).as(Seq("idx", "chunk")))
     val w = Window.partitionBy(col("chunk"))
@@ -157,12 +177,8 @@ object Corpus {
     */
   def boilerplate(docs: DataFrame, textCol: String, keyCol: String,
                   srcCol: String, chunkWords: Int, maxDocFrac: Double): DataFrame = {
-    val tk = split(lower(trim(col(textCol))), "\\s+")
-    val m = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(tk))
-    val chunks = when(m === 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), ceil(m.cast("double") / chunkWords).cast("int") - 1),
-        i => concat_ws(" ", slice(tk, i * chunkWords + 1, lit(chunkWords)))))
+    // one kernel pass for the chunking (see paragraphDedup)
+    val chunks = wordChunks(col(textCol), chunkWords)
     val ex = docs.select(col(keyCol).as("doc"), col(srcCol).as("src"),
       explode(array_distinct(chunks)).as("chunk"))
     val srcSizes = docs.groupBy(col(srcCol).as("src"))

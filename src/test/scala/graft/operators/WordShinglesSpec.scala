@@ -48,6 +48,22 @@ class WordShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel chunks == Column-spelling chunks (values and order)") {
+    val df = hostile.toDF("text")
+    for (w <- 1 to 9) {
+      val both = df.select(
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.WordChunks(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), w)).as("k"),
+        Corpus.wordChunksColumnSpelling(col("text"), w).as("c"))
+        .collect()
+      both.zip(hostile).foreach { case (r, src) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"w=$w text=${src.take(40)}")
+      }
+    }
+  }
+
   test("kernel shingles survive explode/groupBy round trip identically") {
     val df = hostile.zipWithIndex.map(_.swap).toDF("id", "text")
     val a = df.select(col("id"), explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
