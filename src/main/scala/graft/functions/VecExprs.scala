@@ -451,6 +451,47 @@ case class WordChunks(child: Expression, w: Int)
     copy(child = c)
 }
 
+/** Upper-triangle ordered pairs of an ALREADY-SORTED string array:
+  * for elements e_0..e_{n-1} emits one (a, b) struct per i < j, in
+  * (i asc, j asc) order — value-identical to the Column spelling
+  * `flatten(transform(ts, (x, i) -> transform(slice(ts, i+2, size(ts)),
+  * y -> struct(x, y))))`, whose nested interpreted lambdas re-slice
+  * the array per element with per-pair boxing (the PMI hot path). The
+  * output is inherently O(n^2/2) rows — same cardinality either way;
+  * this removes the per-pair expression-tree evaluation, not the rows.
+  */
+case class UpperTrianglePairs(child: Expression)
+    extends UnaryKernelCodegen {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = true),
+    StructField("b", StringType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // copy the strings once — an UnsafeArrayData's UTF8Strings point
+    // into a codegen row buffer that is reused across rows
+    val es = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      es(i) = if (arr.isNullAt(i)) null
+        else UTF8String.fromBytes(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out(k) = InternalRow(es(i), es(j)); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): UpperTrianglePairs =
+    copy(child = c)
+}
+
 /** Stride-1 duplicate-detection window keys over an ALREADY-TOKENIZED
   * array column: for tokens t_0..t_{n-1} emits one (pos, gk) struct
   * per window, gk = md5 hex of the w tokens joined by single spaces —

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * — two passes reproduce greedy left-to-right BPE merging precisely,
   * spec-gated against a scalar reference implementation).
   *
-  * No driver-side data loop: the chosen pair re-attaches via
-  * crossJoin(broadcast(limit 1)); `localCheckpoint` truncates the
+  * No driver-side data loop: per iteration the driver pulls ONE
+  * control row (the argmax pair — vocab-dimension metadata, like the
+  * ANN centroid pulls) and pushes it back as literals; the word table
+  * itself never leaves the executors. `localCheckpoint` truncates the
   * per-iteration lineage growth (the q25/q120 pattern).
   */
 object Bpe {
@@ -49,7 +51,7 @@ object Bpe {
       .withColumn("sym", concat(lit("|"), concat_ws("|", chars), lit("|")))
       .select(col("freq"), col("sym"))
       .localCheckpoint(true)
-    var out: DataFrame = null
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (it <- 1 to merges) {
       val arr = filter(split(col("sym"), "\\|"), s => length(s) > 0)
       val pairsArr = when(size(arr) < 2,
@@ -61,24 +63,33 @@ object Bpe {
         .select(col("freq"), explode(pairsArr).as("p"))
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(sum(col("freq")).as("c"))
-      val best = counts
+      // the argmax is ONE control row (the merge decision) — collect
+      // it instead of re-attaching via crossJoin(broadcast(limit 1)):
+      // the replace below then runs on literals, and the output rows
+      // are driver literals instead of six retained agg+top-1 plans
+      // that r5 re-executed from their checkpoints when the result
+      // was consumed. TakeOrdered ships one row per partition; this
+      // is vocab-dimension control data, not a data-sized collect.
+      val bestRow = counts
         .orderBy(col("c").desc, col("pa").asc, col("pb").asc)
-        .limit(1)
-      val ranked = best.withColumn("merge_rank", lit(it))
-        .select(col("merge_rank"), col("pa"), col("pb"), col("c"))
-      out = if (out == null) ranked else out.unionAll(ranked)
+        .limit(1).collect()(0)
+      val (pa, pb, c) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+      picked += ((it, pa, pb, c))
+      val pat = lit("|" + pa + "|" + pb + "|")
+      val rep = lit("|" + pa + pb + "|")
       val applied = sym
-        .crossJoin(broadcast(best.select(col("pa").as("__pa"), col("pb").as("__pb"))))
-        .withColumn("sym", expr(
-          """replace(replace(sym,
-            |  concat('|', __pa, '|', __pb, '|'), concat('|', __pa, __pb, '|')),
-            |  concat('|', __pa, '|', __pb, '|'), concat('|', __pa, __pb, '|'))"""
-            .stripMargin))
+        .withColumn("sym",
+          replaceLit(replaceLit(col("sym"), pat, rep), pat, rep))
         .select(col("freq"), col("sym"))
       sym = applied.localCheckpoint(true)
     }
-    out
+    docs.sparkSession.createDataFrame(picked.toSeq)
+      .toDF("merge_rank", "pa", "pb", "c")
   }
+
+  /** Literal (non-regex) string replace as a Column — SQL `replace`. */
+  private def replaceLit(s: Column, p: Column, r: Column): Column =
+    call_function("replace", s, p, r)
 
   /** Greedy left-to-right merge of one pair into a symbol sequence —
     * the scalar reference the two-pass replace must match (specs).

@@ -117,9 +117,14 @@ object Corpus {
       array_sort(array_distinct(toks(col(textCol)))).as("ts"))
       .where(size(col("ts")) > 0)
     val nDocs = dt.agg(count(lit(1)).as("n_docs"))
-    val pairs = dt.select(col("doc"), explode(flatten(transform(col("ts"),
-      (x, i) => transform(slice(col("ts"), i + 2, size(col("ts"))),
-        y => struct(x.as("a"), y.as("b")))))).as("p"))
+    // upper-triangle pair generation is ONE kernel pass per row
+    // (UpperTrianglePairs) — the r5 nested-transform Column spelling
+    // re-sliced the token array per element with per-pair boxing;
+    // value-identical (spec-gated), same O(t^2/2) output rows
+    val pairs = dt.select(col("doc"), explode(
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.UpperTrianglePairs(
+            org.apache.spark.sql.GraftBridge.expression(col("ts"))))).as("p"))
       .select(col("doc"), col("p.a").as("tok_a"), col("p.b").as("tok_b"))
     val cab = pairs.groupBy(col("tok_a"), col("tok_b"))
       .agg(count(lit(1)).as("cab"))

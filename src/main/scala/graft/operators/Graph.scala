@@ -97,16 +97,23 @@ object Graph {
     val n = nodes.count()
     val r0 = scale / n
     val base = (15L * r0) / 100L
+    // out-degree is FUSED into the rank table once, so each iteration
+    // is one join instead of two (r5 re-joined the static deg table
+    // every round). Dangling nodes carry deg 0 but never match an
+    // out-edge in the contribution join, so the placeholder is inert.
     val deg = e.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
+    val nodesDeg = nodes
+      .join(deg.withColumnRenamed("a", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__deg"), lit(0L)).as("__deg"))
+      .localCheckpoint()
 
-    var r = nodes.withColumn("r", lit(r0))
+    var r = nodesDeg.withColumn("r", lit(r0))
     for (_ <- 1 to iters) {
       val inc = e.join(r.withColumnRenamed("id", "a"), "a")
-        .join(deg, "a")
         .select(col("b").as("id"), expr("r DIV __deg").as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
-      r = nodes.join(inc, Seq("id"), "left")
-        .select(col("id"),
+      r = nodesDeg.join(inc, Seq("id"), "left")
+        .select(col("id"), col("__deg"),
           (lit(base) + expr("(85 * coalesce(__s, 0L)) DIV 100")).as("r"))
         .localCheckpoint()
     }

@@ -64,6 +64,25 @@ class WordShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel upper-triangle pairs == nested-transform spelling") {
+    val arrays: Seq[Seq[String]] = Seq(
+      Seq(), Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", "a", "b"),             // sorted-with-dups input
+      ('a' to 'z').map(_.toString),   // 26 -> 325 pairs
+      Seq("", "x", "y"))              // empty-string element
+    val df = arrays.map(Tuple1(_)).toDF("ts")
+    val kernel = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.UpperTrianglePairs(
+        org.apache.spark.sql.GraftBridge.expression(col("ts"))))
+    val spelling = flatten(transform(col("ts"),
+      (x, i) => transform(slice(col("ts"), i + 2, size(col("ts"))),
+        y => struct(x.as("a"), y.as("b")))))
+    df.select(kernel.as("k"), spelling.as("c")).collect().foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) ==
+        r.getSeq[org.apache.spark.sql.Row](1))
+    }
+  }
+
   test("kernel shingles survive explode/groupBy round trip identically") {
     val df = hostile.zipWithIndex.map(_.swap).toDF("id", "text")
     val a = df.select(col("id"), explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
