@@ -451,6 +451,43 @@ case class WordChunks(child: Expression, w: Int)
     copy(child = c)
 }
 
+/** Interval-merge of SORTED window start positions: positions p mark
+  * token ranges [p, p+w); overlapping/touching ranges merge into
+  * maximal spans (break exactly when p > prevEnd, the gaps-and-islands
+  * rule). Returns the merged spans as array<struct<st:int,en:int>> in
+  * ascending order — value-identical to the r5 two-window islands
+  * pass + double groupBy, but evaluated in one loop inside the per-doc
+  * aggregation (positions per doc are doc-length-bounded, the same
+  * bound the span rebuild join already carries).
+  */
+case class MergeSpans(child: Expression, w: Int)
+    extends UnaryKernelCodegen {
+  require(w >= 1, s"window must be >= 1 token, got $w")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("st", IntegerType, nullable = false),
+    StructField("en", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var st = arr.getInt(0)
+    var en = st + w
+    var i = 1
+    while (i < n) {
+      val p = arr.getInt(i)
+      if (p > en) { out += InternalRow(st, en); st = p; en = p + w }
+      else if (p + w > en) en = p + w
+      i += 1
+    }
+    out += InternalRow(st, en)
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): MergeSpans =
+    copy(child = c)
+}
+
 /** Upper-triangle ordered pairs of an ALREADY-SORTED string array:
   * for elements e_0..e_{n-1} emits one (a, b) struct per i < j, in
   * (i asc, j asc) order — value-identical to the Column spelling

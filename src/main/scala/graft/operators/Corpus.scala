@@ -371,29 +371,34 @@ object Corpus {
         col("g.pos").as("pos"), col("g.gk").as("__gk"))
   }
 
+  /** Sorted marked positions -> merged spans, one kernel pass inside
+    * the per-doc aggregation (MergeSpans). r5 ran the gaps-and-islands
+    * merge as two per-doc window frames + TWO more groupBy exchanges;
+    * the positions of one doc are doc-length-bounded (the same bound
+    * the dupSpansCut rebuild join already carries), so collecting them
+    * into the aggregation buffer is the standard bounded-row pattern,
+    * not a hub-sized collect.
+    */
+  private def mergedSpans(w: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MergeSpans(
+        org.apache.spark.sql.GraftBridge.expression(
+          sort_array(collect_list(col("pos")))), w))
+
   def dupSpans(docs: DataFrame, textCol: String, keyCol: String,
                w: Int): DataFrame = {
     val ex = windowExplode(docs, textCol, keyCol, w)
     val marked = ex
       .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__gk"))))
       .where(col("__c") > 1)
-    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
-    val prevEnd = max(col("pos") + w)
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = marked
-      .withColumn("__new",
-        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
-      .withColumn("__isl", sum(col("__new"))
-        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands
-      .groupBy(col("doc"), col("__isl"))
-      .agg(min(col("pos")).as("__st"),
-        (max(col("pos")) + w).as("__en"),
-        max(col("n_toks")).as("__nt"))
+    marked
       .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum((col("__en") - col("__st")).cast("long")).as("dup_tokens"),
-        max(col("__nt")).as("n_toks"))
+      .agg(mergedSpans(w).as("__spans"), max(col("n_toks")).as("n_toks"))
+      .select(col("doc"),
+        size(col("__spans")).cast("long").as("n_spans"),
+        aggregate(col("__spans"), lit(0L),
+          (acc, s) => acc + (s("en") - s("st")).cast("long")).as("dup_tokens"),
+        col("n_toks"))
   }
 
   /** The CUT half of substring dedup: every duplicated w-token window
@@ -420,18 +425,12 @@ object Corpus {
     val rn = row_number().over(Window.partitionBy(col("__gk"))
       .orderBy(col("doc").asc, col("pos").asc))
     val cut = ex.withColumn("__rn", rn).where(col("__rn") > 1)
-    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos").asc)
-    val prevEnd = max(col("pos") + w)
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    // gaps-and-islands merge inside ONE per-doc aggregation (see
+    // mergedSpans): replaces r5's two window frames + two groupBy
+    // exchanges; the kernel emits spans already in ascending order
     val spans = cut
-      .withColumn("__new",
-        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
-      .withColumn("__isl", sum(col("__new"))
-        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc"), col("__isl"))
-      .agg(min(col("pos")).as("st"), (max(col("pos")) + w).as("en"))
       .groupBy(col("doc"))
-      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("__spans"))
+      .agg(mergedSpans(w).as("__spans"))
     val tk = toks(col(textCol))
     val withSpans = docs
       .select(col(keyCol).as("doc"), tk.as("__tk"))
