@@ -251,17 +251,44 @@ object Corpus {
                     ks: Seq[Int]): DataFrame = {
     val freqs = docs.select(explode(toks(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("token").asc)
-    val cum = freqs
-      .withColumn("k", row_number().over(w).cast("long"))
+    // r5 ran the (freq desc, token) ranking window UNPARTITIONED —
+    // a single-task global sort of the whole distinct-token table at
+    // corpus scale. Only the top max(ks) rows can pass the k filter,
+    // so prune to the exact two-phase top-k survivor set first (the
+    // global order is total and survivors are an order-prefix
+    // superset, so the ranks and prefix sums are unchanged).
+    val cum = topByGlobalOrder(freqs, ks.max)
+      .withColumn("k", row_number().over(globalTokenOrder).cast("long"))
       .withColumn("cum_mass",
-        sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
+        sum(col("freq")).over(globalTokenOrder
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val totals = freqs.agg(count(lit(1)).as("vocab_size"),
       sum(col("freq")).as("total_mass"))
     cum.where(col("k").isin(ks.map(_.toLong): _*))
       .crossJoin(broadcast(totals))
       .select(col("k"), col("vocab_size"), col("cum_mass"), col("total_mass"))
+  }
+
+  /** The corpus-wide vocabulary order: freq desc, token asc — a total
+    * order shared by vocabCoverage / vocabEncode.
+    */
+  private def globalTokenOrder =
+    Window.orderBy(col("freq").desc, col("token").asc)
+
+  /** Exact top-`k` of a (token, freq) table under [[globalTokenOrder]]
+    * WITHOUT a full global sort: phase 1 keeps each hash bucket's own
+    * top k (a dominated row — ranked below k rows of its bucket — can
+    * never be in the global top k), phase 2's global window then runs
+    * on <= 256*k survivor rows instead of the whole vocabulary. Every
+    * globally-better row survives phase 1 too (order-prefix property),
+    * so survivor ranks equal full-table ranks: bit-identical output.
+    */
+  private def topByGlobalOrder(freqs: DataFrame, k: Int): DataFrame = {
+    val wB = Window.partitionBy(pmod(xxhash64(col("token")), lit(256L)))
+      .orderBy(col("freq").desc, col("token").asc)
+    freqs.withColumn("__rb", row_number().over(wB))
+      .where(col("__rb") <= k)
+      .drop("__rb")
   }
 
   /** Fuzzy near-match pairs: minhash-LSH candidates refined by exact
@@ -535,19 +562,26 @@ object Corpus {
     * hash agg suffices; a production encoder would write the id
     * arrays themselves, same plan shape).
     *
-    * Shape: one corpus explode feeding (a) the vocab-sized frequency
-    * agg whose ranking window runs on the VOCAB table, and (b) the
-    * re-encode, a broadcast join of that table back onto the exploded
-    * tokens + one groupBy(doc). The corpus is scanned once.
+    * Shape: one corpus explode feeding (a) the distinct-token
+    * frequency agg, pruned by the exact two-phase top-k
+    * ([[topByGlobalOrder]]) so the id-ranking window runs on a
+    * <= 256*vocabSize survivor set rather than the full vocabulary
+    * (r5 ranked the whole distinct-token table in one task), and
+    * (b) the re-encode, a broadcast join of the id table back onto
+    * the exploded tokens + one groupBy(doc). The corpus is scanned
+    * once.
     */
   def vocabEncode(docs: DataFrame, textCol: String, keyCol: String,
                   vocabSize: Int): DataFrame = {
     val tokd = docs.select(col(keyCol).as("doc"),
       explode(toks(col(textCol))).as("token"))
     val freqs = tokd.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("token").asc)
-    val vocab = freqs
-      .withColumn("id", row_number().over(w).cast("long"))
+    // two-phase exact top-k before the id-ranking window: r5 ran the
+    // window over the FULL distinct-token table in a single task (the
+    // advisor's 100 TB bottleneck); topByGlobalOrder prunes to a
+    // <= 256*vocabSize survivor set with identical ranks
+    val vocab = topByGlobalOrder(freqs, vocabSize)
+      .withColumn("id", row_number().over(globalTokenOrder).cast("long"))
       .where(col("id") <= vocabSize)
       .select(col("token"), col("id"))
     tokd.join(broadcast(vocab), Seq("token"), "left")
