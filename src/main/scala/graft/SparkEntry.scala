@@ -2973,14 +2973,21 @@ object SparkEntry {
       val toksW = when(length(trim(col("text"))) === 0, lit(0L))
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
       val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+      // kept feeds both the temperature sampler and the final join,
+      // and sel feeds both the packer and the lang re-attach — without
+      // the checkpoints each consumer re-runs the dedup window / the
+      // sampler chain from the scan (two small materializations buy
+      // four recomputes back; result unchanged)
       val kept = docs
         .withColumn("__rn", row_number().over(wDup))
         .where(col("__rn") === 1 && toksW.between(25L, 10000L))
         .select(col("doc_id"), col("lang"), col("text"))
+        .localCheckpoint()
       val sel = kept.join(
         Corpus.temperatureSample(kept, "lang", "doc_id", budget = 300L)
           .where(col("kept")).select(col("doc_id")),
         "doc_id")
+        .localCheckpoint()
       Corpus.packSequences(sel, "text", "doc_id", ctx = 512)
         .withColumnRenamed("doc", "doc_id")
         .join(sel.select(col("doc_id"), col("lang")), "doc_id")
