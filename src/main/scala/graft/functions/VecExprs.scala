@@ -451,6 +451,39 @@ case class WordChunks(child: Expression, w: Int)
     copy(child = c)
 }
 
+/** Polynomial rolling-hash text fingerprint in ONE kernel pass —
+  * value-identical to the Column spelling
+  * `aggregate(split(trim(text), "\\s+"), 0L,
+  *   (acc, t) -> (acc*31 + conv(substring(md5(t),1,5),16,10)) % 2^31)`
+  * (an interpreted fold with a per-token md5 + string base conversion
+  * + boxing). Tokens are NOT lowercased and empty tokens hash too,
+  * exactly like the spelling; tokHash is the top 20 bits of md5 in
+  * hex order. acc < 2^31 and tokHash < 2^20, so the fold never
+  * overflows a Long.
+  */
+case class TextFingerprint(child: Expression)
+    extends UnaryKernelCodegen {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val toks = VecOps.sqlTrim(a.asInstanceOf[UTF8String].toString)
+      .split("\\s+", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xFFL) << 12) | ((d(1) & 0xFFL) << 4) | ((d(2) & 0xF0L) >>> 4)
+      acc = (acc * 31L + h) % 2147483648L
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildInternal(c: Expression): TextFingerprint =
+    copy(child = c)
+}
+
 /** Interval-merge of SORTED window start positions: positions p mark
   * token ranges [p, p+w); overlapping/touching ranges merge into
   * maximal spans (break exactly when p > prevEnd, the gaps-and-islands

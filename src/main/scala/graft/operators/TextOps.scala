@@ -76,7 +76,15 @@ object TextOps {
     * oracle replays the exact recurrence in SQL (list_reduce over
     * per-token hex folds — see SparkEntry.oracleSql q38).
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TextFingerprint(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** The r5 Column spelling of [[fingerprint]] — retained as the
+    * executable specification the kernel is property-tested against.
+    */
+  private[graft] def fingerprintColumnSpelling(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
     aggregate(
       toks,

@@ -83,6 +83,15 @@ class WordShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel fingerprint == aggregate-fold spelling") {
+    val df = hostile.toDF("text")
+    df.select(TextOps.fingerprint(col("text")).as("k"),
+        TextOps.fingerprintColumnSpelling(col("text")).as("c"))
+      .collect().zip(hostile).foreach { case (r, src) =>
+        assert(r.getLong(0) == r.getLong(1), s"text=${src.take(40)}")
+      }
+  }
+
   test("kernel shingles survive explode/groupBy round trip identically") {
     val df = hostile.zipWithIndex.map(_.swap).toDF("id", "text")
     val a = df.select(col("id"), explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
