@@ -17,10 +17,12 @@ import scala.collection.mutable
   * compared. The line boundary uses the mod-2 rule
   * (reference: geom/type_multi_line_string.go:221-258).
   *
-  * Supported inputs are homogeneous-dimension geometries (puntal,
-  * lineal, areal, incl. Multi* and homogeneous collections); mixed
-  * GeometryCollections throw (same practical scope as relate usage in
-  * the reference's test corpus for non-GC inputs).
+  * Supported inputs: homogeneous-dimension geometries (puntal,
+  * lineal, areal, incl. Multi* and homogeneous collections) AND mixed
+  * GeometryCollections — the latter via relateMixedGC (dispatched
+  * below), which applies the union-of-members semantics; oracled end
+  * to end by q62. (This header previously claimed mixed GCs throw —
+  * stale since the r3 relateMixedGC landing.)
   */
 object Relate {
 
