@@ -54,10 +54,12 @@ object BenchExtra {
       var r = 0
       while (r < reps) {
         val t0 = System.nanoTime()
-        try noop(fn(spark, sfDir))
+        // a thrown rep must NOT update best: its time-to-failure would
+        // masquerade as a (bogus) fast timing in the JSON line
+        val ok = try { noop(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
-          System.err.println(s"[extra] $name FAILED: ${e.getMessage}") }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          System.err.println(s"[extra] $name FAILED: ${e.getMessage}"); false }
+        if (ok) best = math.min(best, (System.nanoTime() - t0) / 1e9)
         spark.catalog.clearCache()
         r += 1
       }

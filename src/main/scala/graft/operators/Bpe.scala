@@ -70,18 +70,28 @@ object Bpe {
       // that r5 re-executed from their checkpoints when the result
       // was consumed. TakeOrdered ships one row per partition; this
       // is vocab-dimension control data, not a data-sized collect.
-      val bestRow = counts
+      val bestRows = counts
         .orderBy(col("c").desc, col("pa").asc, col("pb").asc)
-        .limit(1).collect()(0)
-      val (pa, pb, c) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
-      picked += ((it, pa, pb, c))
-      val pat = lit("|" + pa + "|" + pb + "|")
-      val rep = lit("|" + pa + pb + "|")
-      val applied = sym
-        .withColumn("sym",
-          replaceLit(replaceLit(col("sym"), pat, rep), pat, rep))
-        .select(col("freq"), col("sym"))
-      sym = applied.localCheckpoint(true)
+        .limit(1).collect()
+      if (bestRows.isEmpty) {
+        // no adjacent pair anywhere (single-symbol words / merges
+        // exhausted): mirror the r5 crossJoin-with-empty behavior —
+        // this merge emits no row and the symbol table goes empty,
+        // so the remaining iterations are no-ops
+        sym = sym.where(lit(false)).localCheckpoint(true)
+      } else {
+        val bestRow = bestRows(0)
+        val (pa, pb, c) =
+          (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+        picked += ((it, pa, pb, c))
+        val pat = lit("|" + pa + "|" + pb + "|")
+        val rep = lit("|" + pa + pb + "|")
+        val applied = sym
+          .withColumn("sym",
+            replaceLit(replaceLit(col("sym"), pat, rep), pat, rep))
+          .select(col("freq"), col("sym"))
+        sym = applied.localCheckpoint(true)
+      }
     }
     docs.sparkSession.createDataFrame(picked.toSeq)
       .toDF("merge_rank", "pa", "pb", "c")

@@ -257,7 +257,9 @@ object Corpus {
     // so prune to the exact two-phase top-k survivor set first (the
     // global order is total and survivors are an order-prefix
     // superset, so the ranks and prefix sums are unchanged).
-    val cum = topByGlobalOrder(freqs, ks.max)
+    // ks.max on an empty list would throw at plan build; k=0 keeps the
+    // r5 behavior (a valid plan whose isin() matches nothing)
+    val cum = topByGlobalOrder(freqs, if (ks.isEmpty) 0 else ks.max)
       .withColumn("k", row_number().over(globalTokenOrder).cast("long"))
       .withColumn("cum_mass",
         sum(col("freq")).over(globalTokenOrder

@@ -33,6 +33,15 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("pair-exhausted corpus truncates the merge table instead of throwing") {
+    // every word is a single character: no adjacent pair ever exists,
+    // so training must emit zero merges (the r5 crossJoin-with-empty
+    // behavior) rather than crash on the empty argmax
+    val docs = Seq("a b c", "a b", "c").toDF("text")
+    val out = Bpe.train(docs, "text", merges = 3).collect()
+    assert(out.isEmpty)
+  }
+
   test("two-pass anchored replace equals greedy merge on hostile runs") {
     // runs with shared anchors, odd/even counts, multi-char symbols
     val cases = Seq(

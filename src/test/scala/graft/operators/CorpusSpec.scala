@@ -66,6 +66,11 @@ class CorpusSpec extends AnyFunSuite {
     assert(!out.contains(3L)) // empty text -> no chunks
   }
 
+  test("vocabCoverage with empty ks builds a valid empty plan") {
+    val docs = Seq("alpha beta beta").toDF("text")
+    assert(Corpus.vocabCoverage(docs, "text", Seq.empty).collect().isEmpty)
+  }
+
   test("dupSpans: cross-doc windows merge into maximal spans") {
     // docs 1 and 2 share the 5-token run "a b c d e" -> with w=3 the
     // windows abc/bcd/cde are duplicated and merge into ONE span of 5
