@@ -50,7 +50,7 @@ object Bpe {
     var sym = words
       .withColumn("sym", concat(lit("|"), concat_ws("|", chars), lit("|")))
       .select(col("freq"), col("sym"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (it <- 1 to merges) {
       val arr = filter(split(col("sym"), "\\|"), s => length(s) > 0)
@@ -78,7 +78,7 @@ object Bpe {
         // exhausted): mirror the r5 crossJoin-with-empty behavior —
         // this merge emits no row and the symbol table goes empty,
         // so the remaining iterations are no-ops
-        sym = sym.where(lit(false)).localCheckpoint(true)
+        sym = sym.where(lit(false)).localCheckpoint(false)
       } else {
         val bestRow = bestRows(0)
         val (pa, pb, c) =
@@ -90,7 +90,7 @@ object Bpe {
           .withColumn("sym",
             replaceLit(replaceLit(col("sym"), pat, rep), pat, rep))
           .select(col("freq"), col("sym"))
-        sym = applied.localCheckpoint(true)
+        sym = applied.localCheckpoint(false)
       }
     }
     docs.sparkSession.createDataFrame(picked.toSeq)

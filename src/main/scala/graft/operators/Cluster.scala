@@ -86,7 +86,7 @@ object Cluster {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
     var e = sym0.unionAll(sym0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1's signature job materializes it
 
     var round = 0
     var prevSig: (Long, Long) = (-1L, -1L)
@@ -118,9 +118,12 @@ object Cluster {
       // re-symmetrize: star edges (child, parent) + reverse, so the
       // next large-star sees the full neighborhood again; the single
       // per-round distinct lives here
+      // LAZY checkpoint: the signature action below materializes (and
+      // persists) the partitions in the SAME job — the r5 eager form
+      // paid a dedicated materialization job per round on top of it
       e = ss.unionAll(ss.select(col("v").as("u"), col("u").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       // order-independent fixed-point signature (count + xor-of-hash)
       // over the just-checkpointed canonical edge SET — a cheap scan
       // of materialized partitions, and equivalent to r5's signature
@@ -174,15 +177,16 @@ object Cluster {
     val pairs = SpatialJoins
       .cellDWithinJoin(left, geomCol, right, "__ngeom", eps, level)
       .select(col(idCol), col("__nid"))
-      .localCheckpoint() // reused by 3 downstream stages + the loop
+      .localCheckpoint(false) // reused by 3 downstream stages + the loop;
+                              // lazy — materialized by round 1's count job
     val cores = pairs.groupBy(idCol).agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") >= minPts).select(col(idCol))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val coreEdges = pairs
       .join(cores, Seq(idCol))                      // source is core
       .join(cores.withColumnRenamed(idCol, "__nid"), Seq("__nid")) // dest is core
       .filter(col(idCol) =!= col("__nid"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // cluster ids: min core id per connected component of the
     // core-core eps graph, by iterative min-label propagation.
@@ -195,7 +199,7 @@ object Cluster {
     // wins on stringy clusters (diameter >> eps); callers with such
     // data should run Cluster.connectedComponents on the core graph
     // directly — same output, O(log n) rounds.
-    var lbl = cores.withColumn("__lbl", col(idCol)).localCheckpoint()
+    var lbl = cores.withColumn("__lbl", col(idCol)).localCheckpoint(false)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -206,7 +210,7 @@ object Cluster {
       val next = lbl.join(prop, Seq(idCol), "left")
         .select(col(idCol), col("__lbl"),
           least(col("__lbl"), coalesce(col("__plbl"), col("__lbl"))).as("__nlbl"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the changed-count job materializes it
       changed = next.filter(col("__nlbl") < col("__lbl")).count()
       lbl = next.select(col(idCol), col("__nlbl").as("__lbl"))
       round += 1

@@ -89,11 +89,11 @@ object Graph {
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: n = nodes.count() materializes it
     val nodes = e.select(col("a").as("id"))
       .unionAll(e.select(col("b").as("id")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val n = nodes.count()
     val r0 = scale / n
     val base = (15L * r0) / 100L
@@ -105,7 +105,7 @@ object Graph {
     val nodesDeg = nodes
       .join(deg.withColumnRenamed("a", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__deg"), lit(0L)).as("__deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var r = nodesDeg.withColumn("r", lit(r0))
     for (_ <- 1 to iters) {
@@ -115,7 +115,11 @@ object Graph {
       r = nodesDeg.join(inc, Seq("id"), "left")
         .select(col("id"), col("__deg"),
           (lit(base) + expr("(85 * coalesce(__s, 0L)) DIV 100")).as("r"))
-        .localCheckpoint()
+        // LAZY: truncates the logical plan per iteration (the reason
+        // the checkpoint exists) without a materialization job each —
+        // the consumer's single action computes the chain once, each
+        // link persisting as it is computed
+        .localCheckpoint(false)
     }
     r.select(col("id"), col("r").as("rank"))
   }
