@@ -349,8 +349,8 @@ object SpatialJoins {
     var unresolved = queries
       .withColumn("__qix", ixOf(col(qLon)))
       .withColumn("__qiy", iyOf(col(qLat)))
-      .localCheckpoint()
-    var nQueries = unresolved.count() // cheap: counts materialized blocks
+      .localCheckpoint(false) // lazy: the count below materializes it
+    var nQueries = unresolved.count()
     var acc: DataFrame = null
     var done = false
     while (!done) {
@@ -378,7 +378,9 @@ object SpatialJoins {
         .filter(col("__rn") <= k)
         .withColumn("__res", resCol)
         .drop("__cx", "__cy", "__ccell", "__tcell")
-        .localCheckpoint()
+        // lazy: the resolved-count action (or the caller's single
+        // consuming action on the full-cover ring) materializes it
+        .localCheckpoint(false)
       val resolvedRows = cand.filter(col("__res")).drop("__res")
       acc = if (acc == null) resolvedRows else acc.unionAll(resolvedRows)
       if (fullCover) done = true
@@ -392,7 +394,7 @@ object SpatialJoins {
             .select(col(qKey).as("__sk"))
           unresolved = unresolved
             .join(resolvedKeys, unresolved(qKey) === col("__sk"), "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(false)
           nQueries = unresolved.count()
           if (nQueries == 0) done = true else r *= 2
         }
