@@ -86,7 +86,9 @@ object Cluster {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
     var e = sym0.unionAll(sym0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint(false) // lazy: round 1's signature job materializes it
+      // EAGER: round 1 consumes e from two branches (mins + join);
+      // lazy would let those stages race to compute it twice
+      .localCheckpoint()
 
     var round = 0
     var prevSig: (Long, Long) = (-1L, -1L)
@@ -177,16 +179,20 @@ object Cluster {
     val pairs = SpatialJoins
       .cellDWithinJoin(left, geomCol, right, "__ngeom", eps, level)
       .select(col(idCol), col("__nid"))
-      .localCheckpoint(false) // reused by 3 downstream stages + the loop;
-                              // lazy — materialized by round 1's count job
+      // EAGER: pairs feeds cores, coreEdges (twice) and the loop —
+      // multiple CONCURRENT stages of one lazy materializing job
+      // would race to compute the expensive cell join repeatedly
+      // (measured: q120's first in-suite sample went 2.4 -> 16 s
+      // when this was lazy); a single materialization job is cheaper
+      .localCheckpoint()
     val cores = pairs.groupBy(idCol).agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") >= minPts).select(col(idCol))
-      .localCheckpoint(false)
+      .localCheckpoint() // eager: multi-consumer (coreEdges x2, lbl, border)
     val coreEdges = pairs
       .join(cores, Seq(idCol))                      // source is core
       .join(cores.withColumnRenamed(idCol, "__nid"), Seq("__nid")) // dest is core
       .filter(col(idCol) =!= col("__nid"))
-      .localCheckpoint(false)
+      .localCheckpoint() // eager: consumed by every loop round
 
     // cluster ids: min core id per connected component of the
     // core-core eps graph, by iterative min-label propagation.
@@ -199,7 +205,7 @@ object Cluster {
     // wins on stringy clusters (diameter >> eps); callers with such
     // data should run Cluster.connectedComponents on the core graph
     // directly — same output, O(log n) rounds.
-    var lbl = cores.withColumn("__lbl", col(idCol)).localCheckpoint(false)
+    var lbl = cores.withColumn("__lbl", col(idCol)).localCheckpoint()
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {

@@ -105,7 +105,9 @@ object Graph {
     val nodesDeg = nodes
       .join(deg.withColumnRenamed("a", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__deg"), lit(0L)).as("__deg"))
-      .localCheckpoint(false)
+      // eager: every iteration's stages consume nodesDeg; a lazy
+      // materialization would race across them
+      .localCheckpoint()
 
     var r = nodesDeg.withColumn("r", lit(r0))
     for (_ <- 1 to iters) {
