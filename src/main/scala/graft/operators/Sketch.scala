@@ -161,6 +161,13 @@ object Sketch {
                       threshold: Long): DataFrame = {
     val cands = cmsEstimates(df, keyCol, d, w)
       .filter(col("est") >= threshold)
+      // EAGER checkpoint: cands feeds BOTH the exact-count semi-join's
+      // broadcast and the final join — unmaterialized, the whole
+      // scan -> grid -> min -> screen pipeline is computed twice (the
+      // plan showed the full subtree duplicated). The survivor set is
+      // threshold-screened and so candidate-sized by design — the
+      // materialization is trivially small at any corpus scale.
+      .localCheckpoint()
     val exact = df.join(broadcast(cands.select(col("key").as(keyCol))), keyCol)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .select(col(keyCol).as("key"), col("cnt"))
