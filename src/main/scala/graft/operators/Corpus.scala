@@ -251,6 +251,12 @@ object Corpus {
                     ks: Seq[Int]): DataFrame = {
     val freqs = docs.select(explode(toks(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      // EAGER checkpoint: freqs feeds BOTH the top-k ranking and the
+      // totals aggregate — unmaterialized, the tokenize + frequency
+      // aggregation runs twice (the q154 plan showed the subtree
+      // duplicated). The table is the DISTINCT-token frequency list,
+      // vocabulary-bounded at any corpus size.
+      .localCheckpoint()
     // r5 ran the (freq desc, token) ranking window UNPARTITIONED —
     // a single-task global sort of the whole distinct-token table at
     // corpus scale. Only the top max(ks) rows can pass the k filter,
@@ -613,6 +619,12 @@ object Corpus {
     val joined = o.join(n, Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
+      // EAGER checkpoint: joined feeds BOTH the totals aggregate and
+      // the final psi projection — unmaterialized, the caller's whole
+      // upstream (q178: TWO corpus scans through the quality-score
+      // kernel + both bucket aggregations) is executed twice. The
+      // table is one row per observed bucket — trivially small.
+      .localCheckpoint()
     val tots = joined.agg(sum(col("n_old")).as("t_old"),
       sum(col("n_new")).as("t_new"), count(lit(1)).as("nb"))
     val p = (col("n_old").cast("double") + lit(0.5)) /

@@ -47,6 +47,14 @@ object Frontier {
       .orderBy(md5(col(urlCol)).asc, col(urlCol).asc)
     val withRound = df.select(col(urlCol), col(domainCol))
       .withColumn("round", row_number().over(byDomain).cast("long"))
+      // EAGER checkpoint: withRound feeds BOTH the round-size
+      // aggregate (-> offsets broadcast) and the final in-round
+      // window join — unmaterialized, the caller's whole upstream
+      // (q168: frontier discovery + robots anti-join + the per-domain
+      // window) is planned and executed twice (the q168 plan showed
+      // the full subtree duplicated). Multi-consumer setup tables are
+      // eager per this round's checkpoint rule.
+      .localCheckpoint()
     val roundSizes = withRound.groupBy(col("round"))
       .agg(count(lit(1)).as("__n"))
     val wCum = Window.orderBy(col("round").asc)
